@@ -1,0 +1,1 @@
+"""Scalar/vectorized function library (SURVEY.md §2.7)."""

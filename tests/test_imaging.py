@@ -1,0 +1,103 @@
+"""Codec roundtrip + invariant tests (FIXTURES.md §1, BASELINE.json input_hint)."""
+
+import numpy as np
+import pytest
+
+from crawler_spark.functions.imaging import (
+    decode_bmp,
+    decode_image,
+    decode_png,
+    decode_ppm,
+    encode_bmp,
+    encode_image,
+    encode_png,
+    encode_ppm,
+    phash64,
+    psnr,
+)
+
+
+def _img(i: int, h: int = 16, w: int = 16) -> np.ndarray:
+    rng = np.random.default_rng(i)
+    return rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+
+
+@pytest.mark.parametrize("fmt", ["png", "ppm", "bmp"])
+@pytest.mark.parametrize("hw", [(16, 16), (24, 32), (48, 64), (17, 13)])
+def test_roundtrip_lossless(fmt, hw):
+    h, w = hw
+    arr = _img(h * 1000 + w, h, w)
+    data = encode_image(arr, fmt)
+    back = decode_image(data, fmt)
+    assert back.shape == arr.shape
+    assert np.array_equal(back, arr)
+    assert psnr(arr, back) == float("inf")  # lossless ⇒ PSNR=∞ ≥ 40dB
+
+
+def test_png_filters_decode():
+    # our writer emits filter 0; verify the reader handles Up(2) and Sub(1)
+    arr = _img(7, 8, 8)
+    import struct
+    import zlib
+
+    from crawler_spark.functions.imaging import _PNG_SIG, _png_chunk
+
+    h, w = 8, 8
+    rows = []
+    prev = np.zeros(w * 3, dtype=np.uint8)
+    for y in range(h):
+        line = arr[y].reshape(-1)
+        if y % 2 == 0:  # Sub
+            enc = line.copy()
+            enc[3:] = (line[3:].astype(np.int16) - line[:-3].astype(np.int16)).astype(np.uint8)
+            rows.append(bytes([1]) + enc.tobytes())
+        else:  # Up
+            enc = (line.astype(np.int16) - prev.astype(np.int16)).astype(np.uint8)
+            rows.append(bytes([2]) + enc.tobytes())
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    data = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"".join(rows)))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(data), arr)
+
+
+def test_ppm_header_parsing():
+    arr = _img(3, 4, 5)
+    data = encode_ppm(arr)
+    assert data.startswith(b"P6\n5 4\n255\n")
+    assert np.array_equal(decode_ppm(data), arr)
+
+
+def test_bmp_padding():
+    # width 5 → row 15 bytes → 1 pad byte; exercises stride handling
+    arr = _img(4, 6, 5)
+    assert np.array_equal(decode_bmp(encode_bmp(arr)), arr)
+
+
+def test_phash_deterministic_and_sensitive():
+    a = _img(1, 32, 32)
+    assert phash64(a) == phash64(a.copy())
+    b = a.copy()
+    b[:16] = 255 - b[:16]  # flip half the image → phash must move
+    assert phash64(a) != phash64(b)
+    assert isinstance(phash64(a), int)
+    assert -(2**63) <= phash64(a) < 2**63
+
+
+def test_jpeg_stub():
+    with pytest.raises(NotImplementedError):
+        encode_image(_img(0), "jpeg")
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8", "jpeg")
+
+
+def test_psnr_known_value():
+    a = np.zeros((8, 8, 3), dtype=np.uint8)
+    b = a.copy()
+    b[0, 0, 0] = 255
+    mse = 255.0**2 / (8 * 8 * 3)
+    assert abs(psnr(a, b) - 10 * np.log10(255.0**2 / mse)) < 1e-9
