@@ -1,0 +1,199 @@
+"""Deterministic synthetic fixtures (FIXTURES.md §1-4): image+caption table,
+link graph ("the web"), seed list, robots rules.
+
+Everything is a pure function of (n_pages, n_hosts, seed) using numpy PCG64 —
+no external data, no network (sandbox rule).  Written as parquet via pyarrow
+so both Spark (engine) and plain Python (simulator) read the same bytes.
+
+The graph is engineered to exercise every reference code path:
+* Zipf(1.3) host assignment → hot-host skew (salting axis B)
+* out-links in two href forms (absolute / protocol-relative) → prepare_url
+  quirks on the hot path (reference Crawlers.java:271-311)
+* deterministic duplicate link targets → URL-seen dedup (U2)
+* ``?page=N`` chains of length 3 → paging bound (O3,
+  reference TaskWorker.java:92-104)
+* ``anti_flag`` rows → anti-crawl retry loop (P3/T8)
+* ``fail_count`` rows → transient-failure repush (J4,
+  reference BackLogFetcher.java:262-280)
+* ``/private`` links + per-host disallow prefixes → robots filtering
+  (north_rule addition)
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from crawler_spark.functions.imaging import encode_image, phash64
+
+_ADJ = ["quick", "lazy", "bright", "dark", "tiny", "huge", "odd"]
+_NOUN = ["fox", "dog", "sun", "moon", "tree", "rock", "bird", "fish", "cat", "ant", "bee"]
+_COLOR = ["red", "blue", "green", "white", "black"]
+_FMTS = ["png", "ppm", "bmp"]
+_W = [16, 32, 64]
+_H = [16, 24, 48]
+
+LINK_MULT = 2654435761  # Knuth multiplicative constant (FIXTURES.md §2)
+
+
+def host_of(z: int) -> str:
+    return f"h{z}.example.com"
+
+
+def page_url(i: int, host_z: np.ndarray) -> str:
+    return f"http://{host_of(int(host_z[i]))}/p/{i}"
+
+
+def zipf_hosts(n_pages: int, n_hosts: int, seed: int) -> np.ndarray:
+    """Host index per page, Zipf(a=1.3) over n_hosts — deterministic."""
+    rng = np.random.default_rng(seed)
+    ranks = np.arange(1, n_hosts + 1, dtype=np.float64)
+    p = ranks**-1.3
+    p /= p.sum()
+    return rng.choice(n_hosts, size=n_pages, p=p)
+
+
+def make_image(i: int) -> tuple[bytes, int, int, str, str, int]:
+    w, h, fmt = _W[i % 3], _H[i % 3], _FMTS[i % 3]
+    rng = np.random.default_rng(i)
+    arr = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    caption = f"caption {i}: {_ADJ[i % 7]} {_NOUN[i % 11]} on {_COLOR[i % 5]}"
+    return encode_image(arr, fmt), w, h, fmt, caption, phash64(arr)
+
+
+def out_links_of(i: int, n_pages: int, host_z: np.ndarray) -> list[str]:
+    """Deterministic hrefs; j alternates absolute / protocol-relative forms."""
+    links = []
+    for j in range(i % 4):
+        t = (i * LINK_MULT + j) % n_pages
+        tz = int(host_z[t])
+        if j % 2 == 0:
+            links.append(f"http://{host_of(tz)}/p/{t}")
+        else:
+            links.append(f"//{host_of(tz)}/p/{t}")
+    if i % 7 == 0:
+        links.append(f"http://{host_of(int(host_z[i]))}/private/{i}")
+    return links
+
+
+def generate(out_dir: str, n_pages: int = 512, n_hosts: int = 16, seed: int = 42) -> dict:
+    """Write images/pages/seeds/robots parquet under out_dir; return paths."""
+    os.makedirs(out_dir, exist_ok=True)
+    host_z = zipf_hosts(n_pages, n_hosts, seed)
+
+    # --- images ------------------------------------------------------------
+    img_rows = {k: [] for k in ("image_id", "bytes", "w", "h", "fmt", "caption", "phash")}
+    for i in range(n_pages):
+        b, w, h, fmt, caption, ph = make_image(i)
+        img_rows["image_id"].append(f"img{i:010d}")
+        img_rows["bytes"].append(b)
+        img_rows["w"].append(w)
+        img_rows["h"].append(h)
+        img_rows["fmt"].append(fmt)
+        img_rows["caption"].append(caption)
+        img_rows["phash"].append(ph)
+    images = pa.table(
+        {
+            "image_id": pa.array(img_rows["image_id"], pa.string()),
+            "bytes": pa.array(img_rows["bytes"], pa.binary()),
+            "w": pa.array(img_rows["w"], pa.int32()),
+            "h": pa.array(img_rows["h"], pa.int32()),
+            "fmt": pa.array(img_rows["fmt"], pa.string()),
+            "caption": pa.array(img_rows["caption"], pa.string()),
+            "phash": pa.array(img_rows["phash"], pa.int64()),
+        }
+    )
+    pq.write_table(images, os.path.join(out_dir, "images.parquet"))
+
+    # --- pages (base + ?page= chain rows) -----------------------------------
+    urls, image_ids, out_links, next_urls, antis, fails = [], [], [], [], [], []
+
+    def add(u, img, links, nxt, anti, fail):
+        urls.append(u)
+        image_ids.append(img)
+        out_links.append(links)
+        next_urls.append(nxt)
+        antis.append(anti)
+        fails.append(fail)
+
+    for i in range(n_pages):
+        base = page_url(i, host_z)
+        has_chain = i % 5 == 0
+        add(
+            base,
+            f"img{i:010d}",
+            out_links_of(i, n_pages, host_z),
+            f"{base}?page=1" if has_chain else None,
+            i % 97 == 0,
+            2 if i % 101 == 0 else 0,
+        )
+        if has_chain:
+            for p in (1, 2, 3):
+                add(
+                    f"{base}?page={p}",
+                    f"img{i:010d}",
+                    [],
+                    f"{base}?page={p + 1}" if p < 3 else None,
+                    False,
+                    0,
+                )
+    pages = pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "image_id": pa.array(image_ids, pa.string()),
+            "out_links": pa.array(out_links, pa.list_(pa.string())),
+            "next_page_url": pa.array(next_urls, pa.string()),
+            "anti_flag": pa.array(antis, pa.bool_()),
+            "fail_count": pa.array(fails, pa.int32()),
+        }
+    )
+    pq.write_table(pages, os.path.join(out_dir, "pages.parquet"))
+
+    # --- seeds ---------------------------------------------------------------
+    n_seeds = max(8, n_pages // 16)
+    seeds = pa.table(
+        {
+            "seed_id": pa.array([str(i) for i in range(n_seeds)], pa.string()),
+            "url": pa.array([page_url(i, host_z) for i in range(n_seeds)], pa.string()),
+            "story_seq": pa.array([i // 200 for i in range(n_seeds)], pa.int64()),
+        }
+    )
+    pq.write_table(seeds, os.path.join(out_dir, "seeds.parquet"))
+
+    # --- robots ---------------------------------------------------------------
+    delays = [0.0, 0.5, 1.0, 2.0]
+    robots = pa.table(
+        {
+            "host": pa.array([host_of(z) for z in range(n_hosts)], pa.string()),
+            "crawl_delay_s": pa.array([delays[z % 4] for z in range(n_hosts)], pa.float64()),
+            "disallow_prefixes": pa.array(
+                [["/private"] if z % 13 == 0 else [] for z in range(n_hosts)],
+                pa.list_(pa.string()),
+            ),
+        }
+    )
+    pq.write_table(robots, os.path.join(out_dir, "robots.parquet"))
+
+    return {
+        "images": os.path.join(out_dir, "images.parquet"),
+        "pages": os.path.join(out_dir, "pages.parquet"),
+        "seeds": os.path.join(out_dir, "seeds.parquet"),
+        "robots": os.path.join(out_dir, "robots.parquet"),
+        "n_pages": n_pages,
+        "n_hosts": n_hosts,
+    }
+
+
+def load_tables(fix_dir: str) -> dict:
+    """Load fixtures into plain-Python structures for the simulator."""
+    pages_t = pq.read_table(os.path.join(fix_dir, "pages.parquet")).to_pylist()
+    robots_t = pq.read_table(os.path.join(fix_dir, "robots.parquet")).to_pylist()
+    seeds_t = pq.read_table(os.path.join(fix_dir, "seeds.parquet")).to_pylist()
+    return {
+        "pages": {r["url"]: r for r in pages_t},
+        "robots": {r["host"]: r for r in robots_t},
+        "seeds": sorted(seeds_t, key=lambda r: int(r["seed_id"])),
+    }

@@ -1,0 +1,348 @@
+"""The crawl engine: deterministic, resumable DataFrame batch rounds.
+
+Spark-first re-expression of the reference's poll-loop dataflow
+(SURVEY.md §3.2): one ROUND =
+
+  frontier ─ politeness-ranked fetch batch (operators.politeness, O1/T4)
+           ─ synthetic fetch join against the page table (S3; equi-join —
+             in production this is the mapInPandas HTTP fetcher)
+           ─ status classification (P3/P5/J4 as when/otherwise columns,
+             constants from plans.policy)
+           ─ frontier expansion: explode(out_links) + paging chain (K6/O3)
+             → prepare_url pandas UDF (F1) → robots filter → bloom+anti-join
+             dedup (U2) → admitted with wave = round+1
+           ─ atomic snapshot commit (sources.snapshots, T6/T7): frontier,
+             url_seen Δ, dead_letter Δ, fetch_log Δ, per-partition lineage Δ
+
+The reference's per-URL poller threads (TaskWorker.java:174-190) become
+iteration over rounds; its Redis queues become the frontier table; its
+savepoint (SavePointPlanner.java:174-183) becomes the round manifest.
+Recycle-bin re-drive (U1, SavePointPlanner.java:106-126) triggers when the
+frontier drains: retriable dead tasks re-enter as generation+1, capped at
+MAX_BIN_GENERATIONS.
+
+Scale discipline (axes A+B):
+* frontier rows carry only url/keys — image bytes NEVER enter the loop
+  (payload verification joins the images table by image_id at the end).
+* every state read comes from the previous round's parquet — plan lineage
+  stays O(1) per round, no unbounded DAG growth.
+* politeness ranking is the two-phase salted window; dedup is bloom-pruned
+  anti-join; robots and the bloom directory are broadcast.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crawler_spark.functions.urlnorm import prepare_url_udf
+from crawler_spark.operators import dedup as dd
+from crawler_spark.operators.politeness import select_fetch_batch
+from crawler_spark.plans import policy as P
+from crawler_spark.plans.policy import CrawlConfig
+from crawler_spark.sources import snapshots as snap
+
+FRONTIER_COLS = ["url", "host", "wave", "priority", "page_idx", "attempt", "generation"]
+_RETRIABLE = ("fetch_retries_exhausted", "anti_retries_exhausted")
+
+
+class CrawlEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        fix_dir: str,
+        ckpt_dir: str,
+        cfg: Optional[CrawlConfig] = None,
+        use_bloom: bool = True,
+        bloom_buckets: int = 16,
+    ):
+        self.spark = spark
+        self.fix_dir = fix_dir
+        self.ckpt_dir = ckpt_dir
+        self.cfg = cfg or CrawlConfig()
+        self.use_bloom = use_bloom
+        self.bloom_buckets = bloom_buckets
+        # page table: the synthetic web. NOTE: no image bytes here — payload
+        # stays in images.parquet, joined only by verify_payloads().
+        self.pages = (
+            spark.read.parquet(os.path.join(fix_dir, "pages.parquet"))
+            .withColumn("known", F.lit(True))
+            .cache()
+        )
+        self.robots = spark.read.parquet(os.path.join(fix_dir, "robots.parquet")).cache()
+
+    # ------------------------------------------------------------------ init
+
+    def _seed_frontier(self) -> DataFrame:
+        """Seeds → wave-0 frontier (S1; priority = seed order, O2 slicing)."""
+        seeds = self.spark.read.parquet(os.path.join(self.fix_dir, "seeds.parquet"))
+        rows = (
+            seeds.withColumn("priority", F.col("seed_id").cast("long"))
+            .withColumn("host", F.parse_url(F.col("url"), F.lit("HOST")))
+            .withColumn("wave", F.lit(0))
+            .withColumn("page_idx", F.lit(0))
+            .withColumn("attempt", F.lit(0))
+            .withColumn("generation", F.lit(0))
+            .select(*FRONTIER_COLS)
+        )
+        return self._robots_allow(rows).dropDuplicates(["url"])
+
+    def _robots_allow(self, df: DataFrame) -> DataFrame:
+        """Drop rows disallowed by robots prefixes for their host (T4)."""
+        rb = F.broadcast(self.robots.select("host", "disallow_prefixes"))
+        path = F.coalesce(F.parse_url(F.col("url"), F.lit("PATH")), F.lit(""))
+        blocked = F.exists(
+            F.coalesce(F.col("disallow_prefixes"), F.array()),
+            lambda p: path.startswith(p),
+        )
+        return (
+            df.join(rb, "host", "left")
+            .filter(F.col("host").isNotNull() & ~blocked)
+            .drop("disallow_prefixes")
+        )
+
+    # ----------------------------------------------------------------- round
+
+    def _classify(self, batch: DataFrame) -> DataFrame:
+        """Fetch + classify: join the web, derive status/retry/dead_reason.
+
+        Column mirror of policy.classify_fetch (same constants; equivalence
+        is pinned by the golden simulator test).
+        """
+        cfg = self.cfg
+        joined = batch.join(self.pages, "url", "left")
+        known = F.coalesce(F.col("known"), F.lit(False))
+        fail_count = F.coalesce(F.col("fail_count"), F.lit(0))
+        anti = F.coalesce(F.col("anti_flag"), F.lit(False))
+        status = (
+            F.when(~known, F.lit(P.ST_NO_CONTENT))
+            .when(F.col("attempt") < fail_count, F.lit(P.ST_FAILED))
+            .when(anti, F.lit(P.ST_ANTI))
+            .otherwise(F.lit(P.ST_FETCHED))
+        )
+        retry = (
+            (F.col("status") == P.ST_FAILED) & (F.col("attempt") + 1 < cfg.max_fetch_retries)
+        ) | ((F.col("status") == P.ST_ANTI) & (F.col("attempt") + 1 < cfg.max_anti_retries))
+        dead_reason = (
+            F.when(F.col("status") == P.ST_NO_CONTENT, F.lit("no_content"))
+            .when((F.col("status") == P.ST_FAILED) & ~F.col("retry"), F.lit("fetch_retries_exhausted"))
+            .when((F.col("status") == P.ST_ANTI) & ~F.col("retry"), F.lit("anti_retries_exhausted"))
+        )
+        return (
+            joined.withColumn("status", status)
+            .withColumn("retry", retry)
+            .withColumn("dead_reason", dead_reason)
+        )
+
+    def _expand(self, fetched: DataFrame, rnd: int) -> DataFrame:
+        """Out-links + paging chain → deduped admission candidates (K6/O3/U2)."""
+        cfg = self.cfg
+        children = (
+            fetched.select(
+                F.col("url").alias("base"), F.explode("out_links").alias("href"), "generation"
+            )
+            .withColumn("curl", prepare_url_udf()(F.col("base"), F.col("href")))
+            .select(
+                F.col("curl").alias("url"),
+                F.lit(P.PRIORITY_CHILD).cast("long").alias("priority"),
+                F.lit(0).alias("page_idx"),
+                "generation",
+            )
+        )
+        nexts = fetched.filter(
+            F.col("next_page_url").isNotNull() & (F.col("page_idx") < cfg.page_down_count)
+        ).select(
+            F.col("next_page_url").alias("url"),
+            F.col("priority"),
+            (F.col("page_idx") + 1).alias("page_idx"),
+            "generation",
+        )
+        # first-submission-wins inside the round: min (priority, page_idx, generation)
+        cands = (
+            children.unionByName(nexts)
+            .groupBy("url")
+            .agg(F.min(F.struct("priority", "page_idx", "generation")).alias("b"))
+            .select("url", "b.priority", "b.page_idx", "b.generation")
+            .withColumn("host", F.parse_url(F.col("url"), F.lit("HOST")))
+            .withColumn("wave", F.lit(rnd + 1))
+            .withColumn("attempt", F.lit(0))
+        )
+        return self._robots_allow(cands).select(*FRONTIER_COLS)
+
+    def _admit(self, candidates: DataFrame, url_seen: DataFrame) -> DataFrame:
+        cands = dd.with_url_hash(candidates)
+        if self.use_bloom:
+            bloom = dd.bloom_build(url_seen, self.bloom_buckets)
+            return dd.admit_new_bloom(cands, url_seen, bloom, self.bloom_buckets)
+        return dd.admit_new_exact(cands, url_seen)
+
+    def _redrive(self, dead: Optional[DataFrame], rnd: int) -> Optional[DataFrame]:
+        """Recycle-bin re-drive (U1): max-generation retriable deaths, gen<cap."""
+        if dead is None:
+            return None
+        latest = (
+            dead.groupBy("url")
+            .agg(F.max(F.struct("generation", "reason")).alias("m"))
+            .select("url", "m.generation", "m.reason")
+        )
+        red = latest.filter(
+            F.col("reason").isin(*_RETRIABLE) & (F.col("generation") < P.MAX_BIN_GENERATIONS)
+        )
+        out = (
+            red.withColumn("host", F.parse_url(F.col("url"), F.lit("HOST")))
+            .withColumn("wave", F.lit(rnd))
+            .withColumn("priority", F.lit(P.PRIORITY_CHILD).cast("long"))
+            .withColumn("page_idx", F.lit(0))
+            .withColumn("attempt", F.lit(0))
+            .withColumn("generation", F.col("generation") + 1)
+            .select(*FRONTIER_COLS)
+        )
+        return out
+
+    def run(self, resume: bool = False) -> dict:
+        spark, cfg = self.spark, self.cfg
+        snap.clean_uncommitted(self.ckpt_dir)
+        start_round = 0
+        seed_seen: Optional[DataFrame] = None  # folded into the first commit's Δ
+        if resume and (last := snap.latest_round(self.ckpt_dir)) is not None:
+            frontier = snap.read_full(spark, self.ckpt_dir, "frontier", last)
+            url_seen = snap.read_deltas(spark, self.ckpt_dir, "url_seen", last)
+            start_round = last + 1
+        else:
+            frontier = self._seed_frontier()
+            url_seen = dd.with_url_hash(frontier.select("url")).withColumn(
+                "round", F.lit(0)
+            )
+            seed_seen = url_seen
+
+        rnd = start_round
+        summary = {"rounds": 0, "fetched": 0, "selected": 0, "dead": 0, "admitted": 0}
+        while rnd < cfg.max_rounds:
+            t0 = time.time()
+            eligible = frontier.filter(F.col("wave") <= rnd)
+            batch = select_fetch_batch(eligible, self.robots, cfg)
+            classified = self._classify(batch).persist()
+            n_selected = classified.count()
+            if n_selected == 0:
+                dead_all = snap.read_deltas(spark, self.ckpt_dir, "dead_letter", rnd)
+                red = self._redrive(dead_all, rnd)
+                n_red = red.count() if red is not None else 0
+                if n_red == 0:
+                    classified.unpersist()
+                    break
+                frontier = frontier.unionByName(red)
+                classified.unpersist()
+                continue
+
+            fetch_log = classified.select(
+                F.lit(rnd).alias("round"), "host", "rank", "url", "status", "attempt"
+            )
+            dead_delta = classified.filter(F.col("dead_reason").isNotNull()).select(
+                "url",
+                F.col("dead_reason").alias("reason"),
+                "generation",
+                F.lit(rnd).alias("round"),
+            )
+            # frontier bookkeeping: selected non-retry rows leave; retries bump attempt
+            sel = classified.select("url", "retry")
+            kept = (
+                frontier.join(sel, "url", "left")
+                .filter(F.col("retry").isNull() | F.col("retry"))
+                .withColumn(
+                    "attempt",
+                    F.when(F.col("retry"), F.col("attempt") + 1).otherwise(F.col("attempt")),
+                )
+                .select(*FRONTIER_COLS)
+            )
+            fetched = classified.filter(F.col("status") == P.ST_FETCHED)
+            candidates = self._expand(fetched, rnd)
+            admitted = self._admit(candidates, url_seen).persist()
+            seen_delta = admitted.select("url", "url_hash", F.lit(rnd + 1).alias("round"))
+            if seed_seen is not None:  # first commit carries the seed membership
+                seen_delta = seed_seen.unionByName(seen_delta)
+                seed_seen = None
+            frontier_next = kept.unionByName(admitted.select(*FRONTIER_COLS))
+            # per-partition lineage metrics beside the checkpoint (north_rule)
+            lineage = (
+                classified.groupBy(F.spark_partition_id().alias("partition_id"))
+                .agg(
+                    F.count("*").alias("urls_in"),
+                    F.sum((F.col("status") == P.ST_FETCHED).cast("long")).alias("fetched"),
+                    F.sum(F.col("retry").cast("long")).alias("failed"),
+                    F.sum(F.col("dead_reason").isNotNull().cast("long")).alias("dead"),
+                )
+                .withColumn("round", F.lit(rnd))
+                .withColumn("wall_ms", F.lit(int((time.time() - t0) * 1000)))
+            )
+            snap.commit_round(
+                self.ckpt_dir,
+                rnd,
+                {
+                    "frontier": frontier_next,
+                    "url_seen": seen_delta,
+                    "dead_letter": dead_delta,
+                    "fetch_log": fetch_log,
+                    "lineage": lineage,
+                },
+                meta={"selected": n_selected, "wall_s": time.time() - t0},
+            )
+            classified.unpersist()
+            admitted.unpersist()
+            # re-read committed state: keeps every round's plan lineage O(1)
+            frontier = snap.read_full(spark, self.ckpt_dir, "frontier", rnd)
+            url_seen = snap.read_deltas(spark, self.ckpt_dir, "url_seen", rnd)
+            summary["selected"] += n_selected
+            summary["rounds"] = rnd + 1 - start_round
+            rnd += 1
+        # final tallies from committed state
+        last = snap.latest_round(self.ckpt_dir)
+        if last is not None:
+            log = snap.read_deltas(spark, self.ckpt_dir, "fetch_log", last)
+            summary["fetched"] = log.filter(F.col("status") == P.ST_FETCHED).count()
+            dead_all = snap.read_deltas(spark, self.ckpt_dir, "dead_letter", last)
+            summary["dead"] = dead_all.count() if dead_all is not None else 0
+            seen = snap.read_deltas(spark, self.ckpt_dir, "url_seen", last)
+            summary["url_seen"] = seen.count()
+        summary["last_round"] = last
+        return summary
+
+    # ------------------------------------------------------------ inspection
+
+    def fetch_log(self) -> DataFrame:
+        last = snap.latest_round(self.ckpt_dir)
+        return snap.read_deltas(self.spark, self.ckpt_dir, "fetch_log", last)
+
+    def url_seen(self) -> DataFrame:
+        last = snap.latest_round(self.ckpt_dir)
+        return snap.read_deltas(self.spark, self.ckpt_dir, "url_seen", last)
+
+    def dead_letter(self) -> DataFrame:
+        last = snap.latest_round(self.ckpt_dir)
+        return snap.read_deltas(self.spark, self.ckpt_dir, "dead_letter", last)
+
+    def lineage(self) -> DataFrame:
+        last = snap.latest_round(self.ckpt_dir)
+        return snap.read_deltas(self.spark, self.ckpt_dir, "lineage", last)
+
+    def verify_payloads(self) -> DataFrame:
+        """Join fetched URLs → images by image_id; run the payload invariants.
+
+        Binary discipline: this is the ONLY place image bytes enter a plan
+        (project early, join late — SURVEY.md §7 hard part 4).
+        """
+        from crawler_spark.functions.imaging import decode_check_map_in_pandas
+
+        images = self.spark.read.parquet(os.path.join(self.fix_dir, "images.parquet"))
+        fetched_urls = (
+            self.fetch_log().filter(F.col("status") == P.ST_FETCHED).select("url").distinct()
+        )
+        ids = fetched_urls.join(self.pages.select("url", "image_id"), "url").select("image_id").distinct()
+        payload = ids.join(images, "image_id")
+        return payload.mapInPandas(
+            decode_check_map_in_pandas,
+            "image_id string, decode_ok boolean, shape_ok boolean, phash_ok boolean, psnr_db double",
+        )

@@ -1,0 +1,135 @@
+"""Deterministic crawl policy shared by the engine and the golden simulator.
+
+The reference's observable semantics (SURVEY.md §3.2) are FIFO fetch order
+(reference TaskWorker.java:160 enqueue / BackLogFetcher.java:107 dequeue),
+retry caps (fetch 20, reference BackLogFetcher.java:268-276; anti 6,
+TaskWorker.java:248-258; recycle-bin 5, SavePointPlanner.java:117), a paging
+bound (TaskWorker.java:92-104) and a global 1 req/s politeness delay
+(BackLogFetcher.java:45).  We re-express the infinite poll loops as
+deterministic batch ROUNDS; within a round each host gets
+``floor(round_seconds / crawl_delay)`` fetches, ordered by a total
+per-host ordering key.  Both the Spark engine (plans/engine.py) and the
+pure-Python simulator (simulator.py) derive their behavior from THIS module,
+so the golden comparison pins one shared policy rather than two parallel
+implementations of it.
+
+Ordering key (total order per host): ``(wave, priority, url)``
+
+* ``wave``      — round the URL was admitted to the frontier (seeds: 0).
+  FIFO analog: earlier-discovered fetches first.
+* ``priority``  — seeds carry their seed index (story_seq * step + arg_idx,
+  reference SavePointPlanner.java:53-85 slicing); discovered out-links carry
+  ``PRIORITY_CHILD`` (they rank after any seed of the same wave); next-page
+  fetches inherit the parent's priority (the reference follows a page chain
+  inside one task, TaskWorker.java:92-104 — within the round model the chain
+  keeps its task's rank).
+* ``url``       — final lexicographic tie-break (ASCII fixtures ⇒ identical
+  ordering in Python and the JVM).
+
+Documented deviations from the reference (SURVEY.md §7 hard parts):
+* unseeded ``Collections.shuffle`` of args (StoryWorker.java:237) is disabled
+  — exact-match mode keeps seed order.
+* a retried URL keeps its original ordering key and becomes eligible again
+  next round (the reference re-offers to the queue tail; a round model has
+  no "tail").
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+PRIORITY_CHILD = 1 << 40  # discovered links rank after all seeds in a wave
+
+# Retry / loop caps, straight from the reference configs (BASELINE.md)
+MAX_FETCH_RETRIES = 20  # backlog.repush.maxcount
+MAX_ANTI_RETRIES = 6  # worker.runner.anti.retry
+MAX_BIN_GENERATIONS = 5  # planner.recyclebin.maxtry
+PAGE_DOWN_COUNT = 3  # paging bound (Task.pageDownCount analog)
+SEEDS_PER_STORY = 200  # planner.step
+
+# Fetch statuses (reference Crawlers.java:225-227 status enum analog)
+ST_FETCHED = "FETCHED"
+ST_FAILED = "FAILED"  # transient fetch error → repush
+ST_ANTI = "ANTIED"
+ST_NO_CONTENT = "NO_CONTENT"  # sentinel, reference BackLogFetcher.java:152
+
+DEFAULT_CRAWL_DELAY_S = 1.0  # reference @Crawler(delay=1), BackLogFetcher.java:45
+
+
+@dataclass(frozen=True)
+class CrawlConfig:
+    """Knobs shared by engine + simulator; defaults mirror the reference."""
+
+    round_seconds: float = 8.0  # wall-clock a round models
+    max_burst_per_host: int = 64  # budget cap when crawl_delay == 0
+    max_rounds: int = 64
+    page_down_count: int = PAGE_DOWN_COUNT
+    max_fetch_retries: int = MAX_FETCH_RETRIES
+    max_anti_retries: int = MAX_ANTI_RETRIES
+    salt_buckets: int = 8  # phase-1 salted ranking fan-out (skew axis B)
+
+    def host_budget(self, crawl_delay_s: float) -> int:
+        """Fetches allowed for one host in one round (politeness, T4)."""
+        if crawl_delay_s is None:
+            crawl_delay_s = DEFAULT_CRAWL_DELAY_S
+        if crawl_delay_s <= 0:
+            return self.max_burst_per_host
+        return max(1, min(self.max_burst_per_host, int(self.round_seconds / crawl_delay_s)))
+
+
+def seed_priority(seed_idx: int) -> int:
+    """Seed ordering: story slicing then arg index (both = seed index order)."""
+    return seed_idx
+
+
+def child_priority() -> int:
+    return PRIORITY_CHILD
+
+
+def order_key(wave: int, priority: int, url: str) -> tuple:
+    return (wave, priority, url)
+
+
+def is_disallowed(path: str, disallow_prefixes: list[str]) -> bool:
+    """robots.txt Disallow check (north_rule addition; no reference analog)."""
+    if not disallow_prefixes:
+        return False
+    return any(path.startswith(p) for p in disallow_prefixes)
+
+
+@dataclass
+class FetchOutcome:
+    """Result classification for one fetched URL — one rule, two callers."""
+
+    status: str
+    retry: bool = False
+    dead_reason: str | None = None
+
+
+def classify_fetch(
+    known_page: bool,
+    anti_flag: bool,
+    fail_count: int,
+    attempt: int,
+    cfg: CrawlConfig,
+) -> FetchOutcome:
+    """Classify a fetch attempt. ``attempt`` is 0-based (prior tries).
+
+    - unknown URL → NO_CONTENT (non-text sentinel path, P5/P6): give up, no retry
+    - transient failure while ``attempt < fail_count`` → FAILED; repush until
+      the fetch-retry cap (reference BackLogFetcher.java:262-280)
+    - anti-crawl page → ANTIED; retried up to the anti cap
+      (reference TaskWorker.java:248-258)
+    - otherwise FETCHED
+    """
+    if not known_page:
+        return FetchOutcome(ST_NO_CONTENT, retry=False, dead_reason="no_content")
+    if attempt < fail_count:
+        if attempt + 1 >= cfg.max_fetch_retries:
+            return FetchOutcome(ST_FAILED, retry=False, dead_reason="fetch_retries_exhausted")
+        return FetchOutcome(ST_FAILED, retry=True)
+    if anti_flag:
+        if attempt + 1 >= cfg.max_anti_retries:
+            return FetchOutcome(ST_ANTI, retry=False, dead_reason="anti_retries_exhausted")
+        return FetchOutcome(ST_ANTI, retry=True)
+    return FetchOutcome(ST_FETCHED)

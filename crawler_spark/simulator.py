@@ -1,0 +1,186 @@
+"""Pure-Python golden-reference simulator (SURVEY.md §5 item 2).
+
+Replays the reference crawler's observable semantics — FIFO-per-host fetch
+order under politeness budgets, URL-seen membership, retry/anti caps, paging
+bound, robots filtering, recycle-bin re-drive — single-threaded over the
+fixtures, producing the golden fetch log + URL-seen set the Spark engine
+must reproduce EXACTLY (north_rule invariant).
+
+All policy comes from crawler_spark.plans.policy (shared with the engine);
+URL resolution comes from crawler_spark.functions.urlnorm (the same scalars
+the engine's pandas UDFs wrap).  The simulator is therefore an executable
+spec, not a second implementation of the rules.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from crawler_spark.fixtures import load_tables
+from crawler_spark.functions.urlnorm import prepare_url, url_host, url_path
+from crawler_spark.plans.policy import (
+    MAX_BIN_GENERATIONS,
+    CrawlConfig,
+    child_priority,
+    classify_fetch,
+    is_disallowed,
+    seed_priority,
+    ST_FETCHED,
+)
+
+__all__ = ["SimResult", "simulate"]
+
+
+@dataclass
+class _Entry:
+    wave: int
+    priority: int
+    page_idx: int
+    attempt: int
+    generation: int
+
+
+@dataclass
+class SimResult:
+    fetch_log: list = field(default_factory=list)  # dicts: round, host, rank, url, status, attempt
+    url_seen: set = field(default_factory=set)
+    dead: list = field(default_factory=list)  # dicts: url, reason, generation, round
+    lineage: list = field(default_factory=list)  # per-round counters
+    rounds: int = 0
+
+    def fetched_urls(self) -> list:
+        return [e["url"] for e in self.fetch_log if e["status"] == ST_FETCHED]
+
+    def per_host_fetch_order(self) -> dict:
+        out: dict[str, list] = {}
+        for e in self.fetch_log:
+            if e["status"] == ST_FETCHED:
+                out.setdefault(e["host"], []).append(e["url"])
+        return out
+
+
+def simulate(fix_dir: str, cfg: CrawlConfig | None = None) -> SimResult:
+    cfg = cfg or CrawlConfig()
+    tables = load_tables(fix_dir)
+    pages, robots, seeds = tables["pages"], tables["robots"], tables["seeds"]
+
+    res = SimResult()
+    pending: dict[str, _Entry] = {}
+
+    def admit(url: str, wave: int, priority: int, page_idx: int, generation: int) -> bool:
+        """First-submission-wins membership (U2); returns True if admitted."""
+        if url in res.url_seen:
+            return False
+        host = url_host(url)
+        if host is None:
+            return False
+        rb = robots.get(host)
+        if rb is not None and is_disallowed(url_path(url) or "", rb["disallow_prefixes"]):
+            return False
+        res.url_seen.add(url)
+        pending[url] = _Entry(wave, priority, page_idx, 0, generation)
+        return True
+
+    for idx, s in enumerate(seeds):
+        admit(s["url"], 0, seed_priority(idx), 0, 0)
+
+    rnd = 0
+    while rnd < cfg.max_rounds:
+        if not pending:
+            # recycle-bin re-drive (U1): resubmit retriable dead tasks as the
+            # next generation, ≤ MAX_BIN_GENERATIONS (SavePointPlanner.java:106-126)
+            redrive = [
+                d
+                for d in res.dead
+                if d["reason"] in ("fetch_retries_exhausted", "anti_retries_exhausted")
+                and d["generation"] < MAX_BIN_GENERATIONS
+                and d["url"] not in pending
+                and not d.get("redriven")
+            ]
+            if not redrive:
+                break
+            for d in sorted(redrive, key=lambda d: d["url"]):
+                d["redriven"] = True
+                pending[d["url"]] = _Entry(rnd, child_priority(), 0, 0, d["generation"] + 1)
+        # --- politeness-ranked fetch batch (O1/T4) -------------------------
+        by_host: dict[str, list] = {}
+        for url, e in pending.items():
+            if e.wave > rnd:
+                continue  # admitted for a later wave
+            by_host.setdefault(url_host(url), []).append((e.wave, e.priority, url))
+        batch: list[tuple[str, str, int]] = []  # (host, url, rank)
+        for host in sorted(by_host):
+            rb = robots.get(host)
+            delay = rb["crawl_delay_s"] if rb is not None else None
+            budget = cfg.host_budget(delay)
+            ordered = sorted(by_host[host])
+            for rank, (_, _, url) in enumerate(ordered[:budget], start=1):
+                batch.append((host, url, rank))
+        if not batch:
+            rnd += 1
+            continue
+        # --- fetch + classify (S3/P3/J4) ------------------------------------
+        admitted = {}  # url -> candidate (priority, page_idx, generation)
+        n_fetched = n_failed = n_dead = 0
+        for host, url, rank in batch:
+            e = pending[url]
+            page = pages.get(url)
+            out = classify_fetch(
+                known_page=page is not None,
+                anti_flag=bool(page and page["anti_flag"]),
+                fail_count=int(page["fail_count"]) if page else 0,
+                attempt=e.attempt,
+                cfg=cfg,
+            )
+            res.fetch_log.append(
+                {
+                    "round": rnd,
+                    "host": host,
+                    "rank": rank,
+                    "url": url,
+                    "status": out.status,
+                    "attempt": e.attempt,
+                }
+            )
+            if out.status == ST_FETCHED:
+                n_fetched += 1
+                del pending[url]
+                # frontier expansion: out-links (K6/J2) + paging chain (O3)
+                for href in page["out_links"]:
+                    child = prepare_url(url, href)
+                    cand = (child_priority(), 0, e.generation)
+                    if child not in admitted or cand < admitted[child]:
+                        admitted[child] = cand
+                nxt = page["next_page_url"]
+                if nxt is not None and e.page_idx < cfg.page_down_count:
+                    cand = (e.priority, e.page_idx + 1, e.generation)
+                    if nxt not in admitted or cand < admitted[nxt]:
+                        admitted[nxt] = cand
+            elif out.retry:
+                n_failed += 1
+                e.attempt += 1
+            else:
+                n_dead += 1
+                del pending[url]
+                res.dead.append(
+                    {"url": url, "reason": out.dead_reason, "generation": e.generation, "round": rnd}
+                )
+        n_admitted = 0
+        for child in sorted(admitted):
+            prio, pidx, gen = admitted[child]
+            if admit(child, rnd + 1, prio, pidx, gen):
+                n_admitted += 1
+        res.lineage.append(
+            {
+                "round": rnd,
+                "selected": len(batch),
+                "fetched": n_fetched,
+                "failed": n_failed,
+                "dead": n_dead,
+                "admitted": n_admitted,
+                "frontier_after": len(pending),
+            }
+        )
+        rnd += 1
+    res.rounds = rnd
+    return res

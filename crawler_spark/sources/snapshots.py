@@ -1,0 +1,110 @@
+"""Iceberg-style snapshotted state store over Parquet (SURVEY.md §7).
+
+No Iceberg runtime jars in this container, so we implement the part of its
+contract the engine needs — ATOMIC, RESUMABLE round commits with manifest
+metadata — directly over Parquet:
+
+* each round writes its tables under ``<ckpt>/round=NNNN/<table>/``
+* a ``MANIFEST.json`` is written LAST via tmp-file + ``os.replace`` (atomic
+  on POSIX); a round directory without a manifest is an uncommitted torn
+  write and is ignored + cleaned on resume
+* append-only tables (url_seen, dead_letter, fetch_log, lineage) are stored
+  as per-round DELTAS and unioned on read — the Iceberg manifest-list
+  pattern, so a round's commit cost is O(round output), not O(total state)
+* the mutable frontier is stored in full each round (it is the working set;
+  at 100 TB scale this becomes an Iceberg row-delta table, the layout and
+  commit protocol here are deliberately swap-compatible)
+
+Swap path to real Iceberg: point ``spark.sql.catalog.crawl`` at an Iceberg
+catalog and replace ``commit_round``/``read_*`` with MERGE/snapshot reads;
+the engine only touches this module for state IO.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+MANIFEST = "MANIFEST.json"
+FULL_TABLES = ("frontier",)
+DELTA_TABLES = ("url_seen", "dead_letter", "fetch_log", "lineage")
+
+
+def _round_dir(ckpt_dir: str, rnd: int) -> str:
+    return os.path.join(ckpt_dir, f"round={rnd:05d}")
+
+
+def commit_round(
+    ckpt_dir: str,
+    rnd: int,
+    tables: dict[str, DataFrame],
+    meta: Optional[dict] = None,
+) -> dict:
+    """Write a round's tables, then the manifest (the atomic commit point)."""
+    rdir = _round_dir(ckpt_dir, rnd)
+    if os.path.exists(rdir):
+        shutil.rmtree(rdir)  # torn previous attempt for this round
+    os.makedirs(rdir, exist_ok=True)
+    manifest: dict = {"round": rnd, "tables": {}, "meta": meta or {}}
+    for name, df in tables.items():
+        path = os.path.join(rdir, name)
+        df.write.mode("overwrite").parquet(path)
+        manifest["tables"][name] = {"path": path}
+    tmp = os.path.join(rdir, MANIFEST + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1)
+    os.replace(tmp, os.path.join(rdir, MANIFEST))  # commit
+    return manifest
+
+
+def committed_rounds(ckpt_dir: str) -> list[int]:
+    """Rounds with a valid manifest, ascending; torn dirs are skipped."""
+    if not os.path.isdir(ckpt_dir):
+        return []
+    out = []
+    for d in sorted(os.listdir(ckpt_dir)):
+        if d.startswith("round=") and os.path.exists(os.path.join(ckpt_dir, d, MANIFEST)):
+            out.append(int(d.split("=")[1]))
+    return out
+
+
+def latest_round(ckpt_dir: str) -> Optional[int]:
+    rounds = committed_rounds(ckpt_dir)
+    return rounds[-1] if rounds else None
+
+
+def clean_uncommitted(ckpt_dir: str) -> list[str]:
+    """Drop round dirs lacking a manifest (torn writes from a crash)."""
+    removed = []
+    if not os.path.isdir(ckpt_dir):
+        return removed
+    for d in os.listdir(ckpt_dir):
+        p = os.path.join(ckpt_dir, d)
+        if d.startswith("round=") and not os.path.exists(os.path.join(p, MANIFEST)):
+            shutil.rmtree(p)
+            removed.append(p)
+    return removed
+
+
+def read_full(spark: SparkSession, ckpt_dir: str, name: str, rnd: int) -> DataFrame:
+    return spark.read.parquet(os.path.join(_round_dir(ckpt_dir, rnd), name))
+
+
+def read_deltas(
+    spark: SparkSession, ckpt_dir: str, name: str, upto_round: int
+) -> Optional[DataFrame]:
+    """Union of a delta table across committed rounds ≤ upto_round."""
+    paths = []
+    for r in committed_rounds(ckpt_dir):
+        if r > upto_round:
+            break
+        p = os.path.join(_round_dir(ckpt_dir, r), name)
+        if os.path.exists(p):
+            paths.append(p)
+    if not paths:
+        return None
+    return spark.read.parquet(*paths)

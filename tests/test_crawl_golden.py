@@ -1,0 +1,148 @@
+"""Golden end-to-end: the Spark engine must reproduce the simulator EXACTLY
+(north_rule invariant: fetch ordering + URL-seen membership), plus payload
+and resume equivalence (SURVEY.md §5 items 2/4)."""
+
+import pytest
+
+from crawler_spark.fixtures import generate
+from crawler_spark.plans.policy import CrawlConfig, ST_FETCHED
+from crawler_spark.simulator import simulate
+
+
+@pytest.fixture(scope="module")
+def fix_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("fixtures"))
+    generate(d, n_pages=192, n_hosts=8, seed=42)
+    return d
+
+
+CFG = CrawlConfig(max_rounds=12)
+
+
+@pytest.fixture(scope="module")
+def golden(fix_dir):
+    return simulate(fix_dir, CFG)
+
+
+@pytest.fixture(scope="module")
+def engine_run(spark, fix_dir, tmp_path_factory):
+    from crawler_spark.plans.engine import CrawlEngine
+
+    ckpt = str(tmp_path_factory.mktemp("ckpt"))
+    eng = CrawlEngine(spark, fix_dir, ckpt, CFG)
+    summary = eng.run()
+    return eng, summary
+
+
+def _engine_fetch_tuples(eng):
+    rows = eng.fetch_log().collect()
+    return sorted((r.round, r.host, r.rank, r.url, r.status, r.attempt) for r in rows)
+
+
+def _sim_fetch_tuples(sim):
+    return sorted(
+        (e["round"], e["host"], e["rank"], e["url"], e["status"], e["attempt"])
+        for e in sim.fetch_log
+    )
+
+
+def test_fetch_log_exact_match(engine_run, golden):
+    eng, _ = engine_run
+    assert _engine_fetch_tuples(eng) == _sim_fetch_tuples(golden)
+
+
+def test_url_seen_membership_exact(engine_run, golden):
+    eng, _ = engine_run
+    engine_seen = {r.url for r in eng.url_seen().select("url").collect()}
+    assert engine_seen == golden.url_seen
+
+
+def test_dead_letter_match(engine_run, golden):
+    eng, _ = engine_run
+    engine_dead = sorted(
+        (r.url, r.reason, r.generation, r.round) for r in eng.dead_letter().collect()
+    )
+    sim_dead = sorted((d["url"], d["reason"], d["generation"], d["round"]) for d in golden.dead)
+    assert engine_dead == sim_dead
+
+
+def test_per_host_fifo_order(engine_run, golden):
+    """Fetch ordering per host (the reference's FIFO analog, O1)."""
+    eng, _ = engine_run
+    rows = eng.fetch_log().filter(f"status = '{ST_FETCHED}'").collect()
+    per_host = {}
+    for r in sorted(rows, key=lambda r: (r.round, r.rank)):
+        per_host.setdefault(r.host, []).append(r.url)
+    assert per_host == golden.per_host_fetch_order()
+
+
+def test_lineage_written(engine_run):
+    eng, summary = engine_run
+    lin = eng.lineage().collect()
+    assert len(lin) > 0
+    total_in = sum(r.urls_in for r in lin)
+    assert total_in == summary["selected"]
+    # per-partition granularity with wall-clock metrics
+    assert all(r.wall_ms >= 0 for r in lin)
+
+
+def test_payload_invariants(engine_run):
+    """Decoded-pixel + phash + PSNR gates over every fetched image payload."""
+    eng, _ = engine_run
+    res = eng.verify_payloads().collect()
+    assert len(res) > 0
+    assert all(r.decode_ok and r.shape_ok and r.phash_ok for r in res)
+    # lossless codecs ⇒ PSNR = inf ≥ 40dB
+    assert all(r.psnr_db == float("inf") for r in res)
+
+
+def test_caption_equality(engine_run, spark, fix_dir):
+    """Caption invariant: fetched payload captions equal the fixture captions."""
+    import os
+
+    from crawler_spark.fixtures import make_image
+
+    eng, _ = engine_run
+    images = spark.read.parquet(os.path.join(fix_dir, "images.parquet"))
+    fetched_ids = (
+        eng.fetch_log()
+        .filter(f"status = '{ST_FETCHED}'")
+        .select("url")
+        .distinct()
+        .join(eng.pages.select("url", "image_id"), "url")
+        .select("image_id")
+        .distinct()
+    )
+    rows = fetched_ids.join(images, "image_id").select("image_id", "caption").collect()
+    assert rows
+    for r in rows:
+        i = int(r.image_id[3:])
+        _, _, _, _, caption, _ = make_image(i)
+        assert r.caption == caption
+
+
+def test_resume_equals_straight_run(spark, fix_dir, tmp_path_factory, golden):
+    """T6/T7: interrupt after 3 rounds, resume — identical final state."""
+    from crawler_spark.plans.engine import CrawlEngine
+
+    ckpt = str(tmp_path_factory.mktemp("ckpt_resume"))
+    eng1 = CrawlEngine(spark, fix_dir, ckpt, CrawlConfig(max_rounds=3))
+    eng1.run()
+    eng2 = CrawlEngine(spark, fix_dir, ckpt, CFG)
+    eng2.run(resume=True)
+    assert _engine_fetch_tuples(eng2) == _sim_fetch_tuples(golden)
+    seen = {r.url for r in eng2.url_seen().select("url").collect()}
+    assert seen == golden.url_seen
+
+
+def test_bloom_off_identical(spark, fix_dir, tmp_path_factory, golden):
+    """The bloom fast path only prunes probes — membership must not change."""
+    from crawler_spark.plans.engine import CrawlEngine
+
+    ckpt = str(tmp_path_factory.mktemp("ckpt_nobloom"))
+    eng = CrawlEngine(spark, fix_dir, ckpt, CrawlConfig(max_rounds=6), use_bloom=False)
+    eng.run()
+    sim = simulate(fix_dir, CrawlConfig(max_rounds=6))
+    assert _engine_fetch_tuples(eng) == _sim_fetch_tuples(sim)
+    seen = {r.url for r in eng.url_seen().select("url").collect()}
+    assert seen == sim.url_seen
