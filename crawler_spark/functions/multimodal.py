@@ -1,0 +1,116 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary + metadata.
+
+The Spark-side contract for 100 TB multimodal pipelines:
+
+* payloads are ``binary`` columns with typed metadata beside them
+  (``w/h/fmt`` for images; ``sample_rate/channels`` for audio; ``fps/frames``
+  for video)
+* transforms run as ``mapInPandas`` over Arrow batches — schema in/out is
+  explicit, partitioning carries (modality, fmt) so one batch decodes one
+  codec
+* decode for formats whose codecs exist in-container (PNG/PPM/BMP →
+  crawler_spark.functions.imaging) is REAL; JPEG/audio/video decode is
+  STUBBED behind NotImplementedError with the full plumbing (schema, batch
+  shape, partition discipline) in place and tested.
+
+Feature extraction here is deliberately cheap + deterministic (mean
+channel values, resize by block-mean, frame sampling by stride) — the
+point is the distributed plumbing, not the vision model.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+
+from crawler_spark.functions.imaging import decode_image, phash64
+
+__all__ = [
+    "IMAGE_FEATURE_SCHEMA",
+    "image_features_map_in_pandas",
+    "resize_block_mean",
+    "audio_decode_stub",
+    "video_frame_sample_stub",
+]
+
+IMAGE_FEATURE_SCHEMA = (
+    "image_id string, fmt string, w int, h int, "
+    "mean_r double, mean_g double, mean_b double, phash long, thumb8 binary"
+)
+
+
+def resize_block_mean(arr: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Deterministic downsample by integer block mean (no interpolation lib)."""
+    h, w, c = arr.shape
+    ys = (np.arange(out_h + 1) * h) // out_h
+    xs = (np.arange(out_w + 1) * w) // out_w
+    out = np.empty((out_h, out_w, c), dtype=np.float64)
+    for i in range(out_h):
+        for j in range(out_w):
+            out[i, j] = arr[ys[i] : ys[i + 1], xs[j] : xs[j + 1]].mean(axis=(0, 1))
+    return out.astype(np.uint8)
+
+
+def image_features_map_in_pandas(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+    """mapInPandas body: (image_id, bytes, fmt) → IMAGE_FEATURE_SCHEMA rows.
+
+    Decode → channel means, 64-bit phash, 8×8 RGB thumbnail.  JPEG rows
+    surface fmt='jpeg' with NULL features (stub path) instead of failing the
+    batch — at scale a poisoned row must never kill a 100-partition stage.
+    """
+    import pandas as pd
+
+    for pdf in batches:
+        rows = []
+        for _, r in pdf.iterrows():
+            rec = {
+                "image_id": r["image_id"],
+                "fmt": r["fmt"],
+                "w": None,
+                "h": None,
+                "mean_r": None,
+                "mean_g": None,
+                "mean_b": None,
+                "phash": None,
+                "thumb8": None,
+            }
+            try:
+                arr = decode_image(bytes(r["bytes"]), r["fmt"])
+                m = arr.reshape(-1, 3).mean(axis=0)
+                rec.update(
+                    w=int(arr.shape[1]),
+                    h=int(arr.shape[0]),
+                    mean_r=float(m[0]),
+                    mean_g=float(m[1]),
+                    mean_b=float(m[2]),
+                    phash=phash64(arr),
+                    thumb8=resize_block_mean(arr, 8, 8).tobytes(),
+                )
+            except NotImplementedError:
+                pass  # stubbed codec (jpeg/audio/video): metadata-only row
+            except Exception:
+                pass  # corrupt payload: NULL features, row survives
+            rows.append(rec)
+        yield pd.DataFrame(rows)
+
+
+def audio_decode_stub(data: bytes, fmt: str) -> np.ndarray:
+    """Audio decode placeholder — no audio codec libs in this container.
+
+    Contract when enabled: bytes → float32 (n_samples, channels) in [-1, 1].
+    """
+    raise NotImplementedError(
+        f"audio decode ({fmt}) requires a codec library not present here; "
+        "plumbing contract: binary column + (sample_rate, channels) metadata "
+        "→ mapInPandas batches of float32 sample arrays"
+    )
+
+
+def video_frame_sample_stub(data: bytes, fmt: str, stride: int = 30) -> list[np.ndarray]:
+    """Video frame-sampling placeholder — same plumbing contract as images:
+    one output row per sampled frame, keyed (video_id, frame_idx)."""
+    raise NotImplementedError(
+        f"video decode ({fmt}) requires a codec library not present here; "
+        "enabled implementations must keep the one-row-per-frame contract"
+    )

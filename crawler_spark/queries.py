@@ -1,0 +1,625 @@
+"""Operator-demo query registry: one entry per SURVEY.md §2 operator family.
+
+Each entry pairs a Spark DataFrame builder with an ANSI-SQL twin that DuckDB
+runs over the same parquet tables (the driver's correctness gate,
+__spark_entry__.py).  Conventions that make the value-hash comparison exact:
+
+* every computed column is aliased IDENTICALLY in both versions
+* double aggregations go through DECIMAL(18,4) (the testdata doubles are
+  exact 4-dp values, so the cast is lossless and the sum order-independent)
+  and are cast back to double for a type-stable output
+* hashes are md5 (portable), never engine-specific xxhash
+* top-k queries break ties on a unique key so LIMIT sets are deterministic
+
+Registry shape: ``name -> (spark_fn(spark, sf_dir) -> DataFrame, sql | None)``
+(None ⇒ not SQL-expressible; the driver records a rows-only check).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DEC = "decimal(18,4)"
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _dsum(col: str):
+    """Exact (decimal) sum of a 4-dp double column, returned as double."""
+    return F.sum(F.col(col).cast(DEC)).cast("double")
+
+
+# --------------------------------------------------------------------------
+# §2.1/§2.4 scans + aggregation (A1): TPC-H Q1-style pricing summary
+# --------------------------------------------------------------------------
+
+
+def q01_pricing_summary(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-01")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum("l_quantity").alias("sum_qty"),
+            _dsum("l_extendedprice").alias("sum_base_price"),
+            F.sum(
+                F.col("l_extendedprice").cast(DEC) * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
+            )
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+SQL_Q01 = f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS {DEC})) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS {DEC})) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS {DEC}) * (CAST(1 AS {DEC}) - CAST(l_discount AS {DEC}))) AS DOUBLE) AS sum_disc_price,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --------------------------------------------------------------------------
+# §2.3 J1: broadcast hash join (rule-lookup analog)
+# --------------------------------------------------------------------------
+
+
+def q02_broadcast_join(spark, sf_dir):
+    li, part = t(spark, sf_dir, "lineitem"), t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(
+                F.col("l_extendedprice").cast(DEC) * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+SQL_Q02 = f"""
+SELECT p_brand, COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_extendedprice AS {DEC}) * (CAST(1 AS {DEC}) - CAST(l_discount AS {DEC}))) AS DOUBLE) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
+# --------------------------------------------------------------------------
+# §2.3 J2: equi-join + aggregation (pipeline-lookup analog)
+# --------------------------------------------------------------------------
+
+
+def q03_join_agg(spark, sf_dir):
+    o, c = t(spark, sf_dir, "orders"), t(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_orders"), _dsum("o_totalprice").alias("total"))
+    )
+
+
+SQL_Q03 = f"""
+SELECT c_mktsegment, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS {DEC})) AS DOUBLE) AS total
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+# --------------------------------------------------------------------------
+# §2.3 J3: anti join (await/dedup analog) + J5 left-semi
+# --------------------------------------------------------------------------
+
+
+def q04_anti_join(spark, sf_dir):
+    c, o = t(spark, sf_dir, "customer"), t(spark, sf_dir, "orders")
+    big = o.filter(F.col("o_totalprice") > 300000)
+    return (
+        c.join(big, c.c_custkey == big.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_customers_without_big_orders"))
+    )
+
+
+SQL_Q04 = """
+SELECT c_nationkey, COUNT(*) AS n_customers_without_big_orders
+FROM customer ANTI JOIN (SELECT * FROM orders WHERE o_totalprice > 300000) o
+  ON c_custkey = o_custkey
+GROUP BY c_nationkey
+"""
+
+
+def q05_semi_join(spark, sf_dir):
+    c, o = t(spark, sf_dir, "customer"), t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_active_customers"))
+    )
+
+
+SQL_Q05 = """
+SELECT c_mktsegment, COUNT(*) AS n_active_customers
+FROM customer SEMI JOIN orders ON c_custkey = o_custkey
+GROUP BY c_mktsegment
+"""
+
+
+# --------------------------------------------------------------------------
+# §2.5 O1: window ranking (FIFO/politeness analog) — top-3 orders per customer
+# --------------------------------------------------------------------------
+
+
+def q06_window_topk(spark, sf_dir):
+    from pyspark.sql import Window
+
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+SQL_Q06 = """
+SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders) WHERE rn <= 3
+"""
+
+
+# --------------------------------------------------------------------------
+# §2.5 O2: savepoint slicing (planner.step paging of seeds)
+# --------------------------------------------------------------------------
+
+
+def q07_slice_paging(spark, sf_dir):
+    from pyspark.sql import Window
+
+    o = t(spark, sf_dir, "orders")
+    w = Window.orderBy("o_orderkey")
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") >= 201) & (F.col("rn") <= 400))
+        .select("o_orderkey", "rn", F.floor((F.col("rn") - 1) / 200).alias("story_seq"))
+    )
+
+
+SQL_Q07 = """
+SELECT o_orderkey, rn, CAST(floor((rn - 1) / 200) AS BIGINT) AS story_seq FROM (
+  SELECT o_orderkey, ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn FROM orders)
+WHERE rn BETWEEN 201 AND 400
+"""
+
+
+# --------------------------------------------------------------------------
+# §2.6 U2/U3: union+distinct and except (url-seen / key-clear analogs)
+# --------------------------------------------------------------------------
+
+
+def q08_union_dedup(spark, sf_dir):
+    li, p = t(spark, sf_dir, "lineitem"), t(spark, sf_dir, "part")
+    u = li.select(F.col("l_partkey").alias("k")).unionByName(
+        p.select(F.col("p_partkey").alias("k"))
+    )
+    return u.distinct().agg(
+        F.count("*").alias("n_distinct_keys"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+    )
+
+
+SQL_Q08 = """
+SELECT COUNT(*) AS n_distinct_keys, MIN(k) AS min_k, MAX(k) AS max_k FROM (
+  SELECT l_partkey AS k FROM lineitem UNION SELECT p_partkey AS k FROM part)
+"""
+
+
+def q09_except(spark, sf_dir):
+    li, p = t(spark, sf_dir, "lineitem"), t(spark, sf_dir, "part")
+    recent = li.filter(F.col("l_shipdate") >= "2001-06-01")
+    not_recent = p.select(F.col("p_partkey").alias("k")).exceptAll(
+        recent.select(F.col("l_partkey").alias("k")).distinct()
+    )
+    return (
+        not_recent.join(p, F.col("k") == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n_not_recently_shipped"))
+    )
+
+
+SQL_Q09 = """
+SELECT p_brand, COUNT(*) AS n_not_recently_shipped FROM (
+  SELECT p_partkey AS k FROM part
+  EXCEPT ALL
+  SELECT DISTINCT l_partkey AS k FROM lineitem WHERE l_shipdate >= TIMESTAMP '2001-06-01') nk
+JOIN part ON nk.k = p_partkey
+GROUP BY p_brand
+"""
+
+
+# --------------------------------------------------------------------------
+# §2.4 A2: counter aggregation with cap filter (retry-counter analog)
+# --------------------------------------------------------------------------
+
+
+def q10_group_having(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id")
+        .agg(F.count("*").alias("n_events"), _dsum("value").alias("sum_value"))
+        .filter(F.col("n_events") >= 20)
+    )
+
+
+SQL_Q10 = f"""
+SELECT user_id, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS {DEC})) AS DOUBLE) AS sum_value
+FROM events GROUP BY user_id HAVING COUNT(*) >= 20
+"""
+
+
+# --------------------------------------------------------------------------
+# §2.7 F1/F2/F5: URL construction + parsing (parse_url / str_to_map family)
+# --------------------------------------------------------------------------
+
+
+def _synth_url():
+    return F.concat(
+        F.lit("http://h"),
+        (F.col("o_custkey") % 20).cast("string"),
+        F.lit(".example.com/o/"),
+        F.col("o_orderkey").cast("string"),
+        F.lit("?p="),
+        (F.col("o_orderkey") % 7).cast("string"),
+        F.lit("&q="),
+        (F.col("o_custkey") % 3).cast("string"),
+    )
+
+
+def q11_url_parse(spark, sf_dir):
+    o = t(spark, sf_dir, "orders").withColumn("url", _synth_url())
+    return (
+        o.withColumn("host", F.parse_url(F.col("url"), F.lit("HOST")))
+        .withColumn("p", F.parse_url(F.col("url"), F.lit("QUERY"), F.lit("p")))
+        .groupBy("host")
+        .agg(F.count("*").alias("n_urls"), F.countDistinct("p").alias("n_p_values"))
+    )
+
+
+SQL_Q11 = """
+SELECT regexp_extract(url, '^http://([^/]+)', 1) AS host,
+       COUNT(*) AS n_urls,
+       COUNT(DISTINCT regexp_extract(url, '[?&]p=([^&]*)', 1)) AS n_p_values
+FROM (
+  SELECT 'http://h' || CAST(o_custkey % 20 AS VARCHAR) || '.example.com/o/' ||
+         CAST(o_orderkey AS VARCHAR) || '?p=' || CAST(o_orderkey % 7 AS VARCHAR) ||
+         '&q=' || CAST(o_custkey % 3 AS VARCHAR) AS url
+  FROM orders)
+GROUP BY host
+"""
+
+
+# --------------------------------------------------------------------------
+# §2.8 T-family: tumbling-window rollup (round/batch semantics analog)
+# --------------------------------------------------------------------------
+
+
+def q12_hourly_rollup(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    return (
+        e.withColumn("hour", F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss"))
+        .groupBy("hour", "event_type")
+        .agg(F.count("*").alias("n"), _dsum("value").alias("sum_value"))
+    )
+
+
+SQL_Q12 = f"""
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+       COUNT(*) AS n, CAST(SUM(CAST(value AS {DEC})) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# Text analysis (training-data ops): language stats, quality, fingerprints
+# --------------------------------------------------------------------------
+
+
+def q13_lang_stats(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("n_chars").cast("double") / F.count("*")).alias("avg_chars"),
+        (F.sum(F.size(F.split(F.col("text"), " "))).cast("double") / F.count("*")).alias(
+            "avg_tokens"
+        ),
+    )
+
+
+SQL_Q13 = """
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+       CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*) AS avg_tokens
+FROM documents GROUP BY lang
+"""
+
+_STOPS = ("a", "the", "and", "of", "to", "in", "is", "it")
+
+
+def q14_quality_score(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_tok = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda x: x.isin(*_STOPS)))
+    ratio = n_stop.cast("double") / n_tok.cast("double")
+    return d.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        ratio.alias("stop_ratio"),
+        ((n_tok >= 20) & (n_tok <= 1000) & (ratio < 0.5)).alias("is_quality"),
+    )
+
+
+SQL_Q14 = """
+SELECT doc_id,
+       len(string_split(text,' ')) AS n_tokens,
+       CAST(len(list_filter(string_split(text,' '), x -> x IN ('a','the','and','of','to','in','is','it'))) AS DOUBLE)
+         / len(string_split(text,' ')) AS stop_ratio,
+       (len(string_split(text,' ')) BETWEEN 20 AND 1000)
+         AND (CAST(len(list_filter(string_split(text,' '), x -> x IN ('a','the','and','of','to','in','is','it'))) AS DOUBLE)
+              / len(string_split(text,' ')) < 0.5) AS is_quality
+FROM documents
+"""
+
+
+def q15_dedup_exact(spark, sf_dir):
+    from crawler_spark.operators.dedup_text import exact_dup_stats
+
+    return exact_dup_stats(t(spark, sf_dir, "documents"))
+
+
+SQL_Q15 = """
+SELECT COUNT(*) AS n_rows, COUNT(DISTINCT md5(text)) AS n_unique,
+       COUNT(*) - COUNT(DISTINCT md5(text)) AS n_dupes
+FROM documents
+"""
+
+
+def q16_fingerprint(spark, sf_dir):
+    from crawler_spark.functions.textops import fingerprint
+
+    return t(spark, sf_dir, "documents").select(
+        "doc_id", fingerprint(F.col("text")).alias("fp")
+    )
+
+
+SQL_Q16 = "SELECT doc_id, substr(md5(text), 1, 16) AS fp FROM documents"
+
+
+# --------------------------------------------------------------------------
+# MinHash+LSH near-dup candidates (dedup family flagship)
+# --------------------------------------------------------------------------
+
+
+def q17_minhash_lsh(spark, sf_dir):
+    from crawler_spark.operators.dedup_text import lsh_candidate_pairs
+
+    return lsh_candidate_pairs(t(spark, sf_dir, "documents"), k=6, bands=3)
+
+
+SQL_Q17 = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE len(string_split(text,' ')) >= 3
+), sh AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, len(w)-2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS shingles
+  FROM toks
+), mh AS (
+  SELECT doc_id,
+         list_transform(generate_series(0, 5),
+             j -> list_aggregate(list_transform(shingles, s -> md5(j::VARCHAR || ':' || s)), 'min')) AS sig
+  FROM sh
+), bands AS (
+  SELECT doc_id, b, md5(sig[2*b+1] || '|' || sig[2*b+2]) AS band_key
+  FROM mh, generate_series(0, 2) AS t(b)
+)
+SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+FROM bands a JOIN bands c ON a.band_key = c.band_key AND a.b = c.b AND a.doc_id < c.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard verification over LSH candidates
+# --------------------------------------------------------------------------
+
+
+def q18_jaccard_verify(spark, sf_dir):
+    from crawler_spark.operators.dedup_text import lsh_candidate_pairs, ngram_jaccard_pairs
+
+    d = t(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(d, k=6, bands=3)
+    out = ngram_jaccard_pairs(d, pairs, threshold=0.0)
+    return out.select("doc_a", "doc_b", F.round(F.col("jaccard"), 6).alias("jaccard"))
+
+
+SQL_Q18 = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE len(string_split(text,' ')) >= 3
+), sh AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, len(w)-2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS shingles
+  FROM toks
+), mh AS (
+  SELECT doc_id,
+         list_transform(generate_series(0, 5),
+             j -> list_aggregate(list_transform(shingles, s -> md5(j::VARCHAR || ':' || s)), 'min')) AS sig
+  FROM sh
+), bands AS (
+  SELECT doc_id, b, md5(sig[2*b+1] || '|' || sig[2*b+2]) AS band_key
+  FROM mh, generate_series(0, 2) AS t(b)
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+  FROM bands a JOIN bands c ON a.band_key = c.band_key AND a.b = c.b AND a.doc_id < c.doc_id
+), dsh AS (
+  SELECT doc_id, list_distinct(shingles) AS sh FROM sh
+)
+SELECT p.doc_a, p.doc_b,
+       round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+             / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))), 6) AS jaccard
+FROM pairs p JOIN dsh x ON p.doc_a = x.doc_id JOIN dsh y ON p.doc_b = y.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Embedding similarity: brute-force cosine top-k (+ LSH ANN, rows-only)
+# --------------------------------------------------------------------------
+
+
+def _query_vec(spark, sf_dir):
+    row = (
+        t(spark, sf_dir, "embeddings").filter(F.col("vec_id") == 0).select("embedding").head()
+    )
+    return [float(x) for x in row[0]]
+
+
+def q19_ann_topk(spark, sf_dir):
+    from crawler_spark.operators.similarity import brute_force_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    out = brute_force_topk(emb, _query_vec(spark, sf_dir), k=10)
+    return out.select("vec_id", F.round(F.col("cos"), 6).alias("cos"))
+
+
+SQL_Q19 = """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+s AS (
+  SELECT vec_id,
+         list_sum(list_transform(generate_series(1, len(embedding)),
+                  i -> CAST(embedding[i] AS DOUBLE) * qe[i])) /
+         (sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) *
+          sqrt(list_sum(list_transform(qe, x -> x * x)))) AS cos_raw
+  FROM embeddings, q)
+SELECT vec_id, round(cos_raw, 6) AS cos
+FROM s ORDER BY cos_raw DESC, vec_id LIMIT 10
+"""
+
+
+def q20_ann_lsh(spark, sf_dir):
+    """LSH-bucketed ANN (recall<1 ⇒ not SQL-expressible; rows-only check)."""
+    from crawler_spark.operators.similarity import lsh_ann_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    q = _query_vec(spark, sf_dir)
+    out = lsh_ann_topk(emb, q, dim=len(q), k=10, bits=6)
+    return out.select("vec_id", F.round(F.col("cos"), 6).alias("cos"))
+
+
+def q21_simhash(spark, sf_dir):
+    """64-bit simhash per doc (xxhash64-based ⇒ no DuckDB twin; rows-only)."""
+    from crawler_spark.operators.dedup_text import simhash64
+
+    return simhash64(t(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# §2.5 O1 flagship: politeness-ranked frontier (the engine's core operator)
+# --------------------------------------------------------------------------
+
+
+def q22_frontier_rank(spark, sf_dir):
+    from crawler_spark.operators.politeness import select_fetch_batch
+    from crawler_spark.plans.policy import CrawlConfig
+
+    o = t(spark, sf_dir, "orders").withColumn("url", _synth_url())
+    frontier = o.select(
+        "url",
+        F.parse_url(F.col("url"), F.lit("HOST")).alias("host"),
+        F.lit(0).alias("wave"),
+        F.col("o_orderkey").alias("priority"),
+    )
+    robots = frontier.select("host").distinct().withColumn("crawl_delay_s", F.lit(1.0))
+    batch = select_fetch_batch(frontier, robots, CrawlConfig(round_seconds=8.0))
+    return batch.select("host", "rank", "url")
+
+
+SQL_Q22 = """
+WITH f AS (
+  SELECT 'http://h' || CAST(o_custkey % 20 AS VARCHAR) || '.example.com/o/' ||
+         CAST(o_orderkey AS VARCHAR) || '?p=' || CAST(o_orderkey % 7 AS VARCHAR) ||
+         '&q=' || CAST(o_custkey % 3 AS VARCHAR) AS url,
+         'h' || CAST(o_custkey % 20 AS VARCHAR) || '.example.com' AS host,
+         0 AS wave, o_orderkey AS priority
+  FROM orders)
+SELECT host, rank, url FROM (
+  SELECT host, url, ROW_NUMBER() OVER (PARTITION BY host ORDER BY wave, priority, url) AS rank
+  FROM f) WHERE rank <= 8
+"""
+
+
+# --------------------------------------------------------------------------
+# Binary/multimodal plumbing demo over driver tables (real path: fixtures)
+# --------------------------------------------------------------------------
+
+
+def q23_binary_meta(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.octet_length(F.col("text")).alias("n_bytes"),
+        F.length(F.col("text")).alias("n_codepoints"),
+    )
+
+
+SQL_Q23 = """
+SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes, length(text) AS n_codepoints
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "q01_pricing_summary": (q01_pricing_summary, SQL_Q01),
+    "q02_broadcast_join": (q02_broadcast_join, SQL_Q02),
+    "q03_join_agg": (q03_join_agg, SQL_Q03),
+    "q04_anti_join": (q04_anti_join, SQL_Q04),
+    "q05_semi_join": (q05_semi_join, SQL_Q05),
+    "q06_window_topk": (q06_window_topk, SQL_Q06),
+    "q07_slice_paging": (q07_slice_paging, SQL_Q07),
+    "q08_union_dedup": (q08_union_dedup, SQL_Q08),
+    "q09_except": (q09_except, SQL_Q09),
+    "q10_group_having": (q10_group_having, SQL_Q10),
+    "q11_url_parse": (q11_url_parse, SQL_Q11),
+    "q12_hourly_rollup": (q12_hourly_rollup, SQL_Q12),
+    "q13_lang_stats": (q13_lang_stats, SQL_Q13),
+    "q14_quality_score": (q14_quality_score, SQL_Q14),
+    "q15_dedup_exact": (q15_dedup_exact, SQL_Q15),
+    "q16_fingerprint": (q16_fingerprint, SQL_Q16),
+    "q17_minhash_lsh": (q17_minhash_lsh, SQL_Q17),
+    "q18_jaccard_verify": (q18_jaccard_verify, SQL_Q18),
+    "q19_ann_topk": (q19_ann_topk, SQL_Q19),
+    "q20_ann_lsh": (q20_ann_lsh, None),
+    "q21_simhash": (q21_simhash, None),
+    "q22_frontier_rank": (q22_frontier_rank, SQL_Q22),
+    "q23_binary_meta": (q23_binary_meta, SQL_Q23),
+}

@@ -1,0 +1,93 @@
+"""Mimic the driver's correctness gate: run every REGISTRY query in Spark
+AND its DuckDB oracle on the same parquet, compare row-count + (sorted-column)
+values order-insensitively (SURVEY.md §5 item 3).
+
+Runs at sf0.001 for speed; the driver runs sf0.01 — the logic is scale-free.
+"""
+
+import math
+import os
+
+import duckdb
+import pytest
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return con
+
+
+def _normalize(rows, cols):
+    """Sort columns by name, stringify values with float tolerance-rounding."""
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+
+    def norm(v):
+        if isinstance(v, bool):
+            return str(v).lower()
+        if isinstance(v, float):
+            if math.isnan(v):
+                return "nan"
+            return f"{v:.9g}"
+        return str(v)
+
+    return sorted(tuple(norm(r[i]) for i in order) for r in rows)
+
+
+def _spark_result(spark, fn):
+    df = fn(spark, SF_DIR)
+    cols = df.columns
+    rows = [tuple(r) for r in df.collect()]
+    return rows, cols
+
+
+def _duck_result(ddb, sql):
+    rel = ddb.sql(sql)
+    return rel.fetchall(), list(rel.columns)
+
+
+def all_query_names():
+    from crawler_spark.queries import REGISTRY
+
+    return [(n, bool(sql)) for n, (_f, sql) in REGISTRY.items()]
+
+
+@pytest.mark.parametrize("name", [n for n, has_sql in all_query_names() if has_sql])
+def test_query_matches_oracle(spark, ddb, name):
+    from crawler_spark.queries import REGISTRY
+
+    fn, sql = REGISTRY[name]
+    s_rows, s_cols = _spark_result(spark, fn)
+    d_rows, d_cols = _duck_result(ddb, sql)
+    assert sorted(s_cols) == sorted(d_cols), f"{name}: column names differ"
+    assert len(s_rows) == len(d_rows), f"{name}: row count {len(s_rows)} vs {len(d_rows)}"
+    assert _normalize(s_rows, s_cols) == _normalize(d_rows, d_cols), f"{name}: values differ"
+
+
+@pytest.mark.parametrize("name", [n for n, has_sql in all_query_names() if not has_sql])
+def test_rows_only_queries_run(spark, name):
+    from crawler_spark.queries import REGISTRY
+
+    fn, _ = REGISTRY[name]
+    df = fn(spark, SF_DIR)
+    assert df.count() >= 0
+    assert len(df.columns) > 0
+
+
+def test_entry_contract(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+    q = e.queries()
+    o = e.oracle_sql()
+    assert set(o) <= set(q)
+    assert len(q) >= 20
