@@ -1,0 +1,118 @@
+#!/usr/bin/env python
+"""Per-round benchmark (driver contract): headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` (default 32), plus the engine's own headline —
+frontier crawl throughput on a cached synthetic web (fetch + canonicalize +
+dedup + snapshot commit, plans/engine.py).
+
+Prints ONE JSON line:
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ...,
+     "frontier_urls_per_sec": ..., ...}
+
+Scaling evidence (local[8] vs local[32], BASELINE.md) is produced separately
+by scripts/scaling_bench.py — it needs fresh JVMs per parallelism level, which
+a single-session bench cannot provide.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
+
+# crawl-throughput micro-bench shape (kept small: this runs every round)
+CRAWL_PAGES = 8192
+CRAWL_HOSTS = 64
+CRAWL_ROUNDS = 4
+
+
+def _sf_of(path: str) -> float:
+    base = os.path.basename(path.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def _materialize(df) -> None:
+    # noop sink: full execution incl. Python/pandas UDFs, zero collect cost
+    df.write.format("noop").mode("overwrite").save()
+
+
+def bench_queries(spark) -> dict[str, float]:
+    from crawler_spark.queries import REGISTRY
+
+    timings: dict[str, float] = {}
+    for name, (fn, _sql) in REGISTRY.items():
+        t0 = time.time()
+        _materialize(fn(spark, SF_DIR))
+        timings[name] = round(time.time() - t0, 3)
+    return timings
+
+
+def bench_crawl(spark) -> dict:
+    from crawler_spark.fixtures import ensure_cached
+    from crawler_spark.plans.engine import CrawlEngine
+    from crawler_spark.plans.policy import CrawlConfig
+
+    fix = ensure_cached(CACHE, CRAWL_PAGES, CRAWL_HOSTS)
+    ckpt = os.path.join(CACHE, "bench_ckpt")
+    if os.path.isdir(ckpt):
+        shutil.rmtree(ckpt)
+    cfg = CrawlConfig(round_seconds=64.0, max_burst_per_host=4096, max_rounds=CRAWL_ROUNDS)
+    eng = CrawlEngine(spark, fix, ckpt, cfg=cfg)
+    eng.pages.count()  # cache warm-up outside the measured span
+    t0 = time.time()
+    summary = eng.run()
+    wall = time.time() - t0
+    return {
+        "frontier_urls_per_sec": round(summary["selected"] / wall, 2),
+        "frontier_wall_s": round(wall, 2),
+        "frontier_selected": summary["selected"],
+        "frontier_rounds": summary["rounds"],
+    }
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("crawler-spark-bench")
+        .config("spark.sql.shuffle.partitions", str(max(32, CPUS)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", "12g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings = bench_queries(spark)
+    crawl = bench_crawl(spark)
+    spark.stop()
+
+    out = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_of(SF_DIR),
+        "cpus": CPUS,
+        **crawl,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

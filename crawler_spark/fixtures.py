@@ -187,6 +187,20 @@ def generate(out_dir: str, n_pages: int = 512, n_hosts: int = 16, seed: int = 42
     }
 
 
+def ensure_cached(root: str, n_pages: int, n_hosts: int, seed: int = 42) -> str:
+    """Generate-once fixture cache keyed by parameters (bench reuse).
+
+    A ``_DONE`` marker written last makes partial generations self-healing.
+    """
+    d = os.path.join(root, f"fix_p{n_pages}_h{n_hosts}_s{seed}")
+    marker = os.path.join(d, "_DONE")
+    if not os.path.exists(marker):
+        generate(d, n_pages=n_pages, n_hosts=n_hosts, seed=seed)
+        with open(marker, "w") as f:
+            f.write("ok\n")
+    return d
+
+
 def load_tables(fix_dir: str) -> dict:
     """Load fixtures into plain-Python structures for the simulator."""
     pages_t = pq.read_table(os.path.join(fix_dir, "pages.parquet")).to_pylist()

@@ -1,0 +1,140 @@
+#!/usr/bin/env python
+"""spark-submit entry point for the frontier crawl job (BASELINE.json north_rule).
+
+Launch (cluster):
+
+    spark-submit --master <url> --py-files crawler_spark.zip \
+        scripts/crawl_job.py --fixtures FIX --ckpt CKPT [--rounds K]
+
+Launch (sandbox stand-in for an N-executor cluster — the driver instruction
+maps "N vs 4N executors" onto two local parallelism levels):
+
+    python scripts/crawl_job.py --cpus 8  --fixtures FIX --ckpt CKPT
+    python scripts/crawl_job.py --cpus 32 --fixtures FIX --ckpt CKPT
+
+Prints ONE JSON line with the headline metric — URLs fetched+deduped per
+second over the synthetic frontier — plus its components, so
+scripts/scaling_bench.py can compute N→4N scaling efficiency.
+
+The measured span covers the full per-round dataflow of plans/engine.py
+(politeness-ranked batch selection, fetch-join classification, out-link
+expansion + prepare_url canonicalization, bloom+anti-join dedup, snapshot
+commit with per-partition lineage) and, with --verify-payloads, the
+image-decode invariant pass (PSNR/phash) over every fetched URL.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
+
+
+def build_spark(cpus: int | None, shuffle_partitions: int | None):
+    from pyspark.sql import SparkSession
+
+    b = (
+        SparkSession.builder.appName("crawler-spark-crawl-job")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g"))
+    )
+    if cpus is not None:  # plain-python launch; spark-submit passes --master itself
+        b = b.master(f"local[{cpus}]")
+    if shuffle_partitions is not None:
+        b = b.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    return b.getOrCreate()
+
+
+def run(args) -> dict:
+    from pyspark.sql import functions as F
+
+    from crawler_spark.plans.engine import CrawlEngine
+    from crawler_spark.plans.policy import CrawlConfig
+    from crawler_spark.plans import policy as P
+
+    cpus = args.cpus
+    spark = build_spark(cpus, args.shuffle_partitions or (2 * cpus if cpus else None))
+    parallelism = spark.sparkContext.defaultParallelism
+
+    cfg = CrawlConfig(
+        round_seconds=args.round_seconds,
+        max_burst_per_host=args.burst,
+        max_rounds=args.rounds,
+    )
+    if os.path.isdir(args.ckpt) and not args.resume:
+        shutil.rmtree(args.ckpt)
+    eng = CrawlEngine(spark, args.fixtures, args.ckpt, cfg=cfg, use_bloom=not args.no_bloom)
+
+    # warm the JVM + page-table cache outside the measured span so the
+    # throughput number reflects steady-state rounds, not session startup
+    eng.pages.count()
+    eng.robots.count()
+
+    t0 = time.time()
+    summary = eng.run(resume=args.resume)
+    n_payload = 0
+    payload_ok = None
+    if args.verify_payloads:
+        chk = eng.verify_payloads().persist()
+        n_payload = chk.count()
+        bad = chk.filter(
+            ~(F.col("decode_ok") & F.col("shape_ok") & F.col("phash_ok"))
+            | (F.col("psnr_db") < 40.0)
+        ).count()
+        payload_ok = bad == 0
+        chk.unpersist()
+    wall = time.time() - t0
+
+    processed = summary["selected"]  # every selected URL is fetched + its
+    # discovered links canonicalized and deduped inside the measured span
+    out = {
+        "metric": "frontier_urls_per_sec",
+        "value": round(processed / wall, 2),
+        "unit": "urls/sec",
+        "wall_s": round(wall, 2),
+        "parallelism": parallelism,
+        "rounds": summary["rounds"],
+        "selected": summary["selected"],
+        "fetched": summary["fetched"],
+        "url_seen": summary.get("url_seen"),
+        "dead": summary["dead"],
+        "payload_checked": n_payload,
+        "payload_ok": payload_ok,
+        "fixtures": args.fixtures,
+    }
+    spark.stop()
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--fixtures", required=True)
+    ap.add_argument("--ckpt", required=True)
+    ap.add_argument("--cpus", type=int, default=None, help="local[N]; omit under spark-submit")
+    ap.add_argument("--shuffle-partitions", type=int, default=None)
+    ap.add_argument("--rounds", type=int, default=6)
+    ap.add_argument("--round-seconds", type=float, default=64.0)
+    ap.add_argument("--burst", type=int, default=4096)
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--no-bloom", action="store_true")
+    ap.add_argument("--verify-payloads", action="store_true")
+    ap.add_argument("--json-out", default=None)
+    args = ap.parse_args()
+    out = run(args)
+    line = json.dumps(out)
+    print(line)
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            f.write(line + "\n")
+
+
+if __name__ == "__main__":
+    main()
