@@ -92,6 +92,8 @@ def main() -> None:
         .config("spark.sql.shuffle.partitions", str(max(32, CPUS)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.files.maxPartitionBytes", "33554432")
+        .config("spark.sql.parquet.columnarReaderBatchSize", "256")
         .config("spark.driver.memory", "12g")
         .config("spark.ui.enabled", "false")
         .getOrCreate()

@@ -56,18 +56,55 @@ def zipf_hosts(n_pages: int, n_hosts: int, seed: int) -> np.ndarray:
     return rng.choice(n_hosts, size=n_pages, p=p)
 
 
-def make_image(i: int) -> tuple[bytes, int, int, str, str, int]:
-    w, h, fmt = _W[i % 3], _H[i % 3], _FMTS[i % 3]
+def make_image(i: int, px: list[int] | None = None) -> tuple[bytes, int, int, str, str, int]:
+    """Deterministic image row for page i; ``px`` overrides the edge sizes
+    (square images) for larger-payload bench fixtures — captions and formats
+    stay the same function of i either way."""
+    if px is None:
+        w, h = _W[i % 3], _H[i % 3]
+    else:
+        w = h = px[i % len(px)]
+    fmt = _FMTS[i % 3]
     rng = np.random.default_rng(i)
     arr = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
     caption = f"caption {i}: {_ADJ[i % 7]} {_NOUN[i % 11]} on {_COLOR[i % 5]}"
     return encode_image(arr, fmt), w, h, fmt, caption, phash64(arr)
 
 
-def out_links_of(i: int, n_pages: int, host_z: np.ndarray) -> list[str]:
+def _image_table(lo: int, hi: int, px: list[int] | None) -> pa.Table:
+    cols = {k: [] for k in ("image_id", "bytes", "w", "h", "fmt", "caption", "phash")}
+    for i in range(lo, hi):
+        b, w, h, fmt, caption, ph = make_image(i, px)
+        cols["image_id"].append(f"img{i:010d}")
+        cols["bytes"].append(b)
+        cols["w"].append(w)
+        cols["h"].append(h)
+        cols["fmt"].append(fmt)
+        cols["caption"].append(caption)
+        cols["phash"].append(ph)
+    return pa.table(
+        {
+            "image_id": pa.array(cols["image_id"], pa.string()),
+            "bytes": pa.array(cols["bytes"], pa.binary()),
+            "w": pa.array(cols["w"], pa.int32()),
+            "h": pa.array(cols["h"], pa.int32()),
+            "fmt": pa.array(cols["fmt"], pa.string()),
+            "caption": pa.array(cols["caption"], pa.string()),
+            "phash": pa.array(cols["phash"], pa.int64()),
+        }
+    )
+
+
+def _write_image_shard(job: tuple[str, int, int, list[int] | None]) -> str:
+    path, lo, hi, px = job
+    pq.write_table(_image_table(lo, hi, px), path, row_group_size=2048)
+    return path
+
+
+def out_links_of(i: int, n_pages: int, host_z: np.ndarray, max_links: int = 4) -> list[str]:
     """Deterministic hrefs; j alternates absolute / protocol-relative forms."""
     links = []
-    for j in range(i % 4):
+    for j in range(i % max_links):
         t = (i * LINK_MULT + j) % n_pages
         tz = int(host_z[t])
         if j % 2 == 0:
@@ -79,34 +116,43 @@ def out_links_of(i: int, n_pages: int, host_z: np.ndarray) -> list[str]:
     return links
 
 
-def generate(out_dir: str, n_pages: int = 512, n_hosts: int = 16, seed: int = 42) -> dict:
-    """Write images/pages/seeds/robots parquet under out_dir; return paths."""
+def generate(
+    out_dir: str,
+    n_pages: int = 512,
+    n_hosts: int = 16,
+    seed: int = 42,
+    n_seeds: int | None = None,
+    img_px: list[int] | None = None,
+    image_shards: int = 1,
+    max_links: int = 4,
+) -> dict:
+    """Write images/pages/seeds/robots parquet under out_dir; return paths.
+
+    ``image_shards > 1`` writes the payload table as a directory of part
+    files (generated in parallel) — the realistic many-files layout that
+    also gives Spark scan splits ≥ shards.  ``img_px``/``n_seeds`` scale the
+    payload weight and the wave-0 frontier for bench fixtures."""
     os.makedirs(out_dir, exist_ok=True)
     host_z = zipf_hosts(n_pages, n_hosts, seed)
 
     # --- images ------------------------------------------------------------
-    img_rows = {k: [] for k in ("image_id", "bytes", "w", "h", "fmt", "caption", "phash")}
-    for i in range(n_pages):
-        b, w, h, fmt, caption, ph = make_image(i)
-        img_rows["image_id"].append(f"img{i:010d}")
-        img_rows["bytes"].append(b)
-        img_rows["w"].append(w)
-        img_rows["h"].append(h)
-        img_rows["fmt"].append(fmt)
-        img_rows["caption"].append(caption)
-        img_rows["phash"].append(ph)
-    images = pa.table(
-        {
-            "image_id": pa.array(img_rows["image_id"], pa.string()),
-            "bytes": pa.array(img_rows["bytes"], pa.binary()),
-            "w": pa.array(img_rows["w"], pa.int32()),
-            "h": pa.array(img_rows["h"], pa.int32()),
-            "fmt": pa.array(img_rows["fmt"], pa.string()),
-            "caption": pa.array(img_rows["caption"], pa.string()),
-            "phash": pa.array(img_rows["phash"], pa.int64()),
-        }
-    )
-    pq.write_table(images, os.path.join(out_dir, "images.parquet"))
+    img_path = os.path.join(out_dir, "images.parquet")
+    if image_shards <= 1:
+        pq.write_table(_image_table(0, n_pages, img_px), img_path)
+    else:
+        from concurrent.futures import ProcessPoolExecutor
+
+        if os.path.exists(img_path) and not os.path.isdir(img_path):
+            os.remove(img_path)
+        os.makedirs(img_path, exist_ok=True)
+        step = (n_pages + image_shards - 1) // image_shards
+        jobs = [
+            (os.path.join(img_path, f"part-{s:05d}.parquet"), s * step, min(n_pages, (s + 1) * step), img_px)
+            for s in range(image_shards)
+            if s * step < n_pages
+        ]
+        with ProcessPoolExecutor(max_workers=min(16, len(jobs))) as ex:
+            list(ex.map(_write_image_shard, jobs))
 
     # --- pages (base + ?page= chain rows) -----------------------------------
     urls, image_ids, out_links, next_urls, antis, fails = [], [], [], [], [], []
@@ -125,7 +171,7 @@ def generate(out_dir: str, n_pages: int = 512, n_hosts: int = 16, seed: int = 42
         add(
             base,
             f"img{i:010d}",
-            out_links_of(i, n_pages, host_z),
+            out_links_of(i, n_pages, host_z, max_links),
             f"{base}?page=1" if has_chain else None,
             i % 97 == 0,
             2 if i % 101 == 0 else 0,
@@ -153,7 +199,8 @@ def generate(out_dir: str, n_pages: int = 512, n_hosts: int = 16, seed: int = 42
     pq.write_table(pages, os.path.join(out_dir, "pages.parquet"))
 
     # --- seeds ---------------------------------------------------------------
-    n_seeds = max(8, n_pages // 16)
+    if n_seeds is None:
+        n_seeds = max(8, n_pages // 16)
     seeds = pa.table(
         {
             "seed_id": pa.array([str(i) for i in range(n_seeds)], pa.string()),
@@ -187,15 +234,42 @@ def generate(out_dir: str, n_pages: int = 512, n_hosts: int = 16, seed: int = 42
     }
 
 
-def ensure_cached(root: str, n_pages: int, n_hosts: int, seed: int = 42) -> str:
+def ensure_cached(
+    root: str,
+    n_pages: int,
+    n_hosts: int,
+    seed: int = 42,
+    n_seeds: int | None = None,
+    img_px: list[int] | None = None,
+    image_shards: int = 1,
+    max_links: int = 4,
+) -> str:
     """Generate-once fixture cache keyed by parameters (bench reuse).
 
     A ``_DONE`` marker written last makes partial generations self-healing.
     """
-    d = os.path.join(root, f"fix_p{n_pages}_h{n_hosts}_s{seed}")
+    tag = f"fix_p{n_pages}_h{n_hosts}_s{seed}"
+    if n_seeds is not None:
+        tag += f"_sd{n_seeds}"
+    if img_px is not None:
+        tag += "_px" + "-".join(str(p) for p in img_px)
+    if image_shards > 1:
+        tag += f"_sh{image_shards}"
+    if max_links != 4:
+        tag += f"_ml{max_links}"
+    d = os.path.join(root, tag)
     marker = os.path.join(d, "_DONE")
     if not os.path.exists(marker):
-        generate(d, n_pages=n_pages, n_hosts=n_hosts, seed=seed)
+        generate(
+            d,
+            n_pages=n_pages,
+            n_hosts=n_hosts,
+            seed=seed,
+            n_seeds=n_seeds,
+            img_px=img_px,
+            image_shards=image_shards,
+            max_links=max_links,
+        )
         with open(marker, "w") as f:
             f.write("ok\n")
     return d

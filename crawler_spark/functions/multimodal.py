@@ -63,10 +63,12 @@ def image_features_map_in_pandas(batches: Iterator["pd.DataFrame"]) -> Iterator[
 
     for pdf in batches:
         rows = []
-        for _, r in pdf.iterrows():
+        for image_id, raw, fmt in zip(
+            pdf["image_id"].to_numpy(), pdf["bytes"].to_numpy(), pdf["fmt"].to_numpy()
+        ):
             rec = {
-                "image_id": r["image_id"],
-                "fmt": r["fmt"],
+                "image_id": image_id,
+                "fmt": fmt,
                 "w": None,
                 "h": None,
                 "mean_r": None,
@@ -76,7 +78,7 @@ def image_features_map_in_pandas(batches: Iterator["pd.DataFrame"]) -> Iterator[
                 "thumb8": None,
             }
             try:
-                arr = decode_image(bytes(r["bytes"]), r["fmt"])
+                arr = decode_image(bytes(raw), fmt)
                 m = arr.reshape(-1, 3).mean(axis=0)
                 rec.update(
                     w=int(arr.shape[1]),

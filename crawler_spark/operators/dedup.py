@@ -32,9 +32,12 @@ __all__ = [
     "with_url_hash",
     "admit_new_exact",
     "bloom_build",
+    "bloom_collect",
     "bloom_merge",
     "bloom_probe",
+    "bloom_probe_map",
     "admit_new_bloom",
+    "admit_new_bloom_map",
 ]
 
 
@@ -117,6 +120,18 @@ def bloom_build(
     )
 
 
+def bloom_collect(bloom: DataFrame) -> dict:
+    """Collect a bloom DF (one tiny row per bucket) into a driver-side map.
+
+    The map is the engine's INCREMENTAL state: per round only the admitted
+    delta's bits are built distributed and OR-merged in, instead of
+    rebuilding over the whole url_seen set (O(Δ) per round, not O(N))."""
+    return {
+        r["bucket"]: (bytes(r["bits"]), int(r["n_bits"]), int(r["k"]))
+        for r in bloom.collect()
+    }
+
+
 def bloom_merge(blooms: list[dict]) -> dict:
     """OR-merge per-bucket bits dicts (incremental update path)."""
     out: dict = {}
@@ -135,17 +150,18 @@ def bloom_merge(blooms: list[dict]) -> dict:
 
 
 def bloom_probe(candidates: DataFrame, bloom: DataFrame, n_buckets: int) -> DataFrame:
+    """bloom_probe_map over a just-collected bloom DF (non-incremental path)."""
+    return bloom_probe_map(candidates, bloom_collect(bloom), n_buckets)
+
+
+def bloom_probe_map(candidates: DataFrame, bloom_map: dict, n_buckets: int) -> DataFrame:
     """Add ``probably_seen`` to candidates (must carry url_hash).
 
-    The bloom table (one row per bucket) is collected and broadcast — it is
-    tiny by construction (n_buckets × n_bits/8 bytes), the frontier-sized
-    side streams through applyInPandas per bucket.
+    The bloom map (one entry per bucket) is broadcast — it is tiny by
+    construction (n_buckets × n_bits/8 bytes), the frontier-sized side
+    streams through applyInPandas per bucket.
     """
     spark = candidates.sparkSession
-    bloom_map = {
-        r["bucket"]: (bytes(r["bits"]), int(r["n_bits"]), int(r["k"]))
-        for r in bloom.collect()
-    }
     bc = spark.sparkContext.broadcast(bloom_map)
     cols = [f.name for f in candidates.schema.fields]
     out_fields = [f"{f.name} {f.dataType.simpleString()}" for f in candidates.schema.fields]
@@ -171,12 +187,19 @@ def bloom_probe(candidates: DataFrame, bloom: DataFrame, n_buckets: int) -> Data
 def admit_new_bloom(
     candidates: DataFrame, url_seen: DataFrame, bloom: DataFrame, n_buckets: int
 ) -> DataFrame:
+    """admit_new_bloom_map over a just-collected bloom DF."""
+    return admit_new_bloom_map(candidates, url_seen, bloom_collect(bloom), n_buckets)
+
+
+def admit_new_bloom_map(
+    candidates: DataFrame, url_seen: DataFrame, bloom_map: dict, n_buckets: int
+) -> DataFrame:
     """Bloom-pruned admission: identical result to admit_new_exact.
 
     definite-miss rows pass straight through; probable hits take the exact
     anti-join. Union of both = exact semantics with pruned join probes.
     """
-    probed = bloom_probe(candidates, bloom, n_buckets)
+    probed = bloom_probe_map(candidates, bloom_map, n_buckets)
     definite_new = probed.filter(~F.col("probably_seen")).drop("probably_seen")
     maybe_seen = probed.filter(F.col("probably_seen")).drop("probably_seen")
     confirmed_new = maybe_seen.join(url_seen.select("url"), "url", "left_anti")

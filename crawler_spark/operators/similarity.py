@@ -22,7 +22,15 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["cosine_to", "brute_force_topk", "hyperplane_signature", "lsh_ann_topk"]
+__all__ = [
+    "cosine_to",
+    "cosine_pair",
+    "brute_force_topk",
+    "hyperplane_signature",
+    "lsh_ann_topk",
+    "embedding_near_dup_pairs",
+    "embedding_near_dup_pairs_lsh",
+]
 
 
 def cosine_to(vec_col: Column, query: list[float]) -> Column:
@@ -50,6 +58,55 @@ def brute_force_topk(
         emb.select(id_col, cosine_to(F.col(vec_col), query).alias("cos"))
         .orderBy(F.col("cos").desc(), F.col(id_col).asc())
         .limit(k)
+    )
+
+
+def cosine_pair(a: Column, b: Column) -> Column:
+    """Cosine similarity between two array<float> columns (JVM-side folds)."""
+    av = F.transform(a, lambda x: x.cast("double"))
+    bv = F.transform(b, lambda x: x.cast("double"))
+    dot = F.aggregate(F.zip_with(av, bv, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    an = F.sqrt(F.aggregate(F.transform(av, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+    bn = F.sqrt(F.aggregate(F.transform(bv, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+    return dot / (an * bn)
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame, threshold: float = 0.4, id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs (id_a < id_b, cos ≥ threshold).
+
+    O(N²) self-join — the correctness baseline for small dims/tables; the
+    scale path is the LSH-bucketed variant below (candidate pairs only from
+    colliding buckets).
+    """
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cosine_pair(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )
+
+
+def embedding_near_dup_pairs_lsh(
+    emb: DataFrame, dim: int, threshold: float = 0.4, bits: int = 6,
+    seed: int = 42, id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """LSH-bucketed near-dup pairs: candidates = same hyperplane bucket,
+    then exact cosine verify.  Recall < 1 by construction (single band);
+    scale cost drops from O(N²) to Σ_bucket O(n_b²)."""
+    sigs = hyperplane_signature(emb, dim, bits, seed, id_col, vec_col)
+    a = sigs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket")
+    b = sigs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket")
+    return (
+        a.join(b, ["bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cosine_pair(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
     )
 
 

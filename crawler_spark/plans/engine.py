@@ -59,6 +59,7 @@ class CrawlEngine:
         cfg: Optional[CrawlConfig] = None,
         use_bloom: bool = True,
         bloom_buckets: int = 16,
+        ingest_payloads: bool = False,
     ):
         self.spark = spark
         self.fix_dir = fix_dir
@@ -66,6 +67,12 @@ class CrawlEngine:
         self.cfg = cfg or CrawlConfig()
         self.use_bloom = use_bloom
         self.bloom_buckets = bloom_buckets
+        # ingest-time payload processing: decode + phash + PSNR invariants run
+        # inside the round for every FETCHED image (crawl-time near-dup phash
+        # is the image-crawler analog of U2 over payloads); results land in
+        # the per-round payload_log delta
+        self.ingest_payloads = ingest_payloads
+        self._bloom: Optional[dict] = None  # incremental per-bucket bits
         # page table: the synthetic web. NOTE: no image bytes here — payload
         # stays in images.parquet, joined only by verify_payloads().
         self.pages = (
@@ -74,6 +81,30 @@ class CrawlEngine:
             .cache()
         )
         self.robots = spark.read.parquet(os.path.join(fix_dir, "robots.parquet")).cache()
+        self._images: Optional[DataFrame] = None
+        self._images_index: Optional[DataFrame] = None
+
+    @property
+    def images(self) -> DataFrame:
+        """Payload table, loaded lazily — bytes never enter the frontier loop."""
+        if self._images is None:
+            self._images = self.spark.read.parquet(os.path.join(self.fix_dir, "images.parquet"))
+        return self._images
+
+    @property
+    def images_index(self) -> DataFrame:
+        """(image_id, path) — which payload file holds each image.
+
+        Built from a bytes-free column-pruned scan and cached; it is the ONLY
+        payload metadata the JVM ever holds. Payload bytes are read directly
+        by Python tasks (functions.imaging.payload_check_group)."""
+        if self._images_index is None:
+            self._images_index = (
+                self.images.select("image_id")
+                .withColumn("path", F.input_file_name())
+                .cache()
+            )
+        return self._images_index
 
     # ------------------------------------------------------------------ init
 
@@ -175,10 +206,70 @@ class CrawlEngine:
 
     def _admit(self, candidates: DataFrame, url_seen: DataFrame) -> DataFrame:
         cands = dd.with_url_hash(candidates)
-        if self.use_bloom:
-            bloom = dd.bloom_build(url_seen, self.bloom_buckets)
-            return dd.admit_new_bloom(cands, url_seen, bloom, self.bloom_buckets)
+        if self.use_bloom and self._bloom is not None:
+            return dd.admit_new_bloom_map(cands, url_seen, self._bloom, self.bloom_buckets)
         return dd.admit_new_exact(cands, url_seen)
+
+    def _bloom_init(self, url_seen: DataFrame, resume_round: Optional[int]) -> None:
+        """Load persisted Bloom bits (resume) or build them once from url_seen.
+
+        After init the filter is INCREMENTAL: each round only the admitted
+        delta's bits are built (distributed) and OR-merged driver-side —
+        O(Δ) per round instead of an O(N) rebuild (SURVEY.md §4 item 3).
+        """
+        import pickle
+
+        if not self.use_bloom:
+            return
+        if resume_round is not None:
+            blob = snap.read_blob(self.ckpt_dir, "bloom.pkl", resume_round)
+            if blob is not None:
+                self._bloom = pickle.loads(blob)
+                return
+        self._bloom = dd.bloom_collect(dd.bloom_build(url_seen, self.bloom_buckets))
+
+    def _bloom_absorb(self, admitted: DataFrame) -> None:
+        """OR-merge the round's admitted url_hash delta into the live filter."""
+        if not self.use_bloom or self._bloom is None:
+            return
+        delta = dd.bloom_collect(
+            dd.bloom_build(admitted.select("url_hash"), self.bloom_buckets)
+        )
+        self._bloom = dd.bloom_merge([self._bloom, delta])
+
+    PAYLOAD_SCHEMA = (
+        "image_id string, decode_ok boolean, shape_ok boolean, phash_ok boolean, psnr_db double"
+    )
+
+    def _payload_check(self, ids: DataFrame) -> DataFrame:
+        """Direct-read payload invariant pass over a DF of image_ids.
+
+        Spark shuffles only (image_id, path) strings grouped per payload
+        file; each Python task then reads its file straight via pyarrow and
+        decodes the requested ids (payload_check_group).  Image bytes never
+        enter the JVM — the JVM row→Arrow pipe measurably caps binary
+        throughput and collapses under skew, while direct columnar reads
+        scale linearly with cores.  File-level grouping is the parallelism
+        unit, so payload tables should be written with ≥ cluster-core shards
+        (fixtures.generate image_shards)."""
+        from crawler_spark.functions.imaging import payload_check_group
+
+        lookup = ids.join(self.images_index, "image_id").select("image_id", "path")
+        # EXPLICIT repartition: the shuffle feeding the decode UDF is a few MB
+        # of id/path strings, so AQE's size-based coalescing would collapse it
+        # to one partition and serialize the (CPU-heavy) per-file decode work.
+        # Parallelism here must follow file-group count, not shuffle bytes.
+        n_parts = max(2 * self.spark.sparkContext.defaultParallelism, 1)
+        lookup = lookup.repartition(n_parts, F.col("path"))
+        return lookup.groupBy("path").applyInPandas(
+            lambda pdf: payload_check_group(pdf), self.PAYLOAD_SCHEMA
+        )
+
+    def _payload_log(self, fetched: DataFrame, rnd: int) -> DataFrame:
+        """Ingest-time payload pass: decode + phash + PSNR invariants for this
+        round's fetched images, as a per-round delta table."""
+        ids = fetched.select("image_id").distinct()
+        return self._payload_check(ids).withColumn("round", F.lit(rnd))
 
     def _redrive(self, dead: Optional[DataFrame], rnd: int) -> Optional[DataFrame]:
         """Recycle-bin re-drive (U1): max-generation retriable deaths, gen<cap."""
@@ -212,12 +303,14 @@ class CrawlEngine:
             frontier = snap.read_full(spark, self.ckpt_dir, "frontier", last)
             url_seen = snap.read_deltas(spark, self.ckpt_dir, "url_seen", last)
             start_round = last + 1
+            self._bloom_init(url_seen, last)
         else:
             frontier = self._seed_frontier()
             url_seen = dd.with_url_hash(frontier.select("url")).withColumn(
                 "round", F.lit(0)
             )
             seed_seen = url_seen
+            self._bloom_init(url_seen, None)
 
         rnd = start_round
         summary = {"rounds": 0, "fetched": 0, "selected": 0, "dead": 0, "admitted": 0}
@@ -261,6 +354,8 @@ class CrawlEngine:
             fetched = classified.filter(F.col("status") == P.ST_FETCHED)
             candidates = self._expand(fetched, rnd)
             admitted = self._admit(candidates, url_seen).persist()
+            admitted.count()  # materialize once; bloom delta + writes reuse it
+            self._bloom_absorb(admitted)
             seen_delta = admitted.select("url", "url_hash", F.lit(rnd + 1).alias("round"))
             if seed_seen is not None:  # first commit carries the seed membership
                 seen_delta = seed_seen.unionByName(seen_delta)
@@ -278,18 +373,34 @@ class CrawlEngine:
                 .withColumn("round", F.lit(rnd))
                 .withColumn("wall_ms", F.lit(int((time.time() - t0) * 1000)))
             )
+            tables = {
+                "frontier": frontier_next,
+                "url_seen": seen_delta,
+                "dead_letter": dead_delta,
+                "fetch_log": fetch_log,
+                "lineage": lineage,
+            }
+            if self.ingest_payloads:
+                tables["payload_log"] = self._payload_log(fetched, rnd)
+            blobs = None
+            if self.use_bloom and self._bloom is not None:
+                import pickle
+
+                blobs = {"bloom.pkl": pickle.dumps(self._bloom)}
+            t_commit = time.time()
             snap.commit_round(
                 self.ckpt_dir,
                 rnd,
-                {
-                    "frontier": frontier_next,
-                    "url_seen": seen_delta,
-                    "dead_letter": dead_delta,
-                    "fetch_log": fetch_log,
-                    "lineage": lineage,
-                },
+                tables,
                 meta={"selected": n_selected, "wall_s": time.time() - t0},
+                blobs=blobs,
             )
+            if os.environ.get("SPARK_GRAFT_DEBUG_TIMING"):
+                print(
+                    f"TIMING round={rnd} pre={t_commit - t0:.1f}s "
+                    f"commit={time.time() - t_commit:.1f}s selected={n_selected}",
+                    flush=True,
+                )
             classified.unpersist()
             admitted.unpersist()
             # re-read committed state: keeps every round's plan lineage O(1)
@@ -307,6 +418,19 @@ class CrawlEngine:
             summary["dead"] = dead_all.count() if dead_all is not None else 0
             seen = snap.read_deltas(spark, self.ckpt_dir, "url_seen", last)
             summary["url_seen"] = seen.count()
+            if self.ingest_payloads:
+                plog = snap.read_deltas(spark, self.ckpt_dir, "payload_log", last)
+                if plog is not None:
+                    plog = plog.persist()
+                    summary["payload_checked"] = plog.count()
+                    summary["payload_ok"] = (
+                        plog.filter(
+                            ~(F.col("decode_ok") & F.col("shape_ok") & F.col("phash_ok"))
+                            | (F.col("psnr_db") < 40.0)
+                        ).count()
+                        == 0
+                    )
+                    plog.unpersist()
         summary["last_round"] = last
         return summary
 
@@ -329,20 +453,14 @@ class CrawlEngine:
         return snap.read_deltas(self.spark, self.ckpt_dir, "lineage", last)
 
     def verify_payloads(self) -> DataFrame:
-        """Join fetched URLs → images by image_id; run the payload invariants.
+        """Post-hoc payload invariants for every fetched URL.
 
-        Binary discipline: this is the ONLY place image bytes enter a plan
-        (project early, join late — SURVEY.md §7 hard part 4).
+        Binary discipline (SURVEY.md §7 hard part 4): the frontier side never
+        carries bytes; the check resolves fetched URLs → image_ids → payload
+        files and decodes via the direct-read path (_payload_check).
         """
-        from crawler_spark.functions.imaging import decode_check_map_in_pandas
-
-        images = self.spark.read.parquet(os.path.join(self.fix_dir, "images.parquet"))
         fetched_urls = (
             self.fetch_log().filter(F.col("status") == P.ST_FETCHED).select("url").distinct()
         )
         ids = fetched_urls.join(self.pages.select("url", "image_id"), "url").select("image_id").distinct()
-        payload = ids.join(images, "image_id")
-        return payload.mapInPandas(
-            decode_check_map_in_pandas,
-            "image_id string, decode_ok boolean, shape_ok boolean, phash_ok boolean, psnr_db double",
-        )
+        return self._payload_check(ids)

@@ -539,6 +539,36 @@ def q21_simhash(spark, sf_dir):
     return simhash64(t(spark, sf_dir, "documents"))
 
 
+def q24_embed_near_dup(spark, sf_dir):
+    from crawler_spark.operators.similarity import embedding_near_dup_pairs
+
+    out = embedding_near_dup_pairs(t(spark, sf_dir, "embeddings"), threshold=0.4)
+    return out.select("id_a", "id_b", F.round(F.col("cos"), 6).alias("cos"))
+
+
+SQL_Q24 = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (SELECT vec_id, v,
+             sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i]))
+           / (a.nrm * b.nrm) AS cos_raw
+  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+SELECT id_a, id_b, round(cos_raw, 6) AS cos FROM p WHERE cos_raw >= 0.4
+"""
+
+
+def q25_embed_near_dup_lsh(spark, sf_dir):
+    """LSH-bucketed near-dup (recall<1 ⇒ not SQL-expressible; rows-only)."""
+    from crawler_spark.operators.similarity import embedding_near_dup_pairs_lsh
+
+    emb = t(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").head()[0])
+    out = embedding_near_dup_pairs_lsh(emb, dim=dim, threshold=0.4, bits=6)
+    return out.select("id_a", "id_b", F.round(F.col("cos"), 6).alias("cos"))
+
+
 # --------------------------------------------------------------------------
 # §2.5 O1 flagship: politeness-ranked frontier (the engine's core operator)
 # --------------------------------------------------------------------------
@@ -622,4 +652,6 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q21_simhash": (q21_simhash, None),
     "q22_frontier_rank": (q22_frontier_rank, SQL_Q22),
     "q23_binary_meta": (q23_binary_meta, SQL_Q23),
+    "q24_embed_near_dup": (q24_embed_near_dup, SQL_Q24),
+    "q25_embed_near_dup_lsh": (q25_embed_near_dup_lsh, None),
 }

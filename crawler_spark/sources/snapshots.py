@@ -25,13 +25,15 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time as _time
+from concurrent.futures import ThreadPoolExecutor
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
 
 MANIFEST = "MANIFEST.json"
 FULL_TABLES = ("frontier",)
-DELTA_TABLES = ("url_seen", "dead_letter", "fetch_log", "lineage")
+DELTA_TABLES = ("url_seen", "dead_letter", "fetch_log", "lineage", "payload_log")
 
 
 def _round_dir(ckpt_dir: str, rnd: int) -> str:
@@ -43,17 +45,40 @@ def commit_round(
     rnd: int,
     tables: dict[str, DataFrame],
     meta: Optional[dict] = None,
+    blobs: Optional[dict[str, bytes]] = None,
 ) -> dict:
-    """Write a round's tables, then the manifest (the atomic commit point)."""
+    """Write a round's tables, then the manifest (the atomic commit point).
+
+    Table writes run as CONCURRENT Spark jobs (thread pool): the per-round
+    deltas are independent outputs of the same persisted round state, so
+    overlapping them hides per-job scheduling latency — the batch analog of
+    a multi-sink write.  ``blobs`` are small driver-side sidecar files (e.g.
+    serialized Bloom bits) stored beside the tables under the same atomic
+    manifest.
+    """
     rdir = _round_dir(ckpt_dir, rnd)
     if os.path.exists(rdir):
         shutil.rmtree(rdir)  # torn previous attempt for this round
     os.makedirs(rdir, exist_ok=True)
-    manifest: dict = {"round": rnd, "tables": {}, "meta": meta or {}}
-    for name, df in tables.items():
+    manifest: dict = {"round": rnd, "tables": {}, "blobs": [], "meta": meta or {}}
+
+    def _write(item):
+        name, df = item
         path = os.path.join(rdir, name)
+        t0 = _time.time()
         df.write.mode("overwrite").parquet(path)
-        manifest["tables"][name] = {"path": path}
+        if os.environ.get("SPARK_GRAFT_DEBUG_TIMING"):
+            print(f"TIMING   write {name}: {_time.time() - t0:.1f}s", flush=True)
+        return name, path
+
+    n_workers = int(os.environ.get("SPARK_GRAFT_COMMIT_THREADS", len(tables)) or 1)
+    with ThreadPoolExecutor(max_workers=max(1, n_workers)) as ex:
+        for name, path in ex.map(_write, tables.items()):
+            manifest["tables"][name] = {"path": path}
+    for fname, data in (blobs or {}).items():
+        with open(os.path.join(rdir, fname), "wb") as f:
+            f.write(data)
+        manifest["blobs"].append(fname)
     tmp = os.path.join(rdir, MANIFEST + ".tmp")
     with open(tmp, "w") as f:
         json.dump(manifest, f, indent=1)
@@ -92,6 +117,14 @@ def clean_uncommitted(ckpt_dir: str) -> list[str]:
 
 def read_full(spark: SparkSession, ckpt_dir: str, name: str, rnd: int) -> DataFrame:
     return spark.read.parquet(os.path.join(_round_dir(ckpt_dir, rnd), name))
+
+
+def read_blob(ckpt_dir: str, fname: str, rnd: int) -> Optional[bytes]:
+    p = os.path.join(_round_dir(ckpt_dir, rnd), fname)
+    if not os.path.exists(p):
+        return None
+    with open(p, "rb") as f:
+        return f.read()
 
 
 def read_deltas(

@@ -45,6 +45,15 @@ def build_spark(cpus: int | None, shuffle_partitions: int | None):
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g"))
+        # binary-heavy payload scans want finer splits than the 128 MB default
+        # so decode parallelism is never capped by file count × split size
+        .config("spark.sql.files.maxPartitionBytes", "33554432")
+        # with ~100 KB binary payload cells the default 4096-row columnar
+        # batch pins ~0.4 GB on-heap PER TASK — at high task concurrency that
+        # is a GC collapse (measured 9× slower at local[32]); 256 rows keeps
+        # batches ~25 MB and the scan CPU-bound
+        .config("spark.sql.parquet.columnarReaderBatchSize", "256")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
     )
     if cpus is not None:  # plain-python launch; spark-submit passes --master itself
         b = b.master(f"local[{cpus}]")
@@ -71,7 +80,14 @@ def run(args) -> dict:
     )
     if os.path.isdir(args.ckpt) and not args.resume:
         shutil.rmtree(args.ckpt)
-    eng = CrawlEngine(spark, args.fixtures, args.ckpt, cfg=cfg, use_bloom=not args.no_bloom)
+    eng = CrawlEngine(
+        spark,
+        args.fixtures,
+        args.ckpt,
+        cfg=cfg,
+        use_bloom=not args.no_bloom,
+        ingest_payloads=args.ingest_payloads,
+    )
 
     # warm the JVM + page-table cache outside the measured span so the
     # throughput number reflects steady-state rounds, not session startup
@@ -80,8 +96,8 @@ def run(args) -> dict:
 
     t0 = time.time()
     summary = eng.run(resume=args.resume)
-    n_payload = 0
-    payload_ok = None
+    n_payload = summary.get("payload_checked", 0)
+    payload_ok = summary.get("payload_ok")
     if args.verify_payloads:
         chk = eng.verify_payloads().persist()
         n_payload = chk.count()
@@ -125,7 +141,10 @@ def main() -> None:
     ap.add_argument("--burst", type=int, default=4096)
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--no-bloom", action="store_true")
-    ap.add_argument("--verify-payloads", action="store_true")
+    ap.add_argument("--ingest-payloads", action="store_true",
+                    help="decode+phash+PSNR every fetched image inside the round")
+    ap.add_argument("--verify-payloads", action="store_true",
+                    help="post-hoc payload invariant pass after the crawl")
     ap.add_argument("--json-out", default=None)
     args = ap.parse_args()
     out = run(args)

@@ -1,0 +1,144 @@
+#!/usr/bin/env python
+"""Two-cluster-size scaling evidence (BASELINE.json north_rule).
+
+No real multi-executor cluster exists in this sandbox, so — per the driver
+instruction — the N vs 4N executor comparison is evidenced by running the
+SAME crawl job on the SAME input at two parallelism levels (local[8] vs
+local[32]) in fresh JVMs, each launched through ``spark-submit --py-files``
+exactly as the north rule prescribes for the cluster launch.
+
+    python scripts/scaling_bench.py [--pages 131072] [--hosts 256]
+                                    [--n 8] [--xn 32] [--rounds 5]
+
+Writes BENCH_SCALING.json at the repo root and prints one JSON line:
+throughput at both sizes + scaling efficiency
+``eff = thr_4N / (4 * thr_N)`` (target ≥ 0.8).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import zipfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CACHE = os.path.join(REPO, ".bench_cache")
+
+
+def build_pyfiles_zip() -> str:
+    """Package crawler_spark into a --py-files zip (the cluster ship unit)."""
+    os.makedirs(CACHE, exist_ok=True)
+    zpath = os.path.join(CACHE, "crawler_spark.zip")
+    pkg = os.path.join(REPO, "crawler_spark")
+    with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as z:
+        for root, _dirs, files in os.walk(pkg):
+            for fn in files:
+                if fn.endswith(".py"):
+                    full = os.path.join(root, fn)
+                    z.write(full, os.path.relpath(full, REPO))
+    return zpath
+
+
+def run_level(cpus: int, fixtures: str, args, zpath: str) -> dict:
+    ckpt = os.path.join(CACHE, f"scale_ckpt_{cpus}")
+    if os.path.isdir(ckpt):
+        shutil.rmtree(ckpt)
+    json_out = os.path.join(CACHE, f"scale_{cpus}.json")
+    cmd = [
+        "spark-submit",
+        "--master", f"local[{cpus}]",
+        "--driver-memory", "24g",
+        "--py-files", zpath,
+        "--conf", "spark.ui.enabled=false",
+        "--conf", "spark.ui.showConsoleProgress=false",
+        "--conf", f"spark.sql.shuffle.partitions={2 * cpus}",
+        "--conf", "spark.sql.adaptive.enabled=true",
+        "--conf", "spark.sql.execution.arrow.pyspark.enabled=true",
+        "--conf", "spark.sql.files.maxPartitionBytes=33554432",
+        "--conf", "spark.sql.parquet.columnarReaderBatchSize=256",
+        "--conf", "spark.sql.execution.arrow.maxRecordsPerBatch=1024",
+        os.path.join(REPO, "scripts", "crawl_job.py"),
+        "--fixtures", fixtures,
+        "--ckpt", ckpt,
+        "--rounds", str(args.rounds),
+        "--round-seconds", str(args.round_seconds),
+        "--burst", str(args.burst),
+        "--ingest-payloads",
+        "--json-out", json_out,
+    ]
+    env = dict(os.environ, SPARK_LOCAL_IP="127.0.0.1")
+    subprocess.run(cmd, check=True, cwd=REPO, env=env,
+                   stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    with open(json_out) as f:
+        return json.loads(f.read())
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pages", type=int, default=131072)
+    ap.add_argument("--hosts", type=int, default=256)
+    ap.add_argument("--seeds", type=int, default=65536)
+    ap.add_argument("--px", type=int, nargs="+", default=[96, 128, 160])
+    ap.add_argument("--shards", type=int, default=64)
+    ap.add_argument("--n", type=int, default=8)
+    ap.add_argument("--xn", type=int, default=32)
+    ap.add_argument("--rounds", type=int, default=3)
+    ap.add_argument("--round-seconds", type=float, default=512.0)
+    ap.add_argument("--burst", type=int, default=1 << 20)
+    args = ap.parse_args()
+
+    sys.path.insert(0, REPO)
+    from crawler_spark.fixtures import ensure_cached
+
+    fixtures = ensure_cached(
+        CACHE, args.pages, args.hosts,
+        n_seeds=args.seeds, img_px=args.px, image_shards=args.shards,
+    )
+    zpath = build_pyfiles_zip()
+
+    lo = run_level(args.n, fixtures, args, zpath)
+    hi = run_level(args.xn, fixtures, args, zpath)
+    ratio = args.xn / args.n
+    eff = hi["value"] / (ratio * lo["value"]) if lo["value"] else 0.0
+
+    # identical-input sanity: same frontier work at both sizes
+    invariant_ok = (
+        lo["selected"] == hi["selected"]
+        and lo["url_seen"] == hi["url_seen"]
+        and lo["fetched"] == hi["fetched"]
+        and bool(lo["payload_ok"]) and bool(hi["payload_ok"])
+    )
+
+    out = {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "target": 0.8,
+        "n_cores": args.n,
+        "xn_cores": args.xn,
+        "throughput_n": lo["value"],
+        "throughput_xn": hi["value"],
+        "wall_n_s": lo["wall_s"],
+        "wall_xn_s": hi["wall_s"],
+        "selected": lo["selected"],
+        "url_seen": lo["url_seen"],
+        "payload_checked": lo["payload_checked"],
+        "identical_results": invariant_ok,
+        "pages": args.pages,
+        "hosts": args.hosts,
+        "seeds": args.seeds,
+        "img_px": args.px,
+        "rounds": args.rounds,
+        "launcher": "spark-submit --py-files crawler_spark.zip",
+    }
+    with open(os.path.join(REPO, "BENCH_SCALING.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

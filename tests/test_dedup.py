@@ -1,0 +1,116 @@
+"""Unit tests for the URL-seen dedup operator family (SURVEY.md U2) and the
+snapshot-store commit features the incremental Bloom path relies on."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawler_spark.operators import dedup as dd
+
+
+@pytest.fixture(scope="module")
+def seen_and_cands(spark):
+    seen_urls = [(f"http://h{i % 7}.example.com/p/{i}",) for i in range(0, 600, 2)]
+    cand_urls = [(f"http://h{i % 7}.example.com/p/{i}",) for i in range(0, 600, 3)]
+    seen = dd.with_url_hash(spark.createDataFrame(seen_urls, ["url"]))
+    cands = dd.with_url_hash(spark.createDataFrame(cand_urls, ["url"]))
+    return seen, cands
+
+
+def test_bloom_map_equals_exact(seen_and_cands):
+    seen, cands = seen_and_cands
+    exact = {r.url for r in dd.admit_new_exact(cands, seen).collect()}
+    bloom_map = dd.bloom_collect(dd.bloom_build(seen, n_buckets=8))
+    via_bloom = {r.url for r in dd.admit_new_bloom_map(cands, seen, bloom_map, 8).collect()}
+    assert via_bloom == exact
+    # candidates divisible by 6 are in seen; the rest (mult of 3, odd) are new
+    assert exact == {u for (u,) in cands.select("url").toPandas().itertuples(index=False)} - {
+        u for (u,) in seen.select("url").toPandas().itertuples(index=False)
+    }
+
+
+def test_bloom_incremental_merge_equals_full_rebuild(spark, seen_and_cands):
+    """OR-merging per-round delta bits must admit exactly like a full rebuild."""
+    seen, cands = seen_and_cands
+    first = seen.filter(F.col("url_hash") % 2 == 0)
+    second = seen.filter(F.col("url_hash") % 2 != 0)
+    merged = dd.bloom_merge(
+        [
+            dd.bloom_collect(dd.bloom_build(first, n_buckets=8)),
+            dd.bloom_collect(dd.bloom_build(second, n_buckets=8)),
+        ]
+    )
+    full = dd.bloom_collect(dd.bloom_build(seen, n_buckets=8))
+    adm_merged = {r.url for r in dd.admit_new_bloom_map(cands, seen, merged, 8).collect()}
+    adm_full = {r.url for r in dd.admit_new_bloom_map(cands, seen, full, 8).collect()}
+    exact = {r.url for r in dd.admit_new_exact(cands, seen).collect()}
+    assert adm_merged == adm_full == exact
+
+
+def test_bloom_no_false_negatives(seen_and_cands):
+    """Every seen url_hash must probe as probably_seen (bloom invariant)."""
+    seen, _ = seen_and_cands
+    bloom_map = dd.bloom_collect(dd.bloom_build(seen, n_buckets=8))
+    probed = dd.bloom_probe_map(seen, bloom_map, 8)
+    assert probed.filter(~F.col("probably_seen")).count() == 0
+
+
+def test_commit_round_blobs_and_concurrent_writes(spark, tmpdir_path):
+    from crawler_spark.sources import snapshots as snap
+
+    df_a = spark.range(100).withColumnRenamed("id", "a")
+    df_b = spark.range(50).withColumnRenamed("id", "b")
+    manifest = snap.commit_round(
+        tmpdir_path, 0, {"ta": df_a, "tb": df_b}, meta={"x": 1},
+        blobs={"bloom.pkl": b"\x01\x02\x03"},
+    )
+    assert set(manifest["tables"]) == {"ta", "tb"}
+    assert manifest["blobs"] == ["bloom.pkl"]
+    assert snap.read_full(spark, tmpdir_path, "ta", 0).count() == 100
+    assert snap.read_blob(tmpdir_path, "bloom.pkl", 0) == b"\x01\x02\x03"
+    assert snap.read_blob(tmpdir_path, "missing.bin", 0) is None
+
+
+def test_engine_ingest_payloads(spark, tmpdir_path):
+    """Ingest-time payload pass: every fetched image decode-checked per round."""
+    from crawler_spark.fixtures import generate
+    from crawler_spark.plans.engine import CrawlEngine
+    from crawler_spark.plans.policy import CrawlConfig, ST_FETCHED
+
+    fix = os.path.join(tmpdir_path, "fix")
+    generate(fix, n_pages=96, n_hosts=4, seed=7, image_shards=4)
+    ckpt = os.path.join(tmpdir_path, "ckpt")
+    eng = CrawlEngine(spark, fix, ckpt, CrawlConfig(max_rounds=4), ingest_payloads=True)
+    summary = eng.run()
+    assert summary["payload_checked"] > 0
+    assert summary["payload_ok"] is True
+    # payload coverage == distinct fetched image ids
+    from crawler_spark.sources import snapshots as snap
+
+    last = snap.latest_round(ckpt)
+    plog = snap.read_deltas(spark, ckpt, "payload_log", last)
+    fetched_imgs = (
+        eng.fetch_log()
+        .filter(F.col("status") == ST_FETCHED)
+        .join(eng.pages.select("url", "image_id"), "url")
+        .select("image_id")
+        .distinct()
+        .count()
+    )
+    assert plog.select("image_id").distinct().count() == fetched_imgs
+
+
+def test_sharded_images_match_single_file(tmpdir_path):
+    """image_shards>1 writes the same rows as the single-file layout."""
+    import pyarrow.parquet as pq
+
+    from crawler_spark.fixtures import generate
+
+    d1 = os.path.join(tmpdir_path, "one")
+    d2 = os.path.join(tmpdir_path, "many")
+    generate(d1, n_pages=64, n_hosts=4, seed=3, image_shards=1)
+    generate(d2, n_pages=64, n_hosts=4, seed=3, image_shards=8)
+    t1 = pq.read_table(os.path.join(d1, "images.parquet")).sort_by("image_id")
+    t2 = pq.read_table(os.path.join(d2, "images.parquet")).sort_by("image_id")
+    assert t1.equals(t2)
