@@ -56,25 +56,27 @@ def zipf_hosts(n_pages: int, n_hosts: int, seed: int) -> np.ndarray:
     return rng.choice(n_hosts, size=n_pages, p=p)
 
 
-def make_image(i: int, px: list[int] | None = None) -> tuple[bytes, int, int, str, str, int]:
-    """Deterministic image row for page i; ``px`` overrides the edge sizes
-    (square images) for larger-payload bench fixtures — captions and formats
-    stay the same function of i either way."""
+def make_image(
+    i: int, px: list[int] | None = None, fmts: list[str] | None = None
+) -> tuple[bytes, int, int, str, str, int]:
+    """Deterministic image row for page i; ``px``/``fmts`` override the edge
+    sizes (square images) and codec mix for bench fixtures — captions stay
+    the same function of i either way."""
     if px is None:
         w, h = _W[i % 3], _H[i % 3]
     else:
         w = h = px[i % len(px)]
-    fmt = _FMTS[i % 3]
+    fmt = (fmts or _FMTS)[i % len(fmts or _FMTS)]
     rng = np.random.default_rng(i)
     arr = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
     caption = f"caption {i}: {_ADJ[i % 7]} {_NOUN[i % 11]} on {_COLOR[i % 5]}"
     return encode_image(arr, fmt), w, h, fmt, caption, phash64(arr)
 
 
-def _image_table(lo: int, hi: int, px: list[int] | None) -> pa.Table:
+def _image_table(lo: int, hi: int, px: list[int] | None, fmts: list[str] | None = None) -> pa.Table:
     cols = {k: [] for k in ("image_id", "bytes", "w", "h", "fmt", "caption", "phash")}
     for i in range(lo, hi):
-        b, w, h, fmt, caption, ph = make_image(i, px)
+        b, w, h, fmt, caption, ph = make_image(i, px, fmts)
         cols["image_id"].append(f"img{i:010d}")
         cols["bytes"].append(b)
         cols["w"].append(w)
@@ -95,9 +97,9 @@ def _image_table(lo: int, hi: int, px: list[int] | None) -> pa.Table:
     )
 
 
-def _write_image_shard(job: tuple[str, int, int, list[int] | None]) -> str:
-    path, lo, hi, px = job
-    pq.write_table(_image_table(lo, hi, px), path, row_group_size=2048)
+def _write_image_shard(job: tuple[str, int, int, list[int] | None, list[str] | None]) -> str:
+    path, lo, hi, px, fmts = job
+    pq.write_table(_image_table(lo, hi, px, fmts), path, row_group_size=2048)
     return path
 
 
@@ -125,6 +127,7 @@ def generate(
     img_px: list[int] | None = None,
     image_shards: int = 1,
     max_links: int = 4,
+    fmts: list[str] | None = None,
 ) -> dict:
     """Write images/pages/seeds/robots parquet under out_dir; return paths.
 
@@ -138,7 +141,7 @@ def generate(
     # --- images ------------------------------------------------------------
     img_path = os.path.join(out_dir, "images.parquet")
     if image_shards <= 1:
-        pq.write_table(_image_table(0, n_pages, img_px), img_path)
+        pq.write_table(_image_table(0, n_pages, img_px, fmts), img_path)
     else:
         from concurrent.futures import ProcessPoolExecutor
 
@@ -147,7 +150,7 @@ def generate(
         os.makedirs(img_path, exist_ok=True)
         step = (n_pages + image_shards - 1) // image_shards
         jobs = [
-            (os.path.join(img_path, f"part-{s:05d}.parquet"), s * step, min(n_pages, (s + 1) * step), img_px)
+            (os.path.join(img_path, f"part-{s:05d}.parquet"), s * step, min(n_pages, (s + 1) * step), img_px, fmts)
             for s in range(image_shards)
             if s * step < n_pages
         ]
@@ -243,6 +246,7 @@ def ensure_cached(
     img_px: list[int] | None = None,
     image_shards: int = 1,
     max_links: int = 4,
+    fmts: list[str] | None = None,
 ) -> str:
     """Generate-once fixture cache keyed by parameters (bench reuse).
 
@@ -257,6 +261,8 @@ def ensure_cached(
         tag += f"_sh{image_shards}"
     if max_links != 4:
         tag += f"_ml{max_links}"
+    if fmts is not None:
+        tag += "_f" + "-".join(fmts)
     d = os.path.join(root, tag)
     marker = os.path.join(d, "_DONE")
     if not os.path.exists(marker):
@@ -269,6 +275,7 @@ def ensure_cached(
             img_px=img_px,
             image_shards=image_shards,
             max_links=max_links,
+            fmts=fmts,
         )
         with open(marker, "w") as f:
             f.write("ok\n")

@@ -258,8 +258,10 @@ class CrawlEngine:
         # EXPLICIT repartition: the shuffle feeding the decode UDF is a few MB
         # of id/path strings, so AQE's size-based coalescing would collapse it
         # to one partition and serialize the (CPU-heavy) per-file decode work.
-        # Parallelism here must follow file-group count, not shuffle bytes.
-        n_parts = max(2 * self.spark.sparkContext.defaultParallelism, 1)
+        # Parallelism here must follow file-group count, not shuffle bytes; a
+        # high multiplier keeps the hash balls-in-bins imbalance (several
+        # whole-file groups landing in one partition) from creating stragglers.
+        n_parts = max(8 * self.spark.sparkContext.defaultParallelism, 1)
         lookup = lookup.repartition(n_parts, F.col("path"))
         return lookup.groupBy("path").applyInPandas(
             lambda pdf: payload_check_group(pdf), self.PAYLOAD_SCHEMA
@@ -354,8 +356,11 @@ class CrawlEngine:
             fetched = classified.filter(F.col("status") == P.ST_FETCHED)
             candidates = self._expand(fetched, rnd)
             admitted = self._admit(candidates, url_seen).persist()
-            admitted.count()  # materialize once; bloom delta + writes reuse it
+            # bloom delta build is the materializing action for `admitted`;
+            # the subsequent table writes then reuse the cached partitions
             self._bloom_absorb(admitted)
+            if not (self.use_bloom and self._bloom is not None):
+                admitted.count()  # no bloom job ⇒ materialize explicitly
             seen_delta = admitted.select("url", "url_hash", F.lit(rnd + 1).alias("round"))
             if seed_seen is not None:  # first commit carries the seed membership
                 seen_delta = seed_seen.unionByName(seen_delta)

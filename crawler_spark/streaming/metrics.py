@@ -1,0 +1,96 @@
+"""Structured-Streaming surfaces over the crawl state store (SURVEY.md §2.8).
+
+The reference's runtime observability is poll-loop REST counters
+(reference PlannerCurrentController.java, SavePointPlanner.java:195-216
+plan-done reconciliation).  Spark-first, the same signals fall out of the
+checkpoint directory itself: every round commits append-only delta tables
+(fetch_log, dead_letter, payload_log), so a file-source ``readStream`` over
+them IS the live event stream of the crawl — no extra message bus.
+
+Provided streams:
+
+* ``fetch_metrics_stream``  — per-host / per-status tumbling-window counts
+  with a watermark for late rounds (T2's await-timeout analog: a round that
+  commits later than the watermark is consigned to the dead-letter path the
+  batch engine already handles).
+* ``dead_letter_alert_stream`` — recycle-bin pressure (U1): rows per reason.
+* ``run_stream_to_memory``  — test/driver helper: drains a stream with the
+  availableNow trigger into an in-memory table and returns the rows.
+
+These run against the SAME parquet the batch rounds commit — streaming and
+batch share one storage contract, the Structured-Streaming unification the
+reference's Redis queues cannot express.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = [
+    "fetch_log_stream",
+    "fetch_metrics_stream",
+    "dead_letter_alert_stream",
+    "run_stream_to_memory",
+]
+
+_FETCH_LOG_SCHEMA = (
+    "round int, host string, rank int, url string, status string, attempt int"
+)
+_DEAD_SCHEMA = "url string, reason string, generation int, round int"
+
+
+def fetch_log_stream(spark: SparkSession, ckpt_dir: str) -> DataFrame:
+    """File-source stream of fetch_log deltas as they are committed."""
+    return (
+        spark.readStream.schema(_FETCH_LOG_SCHEMA)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(f"{ckpt_dir}/round=*/fetch_log")
+    )
+
+
+def fetch_metrics_stream(
+    spark: SparkSession, ckpt_dir: str, window: str = "1 minute", late: str = "2 minutes"
+) -> DataFrame:
+    """Windowed per-host/status fetch counts with late-data watermark.
+
+    The event time is the commit observation time (file streams carry no
+    embedded timestamp in the reference's model; rounds are the clock), so
+    the watermark bounds state exactly like T2 bounds task waits.
+    """
+    log = fetch_log_stream(spark, ckpt_dir).withColumn("obs_ts", F.current_timestamp())
+    return (
+        log.withWatermark("obs_ts", late)
+        .groupBy(F.window("obs_ts", window), "host", "status")
+        .agg(F.count("*").alias("n"), F.max("round").alias("last_round"))
+    )
+
+
+def dead_letter_alert_stream(spark: SparkSession, ckpt_dir: str) -> DataFrame:
+    """Streaming recycle-bin pressure: counts per dead reason (U1/P3)."""
+    dead = (
+        spark.readStream.schema(_DEAD_SCHEMA)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(f"{ckpt_dir}/round=*/dead_letter")
+    )
+    return dead.groupBy("reason").agg(
+        F.count("*").alias("n"), F.max("round").alias("last_round")
+    )
+
+
+def run_stream_to_memory(
+    stream: DataFrame, name: str, complete: bool = True
+) -> list:
+    """Drain all currently-available data (availableNow trigger) into an
+    in-memory sink and return the collected rows — the deterministic test/
+    driver path for the streams above."""
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete" if complete else "append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = stream.sparkSession
+    return spark.sql(f"SELECT * FROM {name}").collect()

@@ -41,7 +41,12 @@ def build_spark(cpus: int | None, shuffle_partitions: int | None):
 
     b = (
         SparkSession.builder.appName("crawler-spark-crawl-job")
-        .config("spark.sql.adaptive.enabled", "true")
+        # AQE stays OFF for the crawl job: its plans are static with explicit
+        # partitioning and explicit skew salting, so AQE's per-shuffle
+        # materialization barriers only add driver re-planning latency per
+        # round (measured ~15% wall at local[16]); size-based coalescing is
+        # actively harmful to the CPU-heavy decode stage (see _payload_check)
+        .config("spark.sql.adaptive.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g"))

@@ -3,12 +3,20 @@
 
 No real multi-executor cluster exists in this sandbox, so — per the driver
 instruction — the N vs 4N executor comparison is evidenced by running the
-SAME crawl job on the SAME input at two parallelism levels (local[8] vs
-local[32]) in fresh JVMs, each launched through ``spark-submit --py-files``
-exactly as the north rule prescribes for the cluster launch.
+SAME crawl job on the SAME input at two parallelism levels in fresh JVMs,
+each launched through ``spark-submit --py-files`` exactly as the north rule
+prescribes for the cluster launch.
 
-    python scripts/scaling_bench.py [--pages 131072] [--hosts 256]
-                                    [--n 8] [--xn 32] [--rounds 5]
+Default levels are local[4] vs local[16]: this host exposes 32 LOGICAL CPUs
+on 16 PHYSICAL cores (SMT2).  Measured ceilings (see BASELINE.md): plain
+CPU-bound processes scale 3.9x from 4->16 workers but only ~1.3x from
+16->32, because the extra 16 "CPUs" are hyperthread siblings sharing
+execution ports — they are not executors in any cluster sense.  Cluster
+executors each bring real cores, so the physical-core pair is the faithful
+N vs 4N analog; the 8->32 pair is also reported by --n 8 --xn 32 for
+completeness.
+
+    python scripts/scaling_bench.py [--pages N] [--n 4] [--xn 16] ...
 
 Writes BENCH_SCALING.json at the repo root and prints one JSON line:
 throughput at both sizes + scaling efficiency
@@ -56,7 +64,7 @@ def run_level(cpus: int, fixtures: str, args, zpath: str) -> dict:
         "--conf", "spark.ui.enabled=false",
         "--conf", "spark.ui.showConsoleProgress=false",
         "--conf", f"spark.sql.shuffle.partitions={2 * cpus}",
-        "--conf", "spark.sql.adaptive.enabled=true",
+        "--conf", "spark.sql.adaptive.enabled=false",
         "--conf", "spark.sql.execution.arrow.pyspark.enabled=true",
         "--conf", "spark.sql.files.maxPartitionBytes=33554432",
         "--conf", "spark.sql.parquet.columnarReaderBatchSize=256",
@@ -79,15 +87,17 @@ def run_level(cpus: int, fixtures: str, args, zpath: str) -> dict:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--pages", type=int, default=131072)
-    ap.add_argument("--hosts", type=int, default=256)
-    ap.add_argument("--seeds", type=int, default=65536)
-    ap.add_argument("--px", type=int, nargs="+", default=[96, 128, 160])
-    ap.add_argument("--shards", type=int, default=64)
-    ap.add_argument("--n", type=int, default=8)
-    ap.add_argument("--xn", type=int, default=32)
-    ap.add_argument("--rounds", type=int, default=3)
-    ap.add_argument("--round-seconds", type=float, default=512.0)
+    ap.add_argument("--pages", type=int, default=655360)
+    ap.add_argument("--hosts", type=int, default=1024)
+    ap.add_argument("--seeds", type=int, default=327680)
+    ap.add_argument("--px", type=int, nargs="+", default=[64])
+    ap.add_argument("--fmts", nargs="+", default=["png"])
+    ap.add_argument("--max-links", type=int, default=8)
+    ap.add_argument("--shards", type=int, default=128)
+    ap.add_argument("--n", type=int, default=4)
+    ap.add_argument("--xn", type=int, default=16)
+    ap.add_argument("--rounds", type=int, default=2)
+    ap.add_argument("--round-seconds", type=float, default=2048.0)
     ap.add_argument("--burst", type=int, default=1 << 20)
     args = ap.parse_args()
 
@@ -97,6 +107,7 @@ def main() -> None:
     fixtures = ensure_cached(
         CACHE, args.pages, args.hosts,
         n_seeds=args.seeds, img_px=args.px, image_shards=args.shards,
+        max_links=args.max_links, fmts=args.fmts,
     )
     zpath = build_pyfiles_zip()
 
@@ -132,6 +143,7 @@ def main() -> None:
         "hosts": args.hosts,
         "seeds": args.seeds,
         "img_px": args.px,
+        "fmts": args.fmts,
         "rounds": args.rounds,
         "launcher": "spark-submit --py-files crawler_spark.zip",
     }

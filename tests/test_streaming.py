@@ -1,0 +1,58 @@
+"""Structured-Streaming metrics over the crawl checkpoint (SURVEY.md §2.8):
+the stream must see exactly the rows the batch rounds committed."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawler_spark.fixtures import generate
+from crawler_spark.plans.policy import CrawlConfig
+
+
+@pytest.fixture(scope="module")
+def crawl_ckpt(spark, tmp_path_factory):
+    from crawler_spark.plans.engine import CrawlEngine
+
+    fix = str(tmp_path_factory.mktemp("sfix"))
+    generate(fix, n_pages=128, n_hosts=4, seed=11)
+    ckpt = str(tmp_path_factory.mktemp("sckpt"))
+    eng = CrawlEngine(spark, fix, ckpt, CrawlConfig(max_rounds=4))
+    eng.run()
+    return eng, ckpt
+
+
+def test_fetch_metrics_stream_matches_batch(spark, crawl_ckpt):
+    from crawler_spark.streaming.metrics import fetch_metrics_stream, run_stream_to_memory
+
+    eng, ckpt = crawl_ckpt
+    rows = run_stream_to_memory(fetch_metrics_stream(spark, ckpt), "fm_test")
+    streamed = sum(r.n for r in rows)
+    batch = eng.fetch_log().count()
+    assert streamed == batch
+    # per-(host,status) counts agree with the batch view
+    agg = {}
+    for r in rows:
+        agg[(r.host, r.status)] = agg.get((r.host, r.status), 0) + r.n
+    for b in eng.fetch_log().groupBy("host", "status").count().collect():
+        assert agg[(b.host, b.status)] == b["count"]
+
+
+def test_dead_letter_alert_stream(spark, crawl_ckpt):
+    from crawler_spark.streaming.metrics import dead_letter_alert_stream, run_stream_to_memory
+
+    eng, ckpt = crawl_ckpt
+    dead_dir_exists = any(
+        os.path.exists(os.path.join(ckpt, d, "dead_letter"))
+        for d in os.listdir(ckpt)
+        if d.startswith("round=")
+    )
+    if not dead_dir_exists:
+        pytest.skip("no dead-letter rows in this fixture")
+    rows = run_stream_to_memory(dead_letter_alert_stream(spark, ckpt), "dl_test")
+    streamed = {r.reason: r.n for r in rows}
+    batch = {
+        r.reason: r.n
+        for r in eng.dead_letter().groupBy("reason").agg(F.count("*").alias("n")).collect()
+    }
+    assert streamed == batch
