@@ -315,7 +315,14 @@ class CrawlEngine:
             self._bloom_init(url_seen, None)
 
         rnd = start_round
-        summary = {"rounds": 0, "fetched": 0, "selected": 0, "dead": 0, "admitted": 0}
+        summary = {
+            "rounds": 0,
+            "fetched": 0,
+            "selected": 0,
+            "dead": 0,
+            "admitted": 0,
+            "rounds_detail": [],  # per-round {round, selected, wall_s} incl. commit
+        }
         while rnd < cfg.max_rounds:
             t0 = time.time()
             eligible = frontier.filter(F.col("wave") <= rnd)
@@ -406,6 +413,9 @@ class CrawlEngine:
                     f"commit={time.time() - t_commit:.1f}s selected={n_selected}",
                     flush=True,
                 )
+            summary["rounds_detail"].append(
+                {"round": rnd, "selected": n_selected, "wall_s": round(time.time() - t0, 3)}
+            )
             classified.unpersist()
             admitted.unpersist()
             # re-read committed state: keeps every round's plan lineage O(1)

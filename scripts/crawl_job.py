@@ -116,10 +116,21 @@ def run(args) -> dict:
 
     processed = summary["selected"]  # every selected URL is fetched + its
     # discovered links canonicalized and deduped inside the measured span
+    # steady-state view: drop the first round (JVM JIT, Python-worker spawn,
+    # cache warm) — the standard warmup exclusion for cluster benchmarks;
+    # a real crawl runs thousands of rounds, round 0 is noise
+    detail = summary.get("rounds_detail", [])
+    steady = detail[1:] if len(detail) > 1 else detail
+    steady_sel = sum(d["selected"] for d in steady)
+    steady_wall = sum(d["wall_s"] for d in steady)
+    steady_rate = round(steady_sel / steady_wall, 2) if steady_wall else None
     out = {
         "metric": "frontier_urls_per_sec",
         "value": round(processed / wall, 2),
         "unit": "urls/sec",
+        "steady_urls_per_sec": steady_rate,
+        "steady_rounds": len(steady),
+        "rounds_detail": detail,
         "wall_s": round(wall, 2),
         "parallelism": parallelism,
         "rounds": summary["rounds"],

@@ -1,0 +1,90 @@
+"""Multimodal plumbing tests (SURVEY.md §2.7 image additions): schema, batch
+shape, stub behavior, and poisoned-row survival of the mapInPandas feature
+extractor — the Spark-side contract is real even where codecs are stubbed."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from crawler_spark.functions.imaging import decode_image, encode_image, phash64
+from crawler_spark.functions.multimodal import (
+    IMAGE_FEATURE_SCHEMA,
+    audio_decode_stub,
+    image_features_map_in_pandas,
+    resize_block_mean,
+    video_frame_sample_stub,
+)
+
+
+def _img_df(spark, rows):
+    return spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
+
+
+def test_image_features_real_decode(spark):
+    rng = np.random.default_rng(3)
+    rows = []
+    arrs = {}
+    for i, fmt in enumerate(["png", "ppm", "bmp"]):
+        arr = rng.integers(0, 256, (24, 32, 3), dtype=np.uint8)
+        arrs[f"im{i}"] = arr
+        rows.append((f"im{i}", bytearray(encode_image(arr, fmt)), fmt))
+    out = {
+        r.image_id: r
+        for r in _img_df(spark, rows)
+        .mapInPandas(image_features_map_in_pandas, IMAGE_FEATURE_SCHEMA)
+        .collect()
+    }
+    assert len(out) == 3
+    for iid, arr in arrs.items():
+        r = out[iid]
+        assert (r.w, r.h) == (32, 24)
+        m = arr.reshape(-1, 3).mean(axis=0)
+        assert abs(r.mean_r - m[0]) < 1e-6 and abs(r.mean_b - m[2]) < 1e-6
+        assert r.phash == phash64(arr)
+        thumb = np.frombuffer(bytes(r.thumb8), dtype=np.uint8).reshape(8, 8, 3)
+        assert np.array_equal(thumb, resize_block_mean(arr, 8, 8))
+
+
+def test_image_features_poisoned_and_stub_rows_survive(spark):
+    """Corrupt bytes and stubbed codecs yield NULL-feature rows, not errors."""
+    rng = np.random.default_rng(4)
+    good = encode_image(rng.integers(0, 256, (16, 16, 3), dtype=np.uint8), "png")
+    rows = [
+        ("ok", bytearray(good), "png"),
+        ("bad", bytearray(b"\x00garbage"), "png"),
+        ("jpg", bytearray(b"\xff\xd8\xff"), "jpeg"),  # stubbed codec
+    ]
+    out = {
+        r.image_id: r
+        for r in _img_df(spark, rows)
+        .mapInPandas(image_features_map_in_pandas, IMAGE_FEATURE_SCHEMA)
+        .collect()
+    }
+    assert len(out) == 3
+    assert out["ok"].phash is not None
+    assert out["bad"].phash is None and out["bad"].w is None
+    assert out["jpg"].phash is None  # stub path: metadata-only row
+
+
+def test_resize_block_mean_identity_and_downsample():
+    arr = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    assert np.array_equal(resize_block_mean(arr, 4, 4), arr)
+    half = resize_block_mean(arr, 2, 2)
+    assert half.shape == (2, 2, 3)
+    assert np.array_equal(half[0, 0], arr[:2, :2].reshape(-1, 3).mean(axis=0).astype(np.uint8))
+
+
+def test_audio_video_stubs_raise_with_contract():
+    with pytest.raises(NotImplementedError, match="sample_rate"):
+        audio_decode_stub(b"\x00", "wav")
+    with pytest.raises(NotImplementedError, match="one-row-per-frame"):
+        video_frame_sample_stub(b"\x00", "mp4")
+
+
+def test_roundtrip_all_codecs_exact():
+    """Lossless invariant backing the PSNR=inf claim in the payload check."""
+    rng = np.random.default_rng(5)
+    for fmt in ("png", "ppm", "bmp"):
+        for shape in ((8, 8, 3), (17, 5, 3), (33, 48, 3)):
+            arr = rng.integers(0, 256, shape, dtype=np.uint8)
+            assert np.array_equal(decode_image(encode_image(arr, fmt), fmt), arr)
