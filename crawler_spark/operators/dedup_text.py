@@ -11,32 +11,45 @@ as DataFrame plans (shuffle-aware, no driver collects):
 * n-gram Jaccard — exact Jaccard over shingle sets for candidate pairs
                    (verification stage after LSH)
 * simhash        — 64-bit Charikar simhash over token md5s; near-dup =
-                   hamming distance ≤ t via band-rotate joins
+                   equal-prefix band joins
 
 Portability note: hashes are md5-derived (not xxhash64) so every stage has
 an exact ANSI-SQL twin for the DuckDB oracle (crawler_spark/queries.py).
 
+Plan-shape discipline (the round-1 bench lesson): tokenization runs ONCE per
+document.  Shingles are built by exploding shingle *positions* against a
+materialized token-array column — never by higher-order lambdas that embed
+``split(text)`` (Catalyst does not CSE non-cheap expressions inside lambda
+bodies, so that shape re-tokenizes per shingle element: O(tokens²) per doc).
+Minhash is then a plain ``groupBy(doc_id).agg(min(md5(j || shingle)))`` —
+each md5 computed exactly once, with map-side partial aggregation collapsing
+the exploded shingle rows before the shuffle.
+
 At 100 TB: the banded self-join shuffles only (band_key, doc_id) pairs —
 signatures are tiny (k×32 bytes); candidate verification joins back to
-shingle sets by doc_id. Hot band keys (boilerplate docs) are the skew risk:
-cap candidates per band via a window rank before the pair join.
+shingle sets by doc_id.  Hot band keys (boilerplate docs) are the skew risk:
+``max_band_size`` (ON by default) caps candidates per band via a window rank
+before the pair join; the oracle SQL mirrors the same deterministic cap.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-
-from crawler_spark.functions.textops import word_shingles
 
 __all__ = [
     "exact_dup_stats",
+    "tokenized",
+    "shingle_table",
     "minhash_signature",
+    "lsh_band_table",
     "lsh_candidate_pairs",
     "ngram_jaccard_pairs",
     "simhash64",
     "simhash_near_pairs",
 ]
+
+DEFAULT_MAX_BAND_SIZE = 64
 
 
 def exact_dup_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -48,53 +61,72 @@ def exact_dup_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def _min_tokens_filter(docs: DataFrame, text_col: str, n: int) -> DataFrame:
-    return docs.filter(F.size(F.split(F.col(text_col), " ")) >= n)
+def tokenized(docs: DataFrame, text_col: str = "text", min_tokens: int = 1) -> DataFrame:
+    """(doc_id, toks:array<string>) — the text is split exactly once; the
+    short-doc filter references the materialized token array."""
+    return docs.select(
+        "doc_id", F.split(F.col(text_col), " ").alias("toks")
+    ).filter(F.size("toks") >= min_tokens)
+
+
+def shingle_table(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """(doc_id, shingle) — word n-grams, one row per shingle occurrence.
+
+    Explodes shingle start positions against the token-array column, so each
+    token is read by array index (O(tokens) per doc, not O(tokens²)).
+    Duplicate shingles are kept (min-hash and distinct-set stages each apply
+    their own semantics downstream).
+    """
+    toked = tokenized(docs, text_col, min_tokens=n)
+    ex = toked.select(
+        "doc_id",
+        "toks",
+        F.explode(F.sequence(F.lit(1), F.size("toks") - (n - 1))).alias("i"),
+    )
+    return ex.select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            *[F.element_at(F.col("toks"), (F.col("i") + j).cast("int")) for j in range(n)],
+        ).alias("shingle"),
+    )
 
 
 def minhash_signature(
-    docs: DataFrame, text_col: str = "text", k: int = 6, shingle_n: int = 3
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 6,
+    shingle_n: int = 3,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, sig:array<string>) — k minhashes as lexicographic-min md5s.
 
     min(md5(j || ':' || shingle)) over the shingle set is a valid minwise
     hash family (each j keys an independent permutation approximation) and
-    is string-only, hence oracle-portable.
+    is string-only, hence oracle-portable.  Computed as one hash-aggregate
+    over the exploded shingle table: partial (map-side) min per doc, final
+    min after a single shuffle on doc_id.  Pass ``shingles`` to reuse an
+    already-built (ideally persisted) shingle table across stages.
     """
-    filtered = _min_tokens_filter(docs, text_col, shingle_n)
-    sh = filtered.select("doc_id", word_shingles(F.col(text_col), shingle_n).alias("shingles"))
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(k - 1)),
-        lambda j: F.array_min(
-            F.transform(
-                F.col("shingles"),
-                lambda s: F.md5(F.concat(j.cast("string"), F.lit(":"), s)),
-            )
-        ),
+    sh = shingles if shingles is not None else shingle_table(docs, text_col, shingle_n)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle")))).alias(f"_m{j}")
+        for j in range(k)
+    ]
+    return (
+        sh.groupBy("doc_id")
+        .agg(*aggs)
+        .select("doc_id", F.array(*[f"_m{j}" for j in range(k)]).alias("sig"))
     )
-    return sh.select("doc_id", sig.alias("sig"))
 
 
-def lsh_candidate_pairs(
-    docs: DataFrame,
-    text_col: str = "text",
-    k: int = 6,
-    bands: int = 3,
-    shingle_n: int = 3,
-    max_band_size: int | None = None,
-) -> DataFrame:
-    """Near-dup candidate pairs (doc_a < doc_b) via banded minhash LSH.
-
-    rows_per_band = k // bands; a pair collides iff some band's rows are all
-    equal — banding trades precision for recall as usual.  ``max_band_size``
-    caps pair blowup from degenerate hot bands (skew guard at scale).
-    """
+def lsh_band_table(sig: DataFrame, k: int, bands: int) -> DataFrame:
+    """(doc_id, b, band_key) — md5 of each band's signature slice."""
     r = k // bands
-    sig = minhash_signature(docs, text_col, k, shingle_n)
-    exploded = sig.select(
+    return sig.select(
         "doc_id",
         F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("b"),
-        F.col("sig"),
+        "sig",
     ).select(
         "doc_id",
         "b",
@@ -108,13 +140,39 @@ def lsh_candidate_pairs(
             )
         ).alias("band_key"),
     )
-    if max_band_size is not None:
-        from pyspark.sql import Window
 
+
+def lsh_candidate_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 6,
+    bands: int = 3,
+    shingle_n: int = 3,
+    max_band_size: int | None = DEFAULT_MAX_BAND_SIZE,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """Near-dup candidate pairs (doc_a < doc_b) via banded minhash LSH.
+
+    rows_per_band = k // bands; a pair collides iff some band's rows are all
+    equal — banding trades precision for recall as usual.  ``max_band_size``
+    (default ON) caps pair blowup from degenerate hot bands — the skew guard
+    at scale; the cap is deterministic (row_number ordered by doc_id) so the
+    oracle SQL reproduces it exactly.
+
+    The band table is persisted before the self-join: both join sides read
+    the one materialization instead of re-running the minhash lineage twice.
+    (At cluster scale this persist is a checkpoint to the state store.)
+    """
+    sig = minhash_signature(docs, text_col, k, shingle_n, shingles=shingles)
+    exploded = lsh_band_table(sig, k, bands)
+    if max_band_size is not None:
         w = Window.partitionBy("b", "band_key").orderBy("doc_id")
-        exploded = exploded.withColumn("_rn", F.row_number().over(w)).filter(
-            F.col("_rn") <= max_band_size
-        ).drop("_rn")
+        exploded = (
+            exploded.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= max_band_size)
+            .drop("_rn")
+        )
+    exploded = exploded.persist()
     a, c = exploded.alias("a"), exploded.alias("c")
     return (
         a.join(
@@ -134,19 +192,20 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     shingle_n: int = 3,
     threshold: float = 0.5,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs (verification stage).
 
-    Joins each side's shingle set by doc_id; Jaccard via array_intersect /
-    array_union on deduped shingle arrays — JVM-side, no UDF.
+    Joins each side's distinct shingle set by doc_id; Jaccard via
+    array_intersect / array_union sizes — JVM-side, no UDF.  Pass the same
+    persisted ``shingles`` used for candidate generation to verify without
+    recomputing the tokenize→shingle lineage.
     """
-    sh = _min_tokens_filter(docs, text_col, shingle_n).select(
-        "doc_id",
-        F.array_distinct(word_shingles(F.col(text_col), shingle_n)).alias("sh"),
-    )
+    sh = shingles if shingles is not None else shingle_table(docs, text_col, shingle_n)
+    dsh = sh.groupBy("doc_id").agg(F.collect_set("shingle").alias("sh"))
     j = (
-        pairs.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
-        .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
+        pairs.join(dsh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
+        .join(dsh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
         .withColumn(
             "jaccard",
             F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
@@ -157,32 +216,45 @@ def ngram_jaccard_pairs(
 
 
 def simhash64(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """(doc_id, simhash:long) — 64-bit Charikar simhash over token hashes.
+    """(doc_id, simhash:long) — 64-bit Charikar simhash over token md5s.
 
-    Token hash = xxhash64(token); bit b of the simhash is 1 iff the sum of
-    ±1 contributions of that bit across tokens is positive.  Pure
-    aggregate/transform plan (no UDF): explode tokens → per-bit vote sums →
-    pack.  One shuffle on doc_id.
+    Token hash = md5(token); bit b of the simhash is 1 iff the sum of ±1
+    contributions of that bit across tokens is positive.  Bit b is read from
+    hex digit b//4 of the md5 (nibble >> (3 - b%4)) — md5-derived so the
+    DuckDB oracle computes the identical value (round-1 used xxhash64, which
+    has no portable twin).  Pure aggregate plan: explode tokens → per-bit
+    vote sums (map-side partial agg) → pack.  One shuffle on doc_id.
     """
+    # small-input guard: a single-row-group parquet gives ONE scan split and
+    # the 64-bit nibble extraction is CPU-heavy; spread it when the scan has
+    # fewer partitions than cores (no-op at scale — real inputs carry many
+    # splits, and the repartition would otherwise shuffle the full text).
+    target = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < target:
+        docs = docs.repartition(target)
     toks = docs.select("doc_id", F.explode(F.split(F.col(text_col), " ")).alias("tok"))
-    h = toks.withColumn("th", F.xxhash64("tok"))
-    votes = h.select(
-        "doc_id",
-        *[
-            (
-                F.when(F.shiftright(F.col("th"), b).bitwiseAND(F.lit(1)) == 1, 1)
-                .otherwise(-1)
-                .alias(f"b{b}")
-            )
-            for b in range(64)
-        ],
-    ).groupBy("doc_id").agg(*[F.sum(f"b{b}").alias(f"b{b}") for b in range(64)])
+    h = toks.select("doc_id", F.md5("tok").alias("hx"))
+
+    def bit(b: int):
+        nibble = F.conv(F.substring("hx", b // 4 + 1, 1), 16, 10).cast("int")
+        return F.shiftright(nibble, 3 - b % 4).bitwiseAND(F.lit(1))
+
+    votes = (
+        h.select(
+            "doc_id",
+            *[F.when(bit(b) == 1, 1).otherwise(-1).alias(f"b{b}") for b in range(64)],
+        )
+        .groupBy("doc_id")
+        .agg(*[F.sum(f"b{b}").alias(f"b{b}") for b in range(64)])
+    )
     packed = votes.select(
         "doc_id",
         sum(
             [
-                F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long") * (1 << b) if b < 63
-                       else F.lit(-(1 << 63)).cast("long")).otherwise(F.lit(0).cast("long"))
+                F.when(
+                    F.col(f"b{b}") > 0,
+                    F.lit(1).cast("long") * (1 << b) if b < 63 else F.lit(-(1 << 63)).cast("long"),
+                ).otherwise(F.lit(0).cast("long"))
                 for b in range(64)
             ],
             F.lit(0).cast("long"),

@@ -425,7 +425,10 @@ def q17_minhash_lsh(spark, sf_dir):
     return lsh_candidate_pairs(t(spark, sf_dir, "documents"), k=6, bands=3)
 
 
-SQL_Q17 = """
+# Shared lineage for the minhash oracle: tokenize → shingles → 6 minhashes →
+# 3 banded keys → deterministic hot-band cap (mirrors DEFAULT_MAX_BAND_SIZE)
+# → candidate pairs.
+_MINHASH_CTES = """
 WITH toks AS (
   SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE len(string_split(text,' ')) >= 3
 ), sh AS (
@@ -440,10 +443,18 @@ WITH toks AS (
 ), bands AS (
   SELECT doc_id, b, md5(sig[2*b+1] || '|' || sig[2*b+2]) AS band_key
   FROM mh, generate_series(0, 2) AS t(b)
+), capped AS (
+  SELECT doc_id, b, band_key FROM (
+    SELECT doc_id, b, band_key,
+           ROW_NUMBER() OVER (PARTITION BY b, band_key ORDER BY doc_id) AS rn
+    FROM bands) WHERE rn <= 64
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+  FROM capped a JOIN capped c ON a.band_key = c.band_key AND a.b = c.b AND a.doc_id < c.doc_id
 )
-SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
-FROM bands a JOIN bands c ON a.band_key = c.band_key AND a.b = c.b AND a.doc_id < c.doc_id
 """
+
+SQL_Q17 = _MINHASH_CTES + "SELECT doc_a, doc_b FROM pairs"
 
 
 # --------------------------------------------------------------------------
@@ -452,33 +463,22 @@ FROM bands a JOIN bands c ON a.band_key = c.band_key AND a.b = c.b AND a.doc_id 
 
 
 def q18_jaccard_verify(spark, sf_dir):
-    from crawler_spark.operators.dedup_text import lsh_candidate_pairs, ngram_jaccard_pairs
+    from crawler_spark.operators.dedup_text import (
+        lsh_candidate_pairs,
+        ngram_jaccard_pairs,
+        shingle_table,
+    )
 
     d = t(spark, sf_dir, "documents")
-    pairs = lsh_candidate_pairs(d, k=6, bands=3)
-    out = ngram_jaccard_pairs(d, pairs, threshold=0.0)
+    # one persisted shingle table feeds both the candidate generation and the
+    # Jaccard verify — round 1 recomputed the whole tokenize→minhash lineage
+    sh = shingle_table(d).persist()
+    pairs = lsh_candidate_pairs(d, k=6, bands=3, shingles=sh)
+    out = ngram_jaccard_pairs(d, pairs, threshold=0.0, shingles=sh)
     return out.select("doc_a", "doc_b", F.round(F.col("jaccard"), 6).alias("jaccard"))
 
 
-SQL_Q18 = """
-WITH toks AS (
-  SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE len(string_split(text,' ')) >= 3
-), sh AS (
-  SELECT doc_id,
-         list_transform(generate_series(1, len(w)-2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS shingles
-  FROM toks
-), mh AS (
-  SELECT doc_id,
-         list_transform(generate_series(0, 5),
-             j -> list_aggregate(list_transform(shingles, s -> md5(j::VARCHAR || ':' || s)), 'min')) AS sig
-  FROM sh
-), bands AS (
-  SELECT doc_id, b, md5(sig[2*b+1] || '|' || sig[2*b+2]) AS band_key
-  FROM mh, generate_series(0, 2) AS t(b)
-), pairs AS (
-  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
-  FROM bands a JOIN bands c ON a.band_key = c.band_key AND a.b = c.b AND a.doc_id < c.doc_id
-), dsh AS (
+SQL_Q18 = _MINHASH_CTES + """, dsh AS (
   SELECT doc_id, list_distinct(shingles) AS sh FROM sh
 )
 SELECT p.doc_a, p.doc_b,
@@ -523,26 +523,96 @@ FROM s ORDER BY cos_raw DESC, vec_id LIMIT 10
 
 
 def q20_ann_lsh(spark, sf_dir):
-    """LSH-bucketed ANN (recall<1 ⇒ not SQL-expressible; rows-only check)."""
+    """Multi-probe LSH ANN top-k.  md5-derived hyperplanes make the bucket
+    assignment engine-portable, so the approximate result has an EXACT
+    DuckDB twin (round 1 used numpy-RNG planes ⇒ rows-only check)."""
     from crawler_spark.operators.similarity import lsh_ann_topk
 
     emb = t(spark, sf_dir, "embeddings")
     q = _query_vec(spark, sf_dir)
-    out = lsh_ann_topk(emb, q, dim=len(q), k=10, bits=6)
+    out = lsh_ann_topk(emb, q, dim=len(q), k=10, bits=6, multiprobe=True)
     return out.select("vec_id", F.round(F.col("cos"), 6).alias("cos"))
 
 
+# md5-hyperplane family shared by Q20/Q25 (similarity.md5_hyperplane twin):
+# component i of plane p = int(md5('hp:p:i')[:8], 16) / 2^31 − 1  (exact)
+_PLANES_CTE = """
+planes AS (
+  SELECT p, list(h ORDER BY i) AS hl FROM (
+    SELECT p, i,
+           CAST(('0x' || substr(md5('hp:' || p || ':' || i), 1, 8)) AS BIGINT)
+             / 2147483648.0 - 1.0 AS h
+    FROM generate_series(0, {max_p}) tp(p), generate_series(0, 63) ti(i))
+  GROUP BY p
+), e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+sig AS (
+  SELECT e.vec_id, p.p // {r} AS band,
+         SUM(CASE WHEN list_sum(list_transform(generate_series(1, 64), i -> e.v[i] * p.hl[i])) > 0
+                  THEN CAST(1 AS BIGINT) << (p.p % {r}) ELSE CAST(0 AS BIGINT) END) AS bucket
+  FROM e, planes p GROUP BY e.vec_id, p.p // {r}
+)"""
+
+SQL_Q20 = ("WITH " + _PLANES_CTE.format(max_p=5, r=6) + """,
+qb AS (SELECT bucket AS q FROM sig WHERE vec_id = 0),
+qv AS (SELECT v AS qe FROM e WHERE vec_id = 0),
+cand AS (
+  SELECT s.vec_id FROM sig s, qb
+  WHERE s.bucket = qb.q OR xor(s.bucket, qb.q) IN (1, 2, 4, 8, 16, 32)
+), scored AS (
+  SELECT c.vec_id,
+         list_sum(list_transform(generate_series(1, 64), i -> e.v[i] * qv.qe[i])) /
+         (sqrt(list_sum(list_transform(e.v, x -> x * x))) *
+          sqrt(list_sum(list_transform(qv.qe, x -> x * x)))) AS cos_raw
+  FROM cand c JOIN e ON c.vec_id = e.vec_id, qv)
+SELECT vec_id, round(cos_raw, 6) AS cos
+FROM scored ORDER BY cos_raw DESC, vec_id LIMIT 10
+""")
+
+
 def q21_simhash(spark, sf_dir):
-    """64-bit simhash per doc (xxhash64-based ⇒ no DuckDB twin; rows-only)."""
+    """64-bit Charikar simhash per doc over md5 token hashes (md5-derived ⇒
+    exact DuckDB twin; round 1's xxhash64 variant had no oracle)."""
     from crawler_spark.operators.dedup_text import simhash64
 
     return simhash64(t(spark, sf_dir, "documents"))
 
 
-def q24_embed_near_dup(spark, sf_dir):
-    from crawler_spark.operators.similarity import embedding_near_dup_pairs
+def _sql_q21() -> str:
+    # bit b of md5(tok) = nibble (hex digit b//4) >> (3 − b%4) & 1; vote ±1;
+    # simhash bit b set iff the vote sum is positive; b=63 is the sign bit.
+    votes = ",\n         ".join(
+        f"SUM(CASE WHEN ((((strpos('0123456789abcdef', substr(hx, {b // 4 + 1}, 1)) - 1)"
+        f" >> {3 - b % 4}) & 1) = 1) THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(64)
+    )
+    packed = " + ".join(
+        (
+            f"CASE WHEN b{b} > 0 THEN (CAST(1 AS BIGINT) << {b}) ELSE CAST(0 AS BIGINT) END"
+            if b < 63
+            else f"CASE WHEN b{b} > 0 THEN CAST(-9223372036854775808 AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        )
+        for b in range(64)
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+h AS (SELECT doc_id, md5(tok) AS hx FROM toks),
+votes AS (
+  SELECT doc_id,
+         {votes}
+  FROM h GROUP BY doc_id)
+SELECT doc_id, {packed} AS simhash FROM votes
+"""
 
-    out = embedding_near_dup_pairs(t(spark, sf_dir, "embeddings"), threshold=0.4)
+
+SQL_Q21 = _sql_q21()
+
+
+def q24_embed_near_dup(spark, sf_dir):
+    """Exact near-dup pairs via the blocked-matmul plan (identical result to
+    the naive O(N²) join, distributed as G(G+1)/2 block tasks)."""
+    from crawler_spark.operators.similarity import embedding_near_dup_pairs_blocked
+
+    out = embedding_near_dup_pairs_blocked(t(spark, sf_dir, "embeddings"), threshold=0.4)
     return out.select("id_a", "id_b", F.round(F.col("cos"), 6).alias("cos"))
 
 
@@ -560,13 +630,28 @@ SELECT id_a, id_b, round(cos_raw, 6) AS cos FROM p WHERE cos_raw >= 0.4
 
 
 def q25_embed_near_dup_lsh(spark, sf_dir):
-    """LSH-bucketed near-dup (recall<1 ⇒ not SQL-expressible; rows-only)."""
+    """Multi-band LSH near-dup pairs (4 bands × 8 bits), exact cosine verify.
+    md5 hyperplanes ⇒ deterministic candidate set with an exact DuckDB twin."""
     from crawler_spark.operators.similarity import embedding_near_dup_pairs_lsh
 
     emb = t(spark, sf_dir, "embeddings")
     dim = len(emb.select("embedding").head()[0])
-    out = embedding_near_dup_pairs_lsh(emb, dim=dim, threshold=0.4, bits=6)
+    out = embedding_near_dup_pairs_lsh(emb, dim=dim, threshold=0.4, bands=4, r=8)
     return out.select("id_a", "id_b", F.round(F.col("cos"), 6).alias("cos"))
+
+
+SQL_Q25 = ("WITH " + _PLANES_CTE.format(max_p=31, r=8) + """,
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM sig a JOIN sig b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+), n AS (
+  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e
+), scored AS (
+  SELECT c.id_a, c.id_b,
+         list_sum(list_transform(generate_series(1, 64), i -> x.v[i] * y.v[i])) / (x.nrm * y.nrm) AS cos_raw
+  FROM cand c JOIN n x ON c.id_a = x.vec_id JOIN n y ON c.id_b = y.vec_id)
+SELECT id_a, id_b, round(cos_raw, 6) AS cos FROM scored WHERE cos_raw >= 0.4
+""")
 
 
 # --------------------------------------------------------------------------
@@ -648,10 +733,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q17_minhash_lsh": (q17_minhash_lsh, SQL_Q17),
     "q18_jaccard_verify": (q18_jaccard_verify, SQL_Q18),
     "q19_ann_topk": (q19_ann_topk, SQL_Q19),
-    "q20_ann_lsh": (q20_ann_lsh, None),
-    "q21_simhash": (q21_simhash, None),
+    "q20_ann_lsh": (q20_ann_lsh, SQL_Q20),
+    "q21_simhash": (q21_simhash, SQL_Q21),
     "q22_frontier_rank": (q22_frontier_rank, SQL_Q22),
     "q23_binary_meta": (q23_binary_meta, SQL_Q23),
     "q24_embed_near_dup": (q24_embed_near_dup, SQL_Q24),
-    "q25_embed_near_dup_lsh": (q25_embed_near_dup_lsh, None),
+    "q25_embed_near_dup_lsh": (q25_embed_near_dup_lsh, SQL_Q25),
 }
