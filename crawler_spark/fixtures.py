@@ -1,9 +1,17 @@
 """Deterministic synthetic fixtures (FIXTURES.md §1-4): image+caption table,
-link graph ("the web"), seed list, robots rules.
+link graph ("the web") served as real HTML, extraction rules, seed list,
+robots rules.
 
 Everything is a pure function of (n_pages, n_hosts, seed) using numpy PCG64 —
 no external data, no network (sandbox rule).  Written as parquet via pyarrow
 so both Spark (engine) and plain Python (simulator) read the same bytes.
+
+Pages carry HTML ``content`` — out-links, the paging bar, captions, and
+anti-crawl markers all live INSIDE the markup and are recovered by the
+extraction stage (functions.extract, P1/P2), exactly as the reference parses
+fetched bodies (round 1 pre-extracted them in the generator, assuming the
+extractor family away).  A ``rules`` table holds the per-extractor selector
+config + landing (the reference's per-story rule maps, J1).
 
 The graph is engineered to exercise every reference code path:
 * Zipf(1.3) host assignment → hot-host skew (salting axis B)
@@ -12,11 +20,13 @@ The graph is engineered to exercise every reference code path:
 * deterministic duplicate link targets → URL-seen dedup (U2)
 * ``?page=N`` chains of length 3 → paging bound (O3,
   reference TaskWorker.java:92-104)
-* ``anti_flag`` rows → anti-crawl retry loop (P3/T8)
+* anti pages (empty extraction + marker) → anti-crawl retry loop (P3/T8)
 * ``fail_count`` rows → transient-failure repush (J4,
   reference BackLogFetcher.java:262-280)
 * ``/private`` links + per-host disallow prefixes → robots filtering
   (north_rule addition)
+* ``content``-extractor pages (landing=file) → structdata without frontier
+  feedback; ``paging`` pages (landing=pipeline) drive expansion (K6)
 """
 
 from __future__ import annotations
@@ -37,6 +47,84 @@ _W = [16, 32, 64]
 _H = [16, 24, 48]
 
 LINK_MULT = 2654435761  # Knuth multiplicative constant (FIXTURES.md §2)
+
+ANTI_MARKER = "Robot check: access denied"
+
+# Extractor registry config (functions.extract dispatch; the reference's
+# per-story rule maps, TaskWorker.java:142-150 write / RawDataExtractor read).
+# landing picks the exporter (TaskWorker.java:222-226); only `pipeline`
+# results feed the frontier (PipelineResultExporter.java:29-59).
+def _content_rule(name: str, landing: str) -> dict:
+    return {
+        "extractor": name,
+        "list_sel": None,
+        "field_sels": None,
+        "content_sels": ["div.caption"],
+        "next_sel": None,
+        "anti_marker": "Robot check",
+        "landing": landing,
+    }
+
+
+DEFAULT_RULES = [
+    {
+        "extractor": "paging",
+        "list_sel": "ul.links li a",
+        "field_sels": ["self@href", "self:text"],
+        "content_sels": None,
+        "next_sel": "div.pager a",
+        "anti_marker": "Robot check",
+        "landing": "pipeline",
+    },
+    # content tasks cycle through the file-sink landings (K1-K5 coverage;
+    # the reference picks the exporter bean by Task.landing,
+    # TaskWorker.java:222-226)
+    _content_rule("content", "file"),
+    _content_rule("content_pure", "puretextfile"),
+    _content_rule("content_html", "html"),
+    _content_rule("content_jss", "jssfile"),
+    _content_rule("content_blank", "no"),
+]
+
+# The e2e cycle uses the four file-sink variants.  With m = i // max_links,
+# eligible pages have m % 5 != 0 AND (empirically, under the 49i+j mod N link
+# map) the crawl never reaches m ≡ 0 (mod 4) — so neither m%5 nor m%4 covers
+# every variant.  (m % 7) % 4 does: the golden fixture reaches all four
+# landings.  The blank landing (K5) is registry-complete, pinned by unit tests.
+_CONTENT_EXTRACTORS = ["content", "content_pure", "content_html", "content_jss"]
+
+
+def caption_of(i: int) -> str:
+    return f"caption {i}: {_ADJ[i % 7]} {_NOUN[i % 11]} on {_COLOR[i % 5]}"
+
+
+def page_html(
+    i: int,
+    extractor: str,
+    links: list[str],
+    next_url: str | None,
+    anti: bool,
+    image_id: str,
+) -> str:
+    """Deterministic page markup; everything extraction recovers lives here."""
+    if anti:
+        return (
+            "<html><body><div class=\"denial\">" + ANTI_MARKER + "</div></body></html>"
+        )
+    parts = [
+        f"<html><head><title>p{i}</title></head><body>",
+        f'<div class="caption">{caption_of(i)}</div>',
+        f'<img src="/img/{image_id}.png"/>',
+    ]
+    if extractor == "paging":
+        parts.append('<ul class="links">')
+        for j, href in enumerate(links):
+            parts.append(f'<li><a href="{href}">out {j}</a></li>')
+        parts.append("</ul>")
+        if next_url:
+            parts.append(f'<div class="pager"><a rel="next" href="{next_url}">next</a></div>')
+    parts.append("</body></html>")
+    return "".join(parts)
 
 
 def host_of(z: int) -> str:
@@ -69,8 +157,7 @@ def make_image(
     fmt = (fmts or _FMTS)[i % len(fmts or _FMTS)]
     rng = np.random.default_rng(i)
     arr = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
-    caption = f"caption {i}: {_ADJ[i % 7]} {_NOUN[i % 11]} on {_COLOR[i % 5]}"
-    return encode_image(arr, fmt), w, h, fmt, caption, phash64(arr)
+    return encode_image(arr, fmt), w, h, fmt, caption_of(i), phash64(arr)
 
 
 def _image_table(lo: int, hi: int, px: list[int] | None, fmts: list[str] | None = None) -> pa.Table:
@@ -157,49 +244,64 @@ def generate(
         with ProcessPoolExecutor(max_workers=min(16, len(jobs))) as ex:
             list(ex.map(_write_image_shard, jobs))
 
-    # --- pages (base + ?page= chain rows) -----------------------------------
-    urls, image_ids, out_links, next_urls, antis, fails = [], [], [], [], [], []
+    # --- pages (base + ?page= chain rows), HTML content + extractor ---------
+    urls, image_ids, contents, extractors, fails = [], [], [], [], []
 
-    def add(u, img, links, nxt, anti, fail):
+    def add(u, img, content, extractor, fail):
         urls.append(u)
         image_ids.append(img)
-        out_links.append(links)
-        next_urls.append(nxt)
-        antis.append(anti)
+        contents.append(content)
+        extractors.append(extractor)
         fails.append(fail)
 
     for i in range(n_pages):
         base = page_url(i, host_z)
+        img = f"img{i:010d}"
+        anti = i % 97 == 0
         has_chain = i % 5 == 0
-        add(
-            base,
-            f"img{i:010d}",
-            out_links_of(i, n_pages, host_z, max_links),
-            f"{base}?page=1" if has_chain else None,
-            i % 97 == 0,
-            2 if i % 101 == 0 else 0,
-        )
+        # linkless, chainless pages serve the content extractors (file-sink
+        # landings, no frontier feedback); everything else is a paging task
+        if i % max_links == 0 and not has_chain and not anti:
+            extractor = _CONTENT_EXTRACTORS[(i // max_links) % 7 % len(_CONTENT_EXTRACTORS)]
+        else:
+            extractor = "paging"
+        links = out_links_of(i, n_pages, host_z, max_links) if extractor == "paging" else []
+        nxt = f"{base}?page=1" if has_chain else None
+        add(base, img, page_html(i, extractor, links, nxt, anti, img), extractor,
+            2 if i % 101 == 0 else 0)
         if has_chain:
             for p in (1, 2, 3):
-                add(
-                    f"{base}?page={p}",
-                    f"img{i:010d}",
-                    [],
-                    f"{base}?page={p + 1}" if p < 3 else None,
-                    False,
-                    0,
-                )
+                pnxt = f"{base}?page={p + 1}" if p < 3 else None
+                add(f"{base}?page={p}", img, page_html(i, "paging", [], pnxt, False, img),
+                    "paging", 0)
     pages = pa.table(
         {
             "url": pa.array(urls, pa.string()),
             "image_id": pa.array(image_ids, pa.string()),
-            "out_links": pa.array(out_links, pa.list_(pa.string())),
-            "next_page_url": pa.array(next_urls, pa.string()),
-            "anti_flag": pa.array(antis, pa.bool_()),
+            "content": pa.array(contents, pa.string()),
+            "extractor": pa.array(extractors, pa.string()),
             "fail_count": pa.array(fails, pa.int32()),
         }
     )
     pq.write_table(pages, os.path.join(out_dir, "pages.parquet"))
+
+    # --- extraction rules (per-extractor selector config + landing) ----------
+    rules = pa.table(
+        {
+            "extractor": pa.array([r["extractor"] for r in DEFAULT_RULES], pa.string()),
+            "list_sel": pa.array([r["list_sel"] for r in DEFAULT_RULES], pa.string()),
+            "field_sels": pa.array(
+                [r["field_sels"] for r in DEFAULT_RULES], pa.list_(pa.string())
+            ),
+            "content_sels": pa.array(
+                [r["content_sels"] for r in DEFAULT_RULES], pa.list_(pa.string())
+            ),
+            "next_sel": pa.array([r["next_sel"] for r in DEFAULT_RULES], pa.string()),
+            "anti_marker": pa.array([r["anti_marker"] for r in DEFAULT_RULES], pa.string()),
+            "landing": pa.array([r["landing"] for r in DEFAULT_RULES], pa.string()),
+        }
+    )
+    pq.write_table(rules, os.path.join(out_dir, "rules.parquet"))
 
     # --- seeds ---------------------------------------------------------------
     if n_seeds is None:
@@ -230,6 +332,7 @@ def generate(
     return {
         "images": os.path.join(out_dir, "images.parquet"),
         "pages": os.path.join(out_dir, "pages.parquet"),
+        "rules": os.path.join(out_dir, "rules.parquet"),
         "seeds": os.path.join(out_dir, "seeds.parquet"),
         "robots": os.path.join(out_dir, "robots.parquet"),
         "n_pages": n_pages,
@@ -252,7 +355,8 @@ def ensure_cached(
 
     A ``_DONE`` marker written last makes partial generations self-healing.
     """
-    tag = f"fix_p{n_pages}_h{n_hosts}_s{seed}"
+    # v2: pages carry HTML content + extractor (cache key invalidates v1 dirs)
+    tag = f"fix2_p{n_pages}_h{n_hosts}_s{seed}"
     if n_seeds is not None:
         tag += f"_sd{n_seeds}"
     if img_px is not None:
@@ -287,8 +391,10 @@ def load_tables(fix_dir: str) -> dict:
     pages_t = pq.read_table(os.path.join(fix_dir, "pages.parquet")).to_pylist()
     robots_t = pq.read_table(os.path.join(fix_dir, "robots.parquet")).to_pylist()
     seeds_t = pq.read_table(os.path.join(fix_dir, "seeds.parquet")).to_pylist()
+    rules_t = pq.read_table(os.path.join(fix_dir, "rules.parquet")).to_pylist()
     return {
         "pages": {r["url"]: r for r in pages_t},
         "robots": {r["host"]: r for r in robots_t},
         "seeds": sorted(seeds_t, key=lambda r: int(r["seed_id"])),
+        "rules": {r["extractor"]: r for r in rules_t},
     }

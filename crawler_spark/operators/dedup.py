@@ -10,11 +10,24 @@ Bloom/cuckoo URL-seen set with canonicalized hashing.  Design:
 * fast path     — per-bucket Bloom filters over ``url_hash = xxhash64(url)``
   (Spark's JVM-side xxhash64 — the canonical URL never leaves the JVM for
   hashing).  Candidates whose bucket filter says "definitely unseen" skip
-  the anti-join probe entirely; only probable hits join.  The Bloom bits are
-  built per hash-bucket with ``applyInPandas`` (numpy bitset, double
-  hashing) so each partition's filter is independent — at cluster scale the
-  bits live beside the checkpoint per partition and are OR-merged
-  incrementally instead of rebuilt.
+  the anti-join probe entirely; only probable hits join.
+
+The filter state is a DATAFRAME — one row per hash bucket, bits sized from
+that bucket's OBSERVED count (not a global constant) — persisted beside the
+checkpoint as a parquet table and updated/probed entirely executor-side:
+
+* build  — ``applyInPandas`` per bucket: numpy bitset, double hashing;
+  capacity = headroom × observed items (min floor), fpp-targeted sizing.
+* update — cogrouped ``applyInPandas`` of (bloom row, round's admitted
+  hashes): OR the delta's bits into the bucket at its existing geometry;
+  new buckets size themselves from the delta.  O(Δ) work per round.
+* probe  — cogrouped ``applyInPandas`` of (candidates, bloom row): the
+  bits never transit the driver and are never broadcast (round 1 collected
+  the whole filter into a driver dict and re-broadcast it every round —
+  ~12 GB of driver bits at 10¹⁰ URLs, plus a broadcast leak).
+* resize — a bucket whose ``n_items`` exceeds ``capacity`` degrades fpp but
+  NEVER correctness (the filter only prunes anti-join probes); the engine
+  rebuilds saturated buckets from url_seen with grown capacity.
 
 The Bloom filter only PRUNES probes; admitted membership is identical with
 the fast path on or off (tested in tests/test_dedup.py).
@@ -31,14 +44,18 @@ from pyspark.sql import functions as F
 __all__ = [
     "with_url_hash",
     "admit_new_exact",
+    "BLOOM_SCHEMA",
+    "with_bucket",
     "bloom_build",
-    "bloom_collect",
-    "bloom_merge",
+    "bloom_update",
     "bloom_probe",
-    "bloom_probe_map",
     "admit_new_bloom",
-    "admit_new_bloom_map",
 ]
+
+BLOOM_SCHEMA = "bucket int, bits binary, n_bits long, k int, n_items long, capacity long"
+DEFAULT_FPP = 0.01
+MIN_CAPACITY = 1024
+HEADROOM = 2.0
 
 
 def with_url_hash(df: DataFrame, url_col: str = "url") -> DataFrame:
@@ -51,13 +68,17 @@ def admit_new_exact(candidates: DataFrame, url_seen: DataFrame) -> DataFrame:
     return candidates.join(url_seen.select("url"), "url", "left_anti")
 
 
+def with_bucket(df: DataFrame, n_buckets: int) -> DataFrame:
+    return df.withColumn("bucket", F.pmod(F.col("url_hash"), F.lit(n_buckets)).cast("int"))
+
+
 # ---------------------------------------------------------------------------
-# Partitioned Bloom filter over int64 url_hash
+# bitset primitives (numpy, executor-side only)
 # ---------------------------------------------------------------------------
 
 
-def _bloom_params(n_items: int, fpp: float) -> tuple[int, int]:
-    n = max(1, n_items)
+def _bloom_params(capacity: int, fpp: float) -> tuple[int, int]:
+    n = max(1, capacity)
     n_bits = max(64, int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2))))
     n_bits = (n_bits + 63) // 64 * 64
     k = max(1, round(n_bits / n * math.log(2)))
@@ -72,10 +93,14 @@ def _indices(hashes: np.ndarray, n_bits: int, k: int) -> np.ndarray:
     return ((h1[:, None] + i * h2[:, None]) % np.uint64(n_bits)).astype(np.int64)
 
 
-def _build_bits(hashes: np.ndarray, n_bits: int, k: int) -> bytes:
-    bits = np.zeros(n_bits // 8, dtype=np.uint8)
+def _or_into(bits: np.ndarray, hashes: np.ndarray, n_bits: int, k: int) -> None:
     idx = _indices(hashes, n_bits, k).ravel()
     np.bitwise_or.at(bits, idx // 8, (1 << (idx % 8)).astype(np.uint8))
+
+
+def _build_bits(hashes: np.ndarray, n_bits: int, k: int) -> bytes:
+    bits = np.zeros(n_bits // 8, dtype=np.uint8)
+    _or_into(bits, hashes, n_bits, k)
     return bits.tobytes()
 
 
@@ -86,120 +111,144 @@ def _probe_bits(hashes: np.ndarray, bits: bytes, n_bits: int, k: int) -> np.ndar
     return hit.all(axis=1)
 
 
-def bloom_build(
-    url_seen: DataFrame,
-    n_buckets: int = 16,
-    expected_per_bucket: int = 100_000,
-    fpp: float = 0.01,
-) -> DataFrame:
-    """Per-bucket Bloom bits over url_hash → DF(bucket, bits, n_bits, k).
-
-    Built with applyInPandas so each hash-bucket's bitset is produced by the
-    partition holding its keys — no driver collect of the seen set.
-    """
-    n_bits, k = _bloom_params(expected_per_bucket, fpp)
-
-    def _build(pdf):
-        import pandas as pd
-
-        hashes = pdf["url_hash"].to_numpy(dtype=np.int64)
-        return pd.DataFrame(
-            {
-                "bucket": [int(pdf["bucket"].iloc[0])],
-                "bits": [_build_bits(hashes, n_bits, k)],
-                "n_bits": [n_bits],
-                "k": [k],
-            }
-        )
-
-    hashed = url_seen.withColumn(
-        "bucket", F.pmod(F.col("url_hash"), F.lit(n_buckets)).cast("int")
-    )
-    return hashed.select("bucket", "url_hash").groupBy("bucket").applyInPandas(
-        _build, "bucket int, bits binary, n_bits int, k int"
-    )
-
-
-def bloom_collect(bloom: DataFrame) -> dict:
-    """Collect a bloom DF (one tiny row per bucket) into a driver-side map.
-
-    The map is the engine's INCREMENTAL state: per round only the admitted
-    delta's bits are built distributed and OR-merged in, instead of
-    rebuilding over the whole url_seen set (O(Δ) per round, not O(N))."""
+def _sized_row(bucket: int, hashes: np.ndarray, fpp: float):
+    capacity = max(MIN_CAPACITY, int(HEADROOM * len(hashes)))
+    n_bits, k = _bloom_params(capacity, fpp)
     return {
-        r["bucket"]: (bytes(r["bits"]), int(r["n_bits"]), int(r["k"]))
-        for r in bloom.collect()
+        "bucket": bucket,
+        "bits": _build_bits(hashes, n_bits, k),
+        "n_bits": n_bits,
+        "k": k,
+        "n_items": len(hashes),
+        "capacity": capacity,
     }
 
 
-def bloom_merge(blooms: list[dict]) -> dict:
-    """OR-merge per-bucket bits dicts (incremental update path)."""
-    out: dict = {}
-    for b in blooms:
-        for bucket, (bits, n_bits, k) in b.items():
-            if bucket in out:
-                obits, on, ok_ = out[bucket]
-                assert on == n_bits and ok_ == k, "incompatible bloom params"
-                merged = (
-                    np.frombuffer(obits, dtype=np.uint8) | np.frombuffer(bits, dtype=np.uint8)
-                ).tobytes()
-                out[bucket] = (merged, n_bits, k)
-            else:
-                out[bucket] = (bits, n_bits, k)
-    return out
+# ---------------------------------------------------------------------------
+# DataFrame-level state lifecycle
+# ---------------------------------------------------------------------------
+
+
+def bloom_build(url_seen: DataFrame, n_buckets: int = 256, fpp: float = DEFAULT_FPP) -> DataFrame:
+    """Per-bucket Bloom bits over url_hash → DF(BLOOM_SCHEMA).
+
+    Each hash-bucket's bitset is produced by the partition holding its keys
+    and sized from that bucket's observed count — no driver collect, no
+    global size constant (round 1 hardcoded 100k/bucket: beyond ~10⁷ URLs
+    fpp→1 while still paying the probe pass)."""
+    import pandas as pd
+
+    def _build(pdf):
+        hashes = pdf["url_hash"].to_numpy(dtype=np.int64)
+        return pd.DataFrame([_sized_row(int(pdf["bucket"].iloc[0]), hashes, fpp)])
+
+    hashed = with_bucket(url_seen, n_buckets)
+    return hashed.select("bucket", "url_hash").groupBy("bucket").applyInPandas(
+        _build, BLOOM_SCHEMA
+    )
+
+
+def bloom_update(
+    bloom: DataFrame, admitted: DataFrame, n_buckets: int, fpp: float = DEFAULT_FPP
+) -> DataFrame:
+    """OR the round's admitted url_hash delta into the filter — executor-side.
+
+    Cogroup (bloom row, delta hashes) per bucket: existing buckets keep
+    their geometry (bits OR delta), fresh buckets size from the delta.
+    A bucket past capacity keeps absorbing (fpp degrades, correctness does
+    not); the engine rebuilds it from url_seen when it notices
+    ``n_items > capacity`` (the bloom table is n_buckets rows — checking is
+    a trivial job)."""
+    import pandas as pd
+
+    delta = with_bucket(admitted.select("url_hash"), n_buckets).select("bucket", "url_hash")
+
+    def _merge(key, old, new):
+        bucket = int(key[0])
+        hashes = new["url_hash"].to_numpy(dtype=np.int64) if len(new) else np.empty(0, np.int64)
+        if len(old) == 0:
+            if len(hashes) == 0:  # unreachable (cogroup keys exist on a side)
+                return pd.DataFrame(
+                    {
+                        "bucket": pd.Series(dtype="int32"),
+                        "bits": pd.Series(dtype=object),
+                        "n_bits": pd.Series(dtype="int64"),
+                        "k": pd.Series(dtype="int32"),
+                        "n_items": pd.Series(dtype="int64"),
+                        "capacity": pd.Series(dtype="int64"),
+                    }
+                )
+            return pd.DataFrame([_sized_row(bucket, hashes, fpp)])
+        row = old.iloc[0]
+        bits = np.frombuffer(bytes(row["bits"]), dtype=np.uint8).copy()
+        n_bits, k = int(row["n_bits"]), int(row["k"])
+        if len(hashes):
+            _or_into(bits, hashes, n_bits, k)
+        return pd.DataFrame(
+            [
+                {
+                    "bucket": bucket,
+                    "bits": bits.tobytes(),
+                    "n_bits": n_bits,
+                    "k": k,
+                    "n_items": int(row["n_items"]) + len(hashes),
+                    "capacity": int(row["capacity"]),
+                }
+            ]
+        )
+
+    return (
+        bloom.groupBy("bucket")
+        .cogroup(delta.groupBy("bucket"))
+        .applyInPandas(_merge, BLOOM_SCHEMA)
+    )
 
 
 def bloom_probe(candidates: DataFrame, bloom: DataFrame, n_buckets: int) -> DataFrame:
-    """bloom_probe_map over a just-collected bloom DF (non-incremental path)."""
-    return bloom_probe_map(candidates, bloom_collect(bloom), n_buckets)
-
-
-def bloom_probe_map(candidates: DataFrame, bloom_map: dict, n_buckets: int) -> DataFrame:
     """Add ``probably_seen`` to candidates (must carry url_hash).
 
-    The bloom map (one entry per bucket) is broadcast — it is tiny by
-    construction (n_buckets × n_bits/8 bytes), the frontier-sized side
-    streams through applyInPandas per bucket.
+    Cogrouped probe: each bucket's candidates meet that bucket's bits on the
+    executors — the filter is never collected or broadcast.  A bucket with
+    no bloom row (nothing seen there yet) probes definite-new.
     """
-    spark = candidates.sparkSession
-    bc = spark.sparkContext.broadcast(bloom_map)
     cols = [f.name for f in candidates.schema.fields]
-    out_fields = [f"{f.name} {f.dataType.simpleString()}" for f in candidates.schema.fields]
-    out_schema = ", ".join(out_fields + ["probably_seen boolean"])
-
-    def _probe(pdf):
-        bucket = int(pdf["bucket"].iloc[0])
-        entry = bc.value.get(bucket)
-        if entry is None:
-            pdf["probably_seen"] = False
-        else:
-            bits, n_bits, k = entry
-            hashes = pdf["url_hash"].to_numpy(dtype=np.int64)
-            pdf["probably_seen"] = _probe_bits(hashes, bits, n_bits, k)
-        return pdf[cols + ["probably_seen"]]
-
-    bucketed = candidates.withColumn(
-        "bucket", F.pmod(F.col("url_hash"), F.lit(n_buckets)).cast("int")
+    out_schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in candidates.schema.fields]
+        + ["probably_seen boolean"]
     )
-    return bucketed.groupBy("bucket").applyInPandas(lambda pdf: _probe(pdf), out_schema)
+
+    def _probe(key, cand, bl):
+        if len(cand) == 0:
+            return cand.assign(probably_seen=np.empty(0, dtype=bool))[cols + ["probably_seen"]]
+        if len(bl) == 0:
+            cand = cand.assign(probably_seen=False)
+        else:
+            row = bl.iloc[0]
+            hashes = cand["url_hash"].to_numpy(dtype=np.int64)
+            cand = cand.assign(
+                probably_seen=_probe_bits(
+                    hashes, bytes(row["bits"]), int(row["n_bits"]), int(row["k"])
+                )
+            )
+        return cand[cols + ["probably_seen"]]
+
+    bucketed = with_bucket(candidates, n_buckets)
+    return (
+        bucketed.groupBy("bucket")
+        .cogroup(bloom.groupBy("bucket"))
+        .applyInPandas(_probe, out_schema)
+    )
 
 
 def admit_new_bloom(
     candidates: DataFrame, url_seen: DataFrame, bloom: DataFrame, n_buckets: int
-) -> DataFrame:
-    """admit_new_bloom_map over a just-collected bloom DF."""
-    return admit_new_bloom_map(candidates, url_seen, bloom_collect(bloom), n_buckets)
-
-
-def admit_new_bloom_map(
-    candidates: DataFrame, url_seen: DataFrame, bloom_map: dict, n_buckets: int
 ) -> DataFrame:
     """Bloom-pruned admission: identical result to admit_new_exact.
 
     definite-miss rows pass straight through; probable hits take the exact
     anti-join. Union of both = exact semantics with pruned join probes.
     """
-    probed = bloom_probe_map(candidates, bloom_map, n_buckets)
+    probed = bloom_probe(candidates, bloom, n_buckets)
     definite_new = probed.filter(~F.col("probably_seen")).drop("probably_seen")
     maybe_seen = probed.filter(F.col("probably_seen")).drop("probably_seen")
     confirmed_new = maybe_seen.join(url_seen.select("url"), "url", "left_anti")

@@ -6,13 +6,22 @@ Spark-first re-expression of the reference's poll-loop dataflow
   frontier ─ politeness-ranked fetch batch (operators.politeness, O1/T4)
            ─ synthetic fetch join against the page table (S3; equi-join —
              in production this is the mapInPandas HTTP fetcher)
+           ─ extraction stage (P1/P2 + registry §2.9): vectorized pandas UDF
+             over the fetched HTML, dispatched by the ``extractor`` column;
+             produces out-links, the next-page URL, the anti flag, and
+             structdata records FROM CONTENT (functions.extract; reference
+             RawDataExtractor.java:100-103, PagingExtractor.java:64-87,
+             ContentExtractor.java:35-59); ``landing`` comes from a
+             broadcast rules join (J1, TaskWorker.java:222-226)
            ─ status classification (P3/P5/J4 as when/otherwise columns,
              constants from plans.policy)
-           ─ frontier expansion: explode(out_links) + paging chain (K6/O3)
-             → prepare_url pandas UDF (F1) → robots filter → bloom+anti-join
-             dedup (U2) → admitted with wave = round+1
+           ─ frontier expansion (pipeline-landing tasks only, K6/O3):
+             explode(out_links) + paging chain → prepare_url pandas UDF (F1)
+             → robots filter → bloom+anti-join dedup (U2) → admitted with
+             wave = round+1
            ─ atomic snapshot commit (sources.snapshots, T6/T7): frontier,
-             url_seen Δ, dead_letter Δ, fetch_log Δ, per-partition lineage Δ
+             url_seen Δ, dead_letter Δ, fetch_log Δ, story_results Δ,
+             per-partition lineage Δ
 
 The reference's per-URL poller threads (TaskWorker.java:174-190) become
 iteration over rounds; its Redis queues become the frontier table; its
@@ -46,7 +55,10 @@ from crawler_spark.plans import policy as P
 from crawler_spark.plans.policy import CrawlConfig
 from crawler_spark.sources import snapshots as snap
 
-FRONTIER_COLS = ["url", "host", "wave", "priority", "page_idx", "attempt", "generation"]
+# task_url = the task owning this row's page chain (a next-page row belongs
+# to the task that discovered it — TaskWorker.java:92-104 follows the chain
+# inside one task); exporters group story results by it (A1)
+FRONTIER_COLS = ["url", "host", "wave", "priority", "page_idx", "attempt", "generation", "task_url"]
 _RETRIABLE = ("fetch_retries_exhausted", "anti_retries_exhausted")
 
 
@@ -58,7 +70,8 @@ class CrawlEngine:
         ckpt_dir: str,
         cfg: Optional[CrawlConfig] = None,
         use_bloom: bool = True,
-        bloom_buckets: int = 16,
+        bloom_buckets: int = 256,
+        bloom_fpp: float = 0.01,
         ingest_payloads: bool = False,
     ):
         self.spark = spark
@@ -67,12 +80,16 @@ class CrawlEngine:
         self.cfg = cfg or CrawlConfig()
         self.use_bloom = use_bloom
         self.bloom_buckets = bloom_buckets
+        self.bloom_fpp = bloom_fpp
         # ingest-time payload processing: decode + phash + PSNR invariants run
         # inside the round for every FETCHED image (crawl-time near-dup phash
         # is the image-crawler analog of U2 over payloads); results land in
         # the per-round payload_log delta
         self.ingest_payloads = ingest_payloads
-        self._bloom: Optional[dict] = None  # incremental per-bucket bits
+        # per-bucket Bloom bits as a DataFrame beside the checkpoint — built,
+        # updated, and probed executor-side (never collected or broadcast)
+        self._bloom: Optional[DataFrame] = None
+        self._bloom_scratch: Optional[DataFrame] = None
         # page table: the synthetic web. NOTE: no image bytes here — payload
         # stays in images.parquet, joined only by verify_payloads().
         self.pages = (
@@ -81,6 +98,14 @@ class CrawlEngine:
             .cache()
         )
         self.robots = spark.read.parquet(os.path.join(fix_dir, "robots.parquet")).cache()
+        # extractor registry (§2.9): selector rules ride the UDF closure
+        # (tiny, per-story in the reference); landing joins in via broadcast
+        from crawler_spark.functions.extract import extract_all_udf
+
+        rules_df = spark.read.parquet(os.path.join(fix_dir, "rules.parquet"))
+        self.rules = {r["extractor"]: r.asDict() for r in rules_df.collect()}
+        self._extract = extract_all_udf(self.rules)
+        self._landing = rules_df.select("extractor", "landing").cache()
         self._images: Optional[DataFrame] = None
         self._images_index: Optional[DataFrame] = None
 
@@ -118,6 +143,7 @@ class CrawlEngine:
             .withColumn("page_idx", F.lit(0))
             .withColumn("attempt", F.lit(0))
             .withColumn("generation", F.lit(0))
+            .withColumn("task_url", F.col("url"))
             .select(*FRONTIER_COLS)
         )
         return self._robots_allow(rows).dropDuplicates(["url"])
@@ -139,16 +165,30 @@ class CrawlEngine:
     # ----------------------------------------------------------------- round
 
     def _classify(self, batch: DataFrame) -> DataFrame:
-        """Fetch + classify: join the web, derive status/retry/dead_reason.
+        """Fetch + extract + classify: join the web, parse content, derive
+        status/retry/dead_reason.
 
-        Column mirror of policy.classify_fetch (same constants; equivalence
-        is pinned by the golden simulator test).
+        The extraction stage (P1/P2) recovers out-links / next-page URL /
+        anti flag / structdata from the fetched HTML in one Arrow pass,
+        dispatched by the page's ``extractor``; classification is a column
+        mirror of policy.classify_fetch (same constants; equivalence is
+        pinned by the golden simulator test, which extracts with the same
+        scalars).
         """
         cfg = self.cfg
-        joined = batch.join(self.pages, "url", "left")
+        joined = (
+            batch.join(self.pages, "url", "left")
+            .withColumn("ex", self._extract(F.col("content"), F.col("extractor")))
+            .join(F.broadcast(self._landing), "extractor", "left")
+            .withColumn("out_links", F.col("ex.links"))
+            .withColumn("next_page_url", F.col("ex.next_url"))
+            .withColumn("anti", F.col("ex.anti"))
+            .withColumn("records", F.col("ex.records"))
+            .drop("ex", "content")
+        )
         known = F.coalesce(F.col("known"), F.lit(False))
         fail_count = F.coalesce(F.col("fail_count"), F.lit(0))
-        anti = F.coalesce(F.col("anti_flag"), F.lit(False))
+        anti = F.coalesce(F.col("anti"), F.lit(False))
         status = (
             F.when(~known, F.lit(P.ST_NO_CONTENT))
             .when(F.col("attempt") < fail_count, F.lit(P.ST_FAILED))
@@ -170,10 +210,15 @@ class CrawlEngine:
         )
 
     def _expand(self, fetched: DataFrame, rnd: int) -> DataFrame:
-        """Out-links + paging chain → deduped admission candidates (K6/O3/U2)."""
+        """Out-links + paging chain → deduped admission candidates (K6/O3/U2).
+
+        Only pipeline-landing tasks feed the frontier (the reference routes
+        results to the exporter named by ``landing``; only
+        PipelineResultExporter writes URLs back, K6)."""
         cfg = self.cfg
         children = (
-            fetched.select(
+            fetched.filter(F.col("landing") == "pipeline")
+            .select(
                 F.col("url").alias("base"), F.explode("out_links").alias("href"), "generation"
             )
             .withColumn("curl", prepare_url_udf()(F.col("base"), F.col("href")))
@@ -182,6 +227,7 @@ class CrawlEngine:
                 F.lit(P.PRIORITY_CHILD).cast("long").alias("priority"),
                 F.lit(0).alias("page_idx"),
                 "generation",
+                F.col("curl").alias("task_url"),  # a discovered link starts its own task
             )
         )
         nexts = fetched.filter(
@@ -191,13 +237,14 @@ class CrawlEngine:
             F.col("priority"),
             (F.col("page_idx") + 1).alias("page_idx"),
             "generation",
+            "task_url",  # the chain stays inside the discovering task
         )
-        # first-submission-wins inside the round: min (priority, page_idx, generation)
+        # first-submission-wins inside the round: min (priority, page_idx, generation, task_url)
         cands = (
             children.unionByName(nexts)
             .groupBy("url")
-            .agg(F.min(F.struct("priority", "page_idx", "generation")).alias("b"))
-            .select("url", "b.priority", "b.page_idx", "b.generation")
+            .agg(F.min(F.struct("priority", "page_idx", "generation", "task_url")).alias("b"))
+            .select("url", "b.priority", "b.page_idx", "b.generation", "b.task_url")
             .withColumn("host", F.parse_url(F.col("url"), F.lit("HOST")))
             .withColumn("wave", F.lit(rnd + 1))
             .withColumn("attempt", F.lit(0))
@@ -207,35 +254,62 @@ class CrawlEngine:
     def _admit(self, candidates: DataFrame, url_seen: DataFrame) -> DataFrame:
         cands = dd.with_url_hash(candidates)
         if self.use_bloom and self._bloom is not None:
-            return dd.admit_new_bloom_map(cands, url_seen, self._bloom, self.bloom_buckets)
+            return dd.admit_new_bloom(cands, url_seen, self._bloom, self.bloom_buckets)
         return dd.admit_new_exact(cands, url_seen)
 
     def _bloom_init(self, url_seen: DataFrame, resume_round: Optional[int]) -> None:
-        """Load persisted Bloom bits (resume) or build them once from url_seen.
+        """Load the persisted Bloom table (resume) or build it from url_seen.
 
-        After init the filter is INCREMENTAL: each round only the admitted
-        delta's bits are built (distributed) and OR-merged driver-side —
-        O(Δ) per round instead of an O(N) rebuild (SURVEY.md §4 item 3).
+        Resume is COMPATIBILITY-CHECKED: the committing run records
+        (bloom_format, bloom_buckets) in the round manifest; any mismatch —
+        different bucketing would make pmod(url_hash, n) disagree with the
+        persisted bits and produce false NEGATIVES — falls back to a full
+        rebuild from url_seen.  (Round 1 pickled a driver-side dict with no
+        check; state is now a plain parquet table, no pickle surface.)
+
+        After init the filter is INCREMENTAL: each round cogroups only the
+        admitted delta's hashes into the bucket bits (O(Δ), executor-side).
         """
-        import pickle
-
         if not self.use_bloom:
             return
         if resume_round is not None:
-            blob = snap.read_blob(self.ckpt_dir, "bloom.pkl", resume_round)
-            if blob is not None:
-                self._bloom = pickle.loads(blob)
-                return
-        self._bloom = dd.bloom_collect(dd.bloom_build(url_seen, self.bloom_buckets))
+            meta = (snap.read_manifest(self.ckpt_dir, resume_round) or {}).get("meta", {})
+            compatible = (
+                meta.get("bloom_format") == 2
+                and meta.get("bloom_buckets") == self.bloom_buckets
+            )
+            if compatible:
+                try:
+                    self._bloom = snap.read_full(
+                        self.spark, self.ckpt_dir, "bloom", resume_round
+                    )
+                    return
+                except Exception:
+                    pass  # missing/torn table → rebuild below
+        self._bloom = dd.bloom_build(url_seen, self.bloom_buckets, self.bloom_fpp)
 
-    def _bloom_absorb(self, admitted: DataFrame) -> None:
-        """OR-merge the round's admitted url_hash delta into the live filter."""
-        if not self.use_bloom or self._bloom is None:
-            return
-        delta = dd.bloom_collect(
-            dd.bloom_build(admitted.select("url_hash"), self.bloom_buckets)
+    def _bloom_next(self, admitted: DataFrame, url_seen: DataFrame) -> Optional[DataFrame]:
+        """The next round's filter: OR in the admitted delta, then rebuild any
+        saturated bucket (n_items > capacity ⇒ degraded fpp) from the full
+        membership with grown capacity.  All executor-side; the saturation
+        check is a job over ≤ n_buckets tiny rows."""
+        if not (self.use_bloom and self._bloom is not None):
+            return None
+        merged = dd.bloom_update(
+            self._bloom, admitted.select("url_hash"), self.bloom_buckets, self.bloom_fpp
+        ).persist()
+        self._bloom_scratch = merged  # unpersisted after the round commits
+        sat = [r["bucket"] for r in merged.filter(F.col("n_items") > F.col("capacity"))
+               .select("bucket").collect()]
+        if not sat:
+            return merged
+        full = url_seen.select("url_hash").unionByName(admitted.select("url_hash"))
+        rebuilt = dd.bloom_build(
+            dd.with_bucket(full, self.bloom_buckets).filter(F.col("bucket").isin(sat)).drop("bucket"),
+            self.bloom_buckets,
+            self.bloom_fpp,
         )
-        self._bloom = dd.bloom_merge([self._bloom, delta])
+        return merged.filter(~F.col("bucket").isin(sat)).unionByName(rebuilt)
 
     PAYLOAD_SCHEMA = (
         "image_id string, decode_ok boolean, shape_ok boolean, phash_ok boolean, psnr_db double"
@@ -292,6 +366,7 @@ class CrawlEngine:
             .withColumn("page_idx", F.lit(0))
             .withColumn("attempt", F.lit(0))
             .withColumn("generation", F.col("generation") + 1)
+            .withColumn("task_url", F.col("url"))  # re-driven task restarts its chain
             .select(*FRONTIER_COLS)
         )
         return out
@@ -349,10 +424,12 @@ class CrawlEngine:
                 "generation",
                 F.lit(rnd).alias("round"),
             )
-            # frontier bookkeeping: selected non-retry rows leave; retries bump attempt
+            # frontier bookkeeping: selected non-retry rows leave; retries bump
+            # attempt.  sel is batch-sized (≤ Σ host budgets) — broadcast it so
+            # a stats-less plan never sort-merge-shuffles the full frontier.
             sel = classified.select("url", "retry")
             kept = (
-                frontier.join(sel, "url", "left")
+                frontier.join(F.broadcast(sel), "url", "left")
                 .filter(F.col("retry").isNull() | F.col("retry"))
                 .withColumn(
                     "attempt",
@@ -360,14 +437,21 @@ class CrawlEngine:
                 )
                 .select(*FRONTIER_COLS)
             )
+            self._bloom_scratch = None
             fetched = classified.filter(F.col("status") == P.ST_FETCHED)
+            # structdata story results (consumed by the exporter family K1-K5)
+            story_results = fetched.select(
+                F.lit(rnd).alias("round"),
+                "url",
+                "task_url",
+                "extractor",
+                F.coalesce(F.col("landing"), F.lit("no")).alias("landing"),
+                "records",
+            )
             candidates = self._expand(fetched, rnd)
             admitted = self._admit(candidates, url_seen).persist()
-            # bloom delta build is the materializing action for `admitted`;
-            # the subsequent table writes then reuse the cached partitions
-            self._bloom_absorb(admitted)
-            if not (self.use_bloom and self._bloom is not None):
-                admitted.count()  # no bloom job ⇒ materialize explicitly
+            admitted.count()  # materialize before the bloom cogroup + writes
+            bloom_next = self._bloom_next(admitted, url_seen)
             seen_delta = admitted.select("url", "url_hash", F.lit(rnd + 1).alias("round"))
             if seed_seen is not None:  # first commit carries the seed membership
                 seen_delta = seed_seen.unionByName(seen_delta)
@@ -390,23 +474,18 @@ class CrawlEngine:
                 "url_seen": seen_delta,
                 "dead_letter": dead_delta,
                 "fetch_log": fetch_log,
+                "story_results": story_results,
                 "lineage": lineage,
             }
             if self.ingest_payloads:
                 tables["payload_log"] = self._payload_log(fetched, rnd)
-            blobs = None
-            if self.use_bloom and self._bloom is not None:
-                import pickle
-
-                blobs = {"bloom.pkl": pickle.dumps(self._bloom)}
+            meta = {"selected": n_selected, "wall_s": time.time() - t0}
+            if bloom_next is not None:
+                tables["bloom"] = bloom_next
+                meta["bloom_format"] = 2
+                meta["bloom_buckets"] = self.bloom_buckets
             t_commit = time.time()
-            snap.commit_round(
-                self.ckpt_dir,
-                rnd,
-                tables,
-                meta={"selected": n_selected, "wall_s": time.time() - t0},
-                blobs=blobs,
-            )
+            snap.commit_round(self.ckpt_dir, rnd, tables, meta=meta)
             if os.environ.get("SPARK_GRAFT_DEBUG_TIMING"):
                 print(
                     f"TIMING round={rnd} pre={t_commit - t0:.1f}s "
@@ -418,9 +497,14 @@ class CrawlEngine:
             )
             classified.unpersist()
             admitted.unpersist()
+            if self._bloom_scratch is not None:
+                self._bloom_scratch.unpersist()
+                self._bloom_scratch = None
             # re-read committed state: keeps every round's plan lineage O(1)
             frontier = snap.read_full(spark, self.ckpt_dir, "frontier", rnd)
             url_seen = snap.read_deltas(spark, self.ckpt_dir, "url_seen", rnd)
+            if bloom_next is not None:
+                self._bloom = snap.read_full(spark, self.ckpt_dir, "bloom", rnd)
             summary["selected"] += n_selected
             summary["rounds"] = rnd + 1 - start_round
             rnd += 1
@@ -466,6 +550,11 @@ class CrawlEngine:
     def lineage(self) -> DataFrame:
         last = snap.latest_round(self.ckpt_dir)
         return snap.read_deltas(self.spark, self.ckpt_dir, "lineage", last)
+
+    def story_results(self) -> DataFrame:
+        """Structdata per fetched (url, extractor) — the exporters' input."""
+        last = snap.latest_round(self.ckpt_dir)
+        return snap.read_deltas(self.spark, self.ckpt_dir, "story_results", last)
 
     def verify_payloads(self) -> DataFrame:
         """Post-hoc payload invariants for every fetched URL.

@@ -710,6 +710,69 @@ FROM documents
 
 
 # --------------------------------------------------------------------------
+# §2.2 P1 + §2.9: XPath-lite record extraction (the extractor registry's
+# paging dispatch) over synthesized HTML — the oracle recomputes the expected
+# projections from the generating columns, independently of the parser.
+# --------------------------------------------------------------------------
+
+
+def q26_extract_records(spark, sf_dir):
+    from crawler_spark.functions.extract import extract_all_udf
+
+    rules = {
+        "paging": {
+            "list_sel": "ul.links li a",
+            "field_sels": ["self@href", "self:text"],
+            "content_sels": None,
+            "next_sel": "div.pager a",
+            "anti_marker": None,
+            "landing": "pipeline",
+        }
+    }
+    o = t(spark, sf_dir, "orders").withColumn("url", _synth_url())
+    k = F.col("o_orderkey") % 3  # 0..2 anchors per page
+    li1 = F.concat(F.lit('<li><a href="'), F.col("url"), F.lit('"><b>o1</b></a></li>'))
+    li2 = F.concat(
+        F.lit('<li><a href="/p/'), (F.col("o_orderkey") % 100).cast("string"), F.lit('">o2</a></li>')
+    )
+    pager = F.when(
+        F.col("o_custkey") % 2 == 0,
+        F.lit('<div class="pager"><a rel="next" href="?page=2">next</a></div>'),
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit('<html><body><ul class="links">'),
+        F.when(k >= 1, li1).otherwise(F.lit("")),
+        F.when(k >= 2, li2).otherwise(F.lit("")),
+        F.lit("</ul>"),
+        pager,
+        F.lit("</body></html>"),
+    )
+    ex = extract_all_udf(rules)(html, F.lit("paging"))
+    return o.select(
+        "o_orderkey",
+        F.size(ex["records"]).alias("n_records"),
+        # F.get is null-safe on out-of-bounds (ANSI mode): k=0 rows → NULL
+        F.get(F.get(ex["records"], 0), 0).alias("first_href"),
+        F.get(F.get(ex["records"], 0), 1).alias("first_text"),
+        ex["next_url"].alias("next_url"),
+    )
+
+
+SQL_Q26 = """
+SELECT o_orderkey,
+       CAST(o_orderkey % 3 AS INT) AS n_records,
+       CASE WHEN o_orderkey % 3 >= 1 THEN
+         'http://h' || CAST(o_custkey % 20 AS VARCHAR) || '.example.com/o/' ||
+         CAST(o_orderkey AS VARCHAR) || '?p=' || CAST(o_orderkey % 7 AS VARCHAR) ||
+         '&q=' || CAST(o_custkey % 3 AS VARCHAR)
+       END AS first_href,
+       CASE WHEN o_orderkey % 3 >= 1 THEN 'o1' END AS first_text,
+       CASE WHEN o_custkey % 2 = 0 THEN '?page=2' END AS next_url
+FROM orders
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -739,4 +802,5 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q23_binary_meta": (q23_binary_meta, SQL_Q23),
     "q24_embed_near_dup": (q24_embed_near_dup, SQL_Q24),
     "q25_embed_near_dup_lsh": (q25_embed_near_dup_lsh, SQL_Q25),
+    "q26_extract_records": (q26_extract_records, SQL_Q26),
 }

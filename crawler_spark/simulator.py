@@ -17,6 +17,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 from crawler_spark.fixtures import load_tables
+from crawler_spark.functions.extract import extract_all
 from crawler_spark.functions.urlnorm import prepare_url, url_host, url_path
 from crawler_spark.plans.policy import (
     MAX_BIN_GENERATIONS,
@@ -38,6 +39,7 @@ class _Entry:
     page_idx: int
     attempt: int
     generation: int
+    task_url: str
 
 
 @dataclass
@@ -46,6 +48,7 @@ class SimResult:
     url_seen: set = field(default_factory=set)
     dead: list = field(default_factory=list)  # dicts: url, reason, generation, round
     lineage: list = field(default_factory=list)  # per-round counters
+    story_results: list = field(default_factory=list)  # round, url, extractor, landing, records
     rounds: int = 0
 
     def fetched_urls(self) -> list:
@@ -63,11 +66,15 @@ def simulate(fix_dir: str, cfg: CrawlConfig | None = None) -> SimResult:
     cfg = cfg or CrawlConfig()
     tables = load_tables(fix_dir)
     pages, robots, seeds = tables["pages"], tables["robots"], tables["seeds"]
+    rules = tables["rules"]
+    landing_of = {name: (r.get("landing") or "no") for name, r in rules.items()}
 
     res = SimResult()
     pending: dict[str, _Entry] = {}
 
-    def admit(url: str, wave: int, priority: int, page_idx: int, generation: int) -> bool:
+    def admit(
+        url: str, wave: int, priority: int, page_idx: int, generation: int, task_url: str
+    ) -> bool:
         """First-submission-wins membership (U2); returns True if admitted."""
         if url in res.url_seen:
             return False
@@ -78,11 +85,11 @@ def simulate(fix_dir: str, cfg: CrawlConfig | None = None) -> SimResult:
         if rb is not None and is_disallowed(url_path(url) or "", rb["disallow_prefixes"]):
             return False
         res.url_seen.add(url)
-        pending[url] = _Entry(wave, priority, page_idx, 0, generation)
+        pending[url] = _Entry(wave, priority, page_idx, 0, generation, task_url)
         return True
 
     for idx, s in enumerate(seeds):
-        admit(s["url"], 0, seed_priority(idx), 0, 0)
+        admit(s["url"], 0, seed_priority(idx), 0, 0, s["url"])
 
     rnd = 0
     while rnd < cfg.max_rounds:
@@ -101,7 +108,9 @@ def simulate(fix_dir: str, cfg: CrawlConfig | None = None) -> SimResult:
                 break
             for d in sorted(redrive, key=lambda d: d["url"]):
                 d["redriven"] = True
-                pending[d["url"]] = _Entry(rnd, child_priority(), 0, 0, d["generation"] + 1)
+                pending[d["url"]] = _Entry(
+                    rnd, child_priority(), 0, 0, d["generation"] + 1, d["url"]
+                )
         # --- politeness-ranked fetch batch (O1/T4) -------------------------
         by_host: dict[str, list] = {}
         for url, e in pending.items():
@@ -125,9 +134,16 @@ def simulate(fix_dir: str, cfg: CrawlConfig | None = None) -> SimResult:
         for host, url, rank in batch:
             e = pending[url]
             page = pages.get(url)
+            # extraction (P1/P2): same scalars the engine's pandas UDF wraps
+            if page is not None:
+                links, next_url, anti, records = extract_all(
+                    page["content"], page["extractor"], rules
+                )
+            else:
+                links, next_url, anti, records = [], None, False, []
             out = classify_fetch(
                 known_page=page is not None,
-                anti_flag=bool(page and page["anti_flag"]),
+                anti_flag=anti,
                 fail_count=int(page["fail_count"]) if page else 0,
                 attempt=e.attempt,
                 cfg=cfg,
@@ -145,17 +161,30 @@ def simulate(fix_dir: str, cfg: CrawlConfig | None = None) -> SimResult:
             if out.status == ST_FETCHED:
                 n_fetched += 1
                 del pending[url]
-                # frontier expansion: out-links (K6/J2) + paging chain (O3)
-                for href in page["out_links"]:
-                    child = prepare_url(url, href)
-                    cand = (child_priority(), 0, e.generation)
-                    if child not in admitted or cand < admitted[child]:
-                        admitted[child] = cand
-                nxt = page["next_page_url"]
-                if nxt is not None and e.page_idx < cfg.page_down_count:
-                    cand = (e.priority, e.page_idx + 1, e.generation)
-                    if nxt not in admitted or cand < admitted[nxt]:
-                        admitted[nxt] = cand
+                landing = landing_of.get(page["extractor"], "no")
+                res.story_results.append(
+                    {
+                        "round": rnd,
+                        "url": url,
+                        "task_url": e.task_url,
+                        "extractor": page["extractor"],
+                        "landing": landing,
+                        "records": records,
+                    }
+                )
+                # frontier expansion: pipeline-landing out-links (K6/J2) +
+                # paging chain (O3); candidate tie-break mirrors the engine's
+                # min(struct(priority, page_idx, generation, task_url))
+                if landing == "pipeline":
+                    for href in links:
+                        child = prepare_url(url, href)
+                        cand = (child_priority(), 0, e.generation, child)
+                        if child not in admitted or cand < admitted[child]:
+                            admitted[child] = cand
+                if next_url is not None and e.page_idx < cfg.page_down_count:
+                    cand = (e.priority, e.page_idx + 1, e.generation, e.task_url)
+                    if next_url not in admitted or cand < admitted[next_url]:
+                        admitted[next_url] = cand
             elif out.retry:
                 n_failed += 1
                 e.attempt += 1
@@ -167,8 +196,8 @@ def simulate(fix_dir: str, cfg: CrawlConfig | None = None) -> SimResult:
                 )
         n_admitted = 0
         for child in sorted(admitted):
-            prio, pidx, gen = admitted[child]
-            if admit(child, rnd + 1, prio, pidx, gen):
+            prio, pidx, gen, task_url = admitted[child]
+            if admit(child, rnd + 1, prio, pidx, gen, task_url):
                 n_admitted += 1
         res.lineage.append(
             {

@@ -32,8 +32,8 @@ from typing import Optional
 from pyspark.sql import DataFrame, SparkSession
 
 MANIFEST = "MANIFEST.json"
-FULL_TABLES = ("frontier",)
-DELTA_TABLES = ("url_seen", "dead_letter", "fetch_log", "lineage", "payload_log")
+FULL_TABLES = ("frontier", "bloom")
+DELTA_TABLES = ("url_seen", "dead_letter", "fetch_log", "story_results", "lineage", "payload_log")
 
 
 def _round_dir(ckpt_dir: str, rnd: int) -> str:
@@ -117,6 +117,15 @@ def clean_uncommitted(ckpt_dir: str) -> list[str]:
 
 def read_full(spark: SparkSession, ckpt_dir: str, name: str, rnd: int) -> DataFrame:
     return spark.read.parquet(os.path.join(_round_dir(ckpt_dir, rnd), name))
+
+
+def read_manifest(ckpt_dir: str, rnd: int) -> Optional[dict]:
+    """The committed manifest for a round (None if uncommitted/missing)."""
+    p = os.path.join(_round_dir(ckpt_dir, rnd), MANIFEST)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
 
 
 def read_blob(ckpt_dir: str, fname: str, rnd: int) -> Optional[bytes]:

@@ -18,11 +18,11 @@ def seen_and_cands(spark):
     return seen, cands
 
 
-def test_bloom_map_equals_exact(seen_and_cands):
+def test_bloom_equals_exact(seen_and_cands):
     seen, cands = seen_and_cands
     exact = {r.url for r in dd.admit_new_exact(cands, seen).collect()}
-    bloom_map = dd.bloom_collect(dd.bloom_build(seen, n_buckets=8))
-    via_bloom = {r.url for r in dd.admit_new_bloom_map(cands, seen, bloom_map, 8).collect()}
+    bloom = dd.bloom_build(seen, n_buckets=8)
+    via_bloom = {r.url for r in dd.admit_new_bloom(cands, seen, bloom, 8).collect()}
     assert via_bloom == exact
     # candidates divisible by 6 are in seen; the rest (mult of 3, odd) are new
     assert exact == {u for (u,) in cands.select("url").toPandas().itertuples(index=False)} - {
@@ -30,20 +30,15 @@ def test_bloom_map_equals_exact(seen_and_cands):
     }
 
 
-def test_bloom_incremental_merge_equals_full_rebuild(spark, seen_and_cands):
-    """OR-merging per-round delta bits must admit exactly like a full rebuild."""
+def test_bloom_incremental_update_equals_full_rebuild(spark, seen_and_cands):
+    """Cogrouped delta updates must admit exactly like a full rebuild."""
     seen, cands = seen_and_cands
     first = seen.filter(F.col("url_hash") % 2 == 0)
     second = seen.filter(F.col("url_hash") % 2 != 0)
-    merged = dd.bloom_merge(
-        [
-            dd.bloom_collect(dd.bloom_build(first, n_buckets=8)),
-            dd.bloom_collect(dd.bloom_build(second, n_buckets=8)),
-        ]
-    )
-    full = dd.bloom_collect(dd.bloom_build(seen, n_buckets=8))
-    adm_merged = {r.url for r in dd.admit_new_bloom_map(cands, seen, merged, 8).collect()}
-    adm_full = {r.url for r in dd.admit_new_bloom_map(cands, seen, full, 8).collect()}
+    merged = dd.bloom_update(dd.bloom_build(first, n_buckets=8), second.select("url_hash"), 8)
+    full = dd.bloom_build(seen, n_buckets=8)
+    adm_merged = {r.url for r in dd.admit_new_bloom(cands, seen, merged, 8).collect()}
+    adm_full = {r.url for r in dd.admit_new_bloom(cands, seen, full, 8).collect()}
     exact = {r.url for r in dd.admit_new_exact(cands, seen).collect()}
     assert adm_merged == adm_full == exact
 
@@ -51,9 +46,34 @@ def test_bloom_incremental_merge_equals_full_rebuild(spark, seen_and_cands):
 def test_bloom_no_false_negatives(seen_and_cands):
     """Every seen url_hash must probe as probably_seen (bloom invariant)."""
     seen, _ = seen_and_cands
-    bloom_map = dd.bloom_collect(dd.bloom_build(seen, n_buckets=8))
-    probed = dd.bloom_probe_map(seen, bloom_map, 8)
+    bloom = dd.bloom_build(seen, n_buckets=8)
+    probed = dd.bloom_probe(seen, bloom, 8)
     assert probed.filter(~F.col("probably_seen")).count() == 0
+    # update must track n_items; a saturating bucket is flagged via counts
+    upd = dd.bloom_update(bloom, seen.select("url_hash"), 8).collect()
+    assert all(r["n_items"] == 2 * b["n_items"] for r, b in zip(
+        sorted(upd, key=lambda r: r["bucket"]),
+        sorted(bloom.collect(), key=lambda r: r["bucket"]),
+    ))
+
+
+def test_bloom_sized_from_observed_counts_fpp_bounded(spark):
+    """Scale path: 10⁷ seen hashes, bits sized per-bucket from observed
+    counts — false-positive rate on fresh keys stays ≤ 2× nominal, and the
+    filter never transits the driver (the only collect here is the test's)."""
+    n, fpp = 10_000_000, 0.01
+    seen = spark.range(n).select(F.xxhash64("id").alias("url_hash"))
+    bloom = dd.bloom_build(seen, n_buckets=256, fpp=fpp).persist()
+    rows = bloom.select("bucket", "n_bits", "n_items", "capacity").collect()
+    assert len(rows) == 256
+    assert all(r["capacity"] >= r["n_items"] for r in rows)
+    # sizing follows observed load, not a constant: ~10 bits/key at 1% fpp
+    total_bits = sum(r["n_bits"] for r in rows)
+    assert 6 * n < total_bits < 30 * n
+    fresh = spark.range(n, n + 200_000).select(F.xxhash64("id").alias("url_hash"))
+    fp = dd.bloom_probe(fresh, bloom, 256).filter(F.col("probably_seen")).count()
+    assert fp / 200_000 <= 2 * fpp
+    bloom.unpersist()
 
 
 def test_commit_round_blobs_and_concurrent_writes(spark, tmpdir_path):
