@@ -10,7 +10,8 @@ Prints ONE JSON line:
      "queries": {name: sec, ...}, "sf": ...,
      "frontier_urls_per_sec": ..., ...}
 
-Scaling evidence (local[8] vs local[32], BASELINE.md) is produced separately
+Scaling evidence (local[1] vs local[4] by default — the un-contended N→4N
+pair, BASELINE.md) is produced separately
 by scripts/scaling_bench.py — it needs fresh JVMs per parallelism level, which
 a single-session bench cannot provide.
 """

@@ -245,34 +245,60 @@ def generate(
             list(ex.map(_write_image_shard, jobs))
 
     # --- pages (base + ?page= chain rows), HTML content + extractor ---------
-    urls, image_ids, contents, extractors, fails = [], [], [], [], []
-
-    def add(u, img, content, extractor, fail):
-        urls.append(u)
-        image_ids.append(img)
-        contents.append(content)
-        extractors.append(extractor)
-        fails.append(fail)
-
-    for i in range(n_pages):
-        base = page_url(i, host_z)
-        img = f"img{i:010d}"
+    # two passes: page parameters first, so a 302 page can serve its
+    # redirect TARGET's markup (the fetcher follows the redirect and hands
+    # the real URL's content to extraction under the ORIGINAL url,
+    # BackLogFetcher.java:158-219)
+    def params_of(i: int) -> dict:
         anti = i % 97 == 0
         has_chain = i % 5 == 0
-        # linkless, chainless pages serve the content extractors (file-sink
-        # landings, no frontier feedback); everything else is a paging task
         if i % max_links == 0 and not has_chain and not anti:
             extractor = _CONTENT_EXTRACTORS[(i // max_links) % 7 % len(_CONTENT_EXTRACTORS)]
         else:
             extractor = "paging"
         links = out_links_of(i, n_pages, host_z, max_links) if extractor == "paging" else []
-        nxt = f"{base}?page=1" if has_chain else None
-        add(base, img, page_html(i, extractor, links, nxt, anti, img), extractor,
-            2 if i % 101 == 0 else 0)
-        if has_chain:
-            for p in (1, 2, 3):
-                pnxt = f"{base}?page={p + 1}" if p < 3 else None
-                add(f"{base}?page={p}", img, page_html(i, "paging", [], pnxt, False, img),
+        nxt = f"{page_url(i, host_z)}?page=1" if has_chain else None
+        # sparse 302 pages (P7): redirect to another page plus a session param
+        # the request URL lacks → host/path mismatch + a repairable query
+        # delta (i % 17 == 4 lands on pages the golden crawl actually reaches)
+        redirect = None
+        if i % 17 == 4 and not anti and not has_chain and extractor == "paging":
+            t = (i + 3) % n_pages
+            redirect = f"{page_url(t, host_z)}?sid={i % 13}"
+        return {
+            "anti": anti, "has_chain": has_chain, "extractor": extractor,
+            "links": links, "next": nxt, "redirect": redirect,
+        }
+
+    page_params = [params_of(i) for i in range(n_pages)]
+    urls, image_ids, contents, extractors, fails, redirects = [], [], [], [], [], []
+
+    def add(u, img, content, extractor, fail, redirect=None):
+        urls.append(u)
+        image_ids.append(img)
+        contents.append(content)
+        extractors.append(extractor)
+        fails.append(fail)
+        redirects.append(redirect)
+
+    def html_of(i: int) -> str:
+        p = page_params[i]
+        return page_html(i, p["extractor"], p["links"], p["next"], p["anti"], f"img{i:010d}")
+
+    for i in range(n_pages):
+        base = page_url(i, host_z)
+        img = f"img{i:010d}"
+        p = page_params[i]
+        if p["redirect"] is not None:
+            t = (i + 3) % n_pages
+            content = html_of(t)  # the fetch lands on the target's markup
+        else:
+            content = html_of(i)
+        add(base, img, content, p["extractor"], 2 if i % 101 == 0 else 0, p["redirect"])
+        if p["has_chain"]:
+            for pg in (1, 2, 3):
+                pnxt = f"{base}?page={pg + 1}" if pg < 3 else None
+                add(f"{base}?page={pg}", img, page_html(i, "paging", [], pnxt, False, img),
                     "paging", 0)
     pages = pa.table(
         {
@@ -281,6 +307,7 @@ def generate(
             "content": pa.array(contents, pa.string()),
             "extractor": pa.array(extractors, pa.string()),
             "fail_count": pa.array(fails, pa.int32()),
+            "redirect_url": pa.array(redirects, pa.string()),
         }
     )
     pq.write_table(pages, os.path.join(out_dir, "pages.parquet"))

@@ -272,7 +272,9 @@ def decode_check_map_in_pandas(batches: Iterator["pd.DataFrame"]) -> Iterator["p
 def decode_check_rows(image_ids, raws, fmts, ws, hs, phashes) -> "pd.DataFrame":  # noqa: F821
     """Vector core of the payload invariant check: decode, shape, phash, and
     PSNR of the re-encode roundtrip per row; a corrupt row yields False flags,
-    never an exception (poisoned rows must not kill a stage)."""
+    never an exception (poisoned rows must not kill a stage).  Rows whose
+    codec is stubbed (jpeg) yield NULL flags — "skipped", distinct from both
+    pass and fail."""
     import pandas as pd
 
     out = {"image_id": [], "decode_ok": [], "shape_ok": [], "phash_ok": [], "psnr_db": []}
@@ -287,7 +289,9 @@ def decode_check_rows(image_ids, raws, fmts, ws, hs, phashes) -> "pd.DataFrame":
             rt = decode_image(encode_image(arr, fmt), fmt)
             p = psnr(arr, rt)
         except NotImplementedError:
-            ok = shape_ok = ph_ok = True  # jpeg stub: plumbing-only path
+            # codec stub (jpeg): the row is SKIPPED, not verified — NULL
+            # flags so a missing codec can never masquerade as a pass
+            ok = shape_ok = ph_ok = None
         except Exception:
             pass
         out["image_id"].append(image_id)

@@ -32,6 +32,9 @@ __all__ = [
     "prepare_url",
     "parse_params",
     "append_params",
+    "detect_302",
+    "repair_302",
+    "redirect_302_udf",
     "url_to_filename",
     "url_host",
     "url_path",
@@ -195,6 +198,34 @@ def url_path(url: str) -> Optional[str]:
     return u.path if u is not None else None
 
 
+def detect_302(url: str, redirect_url: Optional[str]) -> bool:
+    """P7 predicate (BackLogFetcher.java:164-174): a fetch is a 302 event iff
+    request and real URL differ in host OR path; parse failures are ignored
+    (the reference catches and logs)."""
+    if not isinstance(redirect_url, str):
+        return False
+    o, r = java_url_parse(url), java_url_parse(redirect_url)
+    if o is None or r is None:
+        return False
+    return o.host != r.host or o.path != r.path
+
+
+def repair_302(url: str, redirect_url: Optional[str]) -> Optional[str]:
+    """302 repair (BackLogFetcher.java:176-205): params present on the real
+    URL but missing from the request URL are appended via append_params.
+
+    The reference computes this (``needAppendParams``) but the resubmit
+    branch is dead code — it never acts on it; we record the repaired URL in
+    the fetch log without resubmitting, replicating observable behavior.
+    Returns None when not a 302 or no params to append.
+    """
+    if not detect_302(url, redirect_url):
+        return None
+    ori = parse_params(url)
+    extra = {k: v for k, v in parse_params(redirect_url).items() if k not in ori}
+    return append_params(url, extra) if extra else None
+
+
 def url_to_filename(url: str) -> Optional[str]:
     """Export filename mangling (FileTaskResultExporter.java:102-113).
 
@@ -270,3 +301,22 @@ def url_to_filename_udf():
         return pandas_url_to_filename(urls)
 
     return pandas_udf(_f, "string")
+
+
+def redirect_302_udf():
+    """(url, redirect_url) → struct<redirected boolean, repaired_url string>."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _f(urls, redirects):
+        red, rep = [], []
+        for u, r in zip(urls, redirects):
+            if not isinstance(u, str):
+                red.append(False)
+                rep.append(None)
+                continue
+            red.append(detect_302(u, r))
+            rep.append(repair_302(u, r))
+        return pd.DataFrame({"redirected": red, "repaired_url": rep})
+
+    return pandas_udf(_f, "redirected boolean, repaired_url string")

@@ -48,7 +48,7 @@ from typing import Optional
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from crawler_spark.functions.urlnorm import prepare_url_udf
+from crawler_spark.functions.urlnorm import prepare_url_udf, redirect_302_udf
 from crawler_spark.operators import dedup as dd
 from crawler_spark.operators.politeness import select_fetch_batch
 from crawler_spark.plans import policy as P
@@ -59,7 +59,9 @@ from crawler_spark.sources import snapshots as snap
 # to the task that discovered it — TaskWorker.java:92-104 follows the chain
 # inside one task); exporters group story results by it (A1)
 FRONTIER_COLS = ["url", "host", "wave", "priority", "page_idx", "attempt", "generation", "task_url"]
-_RETRIABLE = ("fetch_retries_exhausted", "anti_retries_exhausted")
+# recycle-bin re-drive picks these up (TIMEOUTED tasks go to the bin too,
+# StoryWorker.java:193-196)
+_RETRIABLE = ("fetch_retries_exhausted", "anti_retries_exhausted", "timeout")
 
 
 class CrawlEngine:
@@ -73,6 +75,7 @@ class CrawlEngine:
         bloom_buckets: int = 256,
         bloom_fpp: float = 0.01,
         ingest_payloads: bool = False,
+        compact_every: int = 16,
     ):
         self.spark = spark
         self.fix_dir = fix_dir
@@ -81,6 +84,10 @@ class CrawlEngine:
         self.use_bloom = use_bloom
         self.bloom_buckets = bloom_buckets
         self.bloom_fpp = bloom_fpp
+        # fold url_seen's delta history into a full snapshot every K rounds
+        # (read_deltas then unions O(K) dirs instead of O(rounds) — the
+        # file-listing/plan-width fix for thousand-round crawls); 0 disables
+        self.compact_every = compact_every
         # ingest-time payload processing: decode + phash + PSNR invariants run
         # inside the round for every FETCHED image (crawl-time near-dup phash
         # is the image-crawler analog of U2 over payloads); results land in
@@ -184,7 +191,13 @@ class CrawlEngine:
             .withColumn("next_page_url", F.col("ex.next_url"))
             .withColumn("anti", F.col("ex.anti"))
             .withColumn("records", F.col("ex.records"))
-            .drop("ex", "content")
+            # P7: 302 detection (host/path mismatch vs the real URL) + the
+            # param-delta repair, recorded in the fetch log (the reference
+            # computes the repair but its resubmit branch is dead code)
+            .withColumn("r302", redirect_302_udf()(F.col("url"), F.col("redirect_url")))
+            .withColumn("redirected", F.coalesce(F.col("r302.redirected"), F.lit(False)))
+            .withColumn("repaired_url", F.col("r302.repaired_url"))
+            .drop("ex", "r302", "content")
         )
         known = F.coalesce(F.col("known"), F.lit(False))
         fail_count = F.coalesce(F.col("fail_count"), F.lit(0))
@@ -416,7 +429,8 @@ class CrawlEngine:
                 continue
 
             fetch_log = classified.select(
-                F.lit(rnd).alias("round"), "host", "rank", "url", "status", "attempt"
+                F.lit(rnd).alias("round"), "host", "rank", "url", "status", "attempt",
+                "redirected", "repaired_url",
             )
             dead_delta = classified.filter(F.col("dead_reason").isNotNull()).select(
                 "url",
@@ -424,6 +438,21 @@ class CrawlEngine:
                 "generation",
                 F.lit(rnd).alias("round"),
             )
+            # T2 round deadline: eligible rows the budget passed over for
+            # max_wait_rounds rounds die TIMEOUTED (→ recycle bin)
+            timed_out = None
+            if cfg.max_wait_rounds is not None:
+                timed_out = (
+                    eligible.join(F.broadcast(classified.select("url")), "url", "left_anti")
+                    .filter(F.lit(rnd) - F.col("wave") >= cfg.max_wait_rounds)
+                    .persist()
+                )
+                dead_delta = dead_delta.unionByName(
+                    timed_out.select(
+                        "url", F.lit("timeout").alias("reason"), "generation",
+                        F.lit(rnd).alias("round"),
+                    )
+                )
             # frontier bookkeeping: selected non-retry rows leave; retries bump
             # attempt.  sel is batch-sized (≤ Σ host budgets) — broadcast it so
             # a stats-less plan never sort-merge-shuffles the full frontier.
@@ -437,6 +466,8 @@ class CrawlEngine:
                 )
                 .select(*FRONTIER_COLS)
             )
+            if timed_out is not None:
+                kept = kept.join(timed_out.select("url"), "url", "left_anti")
             self._bloom_scratch = None
             fetched = classified.filter(F.col("status") == P.ST_FETCHED)
             # structdata story results (consumed by the exporter family K1-K5)
@@ -453,9 +484,17 @@ class CrawlEngine:
             admitted.count()  # materialize before the bloom cogroup + writes
             bloom_next = self._bloom_next(admitted, url_seen)
             seen_delta = admitted.select("url", "url_hash", F.lit(rnd + 1).alias("round"))
-            if seed_seen is not None:  # first commit carries the seed membership
+            folded_seeds = seed_seen is not None
+            if folded_seeds:  # first commit carries the seed membership
                 seen_delta = seed_seen.unionByName(seen_delta)
                 seed_seen = None
+            compact_seen = bool(self.compact_every) and (
+                rnd % self.compact_every == self.compact_every - 1
+            )
+            if compact_seen and not folded_seeds:
+                # fold the whole committed history in → full snapshot (when
+                # seeds were just folded, the delta IS already the history)
+                seen_delta = url_seen.unionByName(seen_delta)
             frontier_next = kept.unionByName(admitted.select(*FRONTIER_COLS))
             # per-partition lineage metrics beside the checkpoint (north_rule)
             lineage = (
@@ -485,7 +524,10 @@ class CrawlEngine:
                 meta["bloom_format"] = 2
                 meta["bloom_buckets"] = self.bloom_buckets
             t_commit = time.time()
-            snap.commit_round(self.ckpt_dir, rnd, tables, meta=meta)
+            snap.commit_round(
+                self.ckpt_dir, rnd, tables, meta=meta,
+                compacted=("url_seen",) if compact_seen else (),
+            )
             if os.environ.get("SPARK_GRAFT_DEBUG_TIMING"):
                 print(
                     f"TIMING round={rnd} pre={t_commit - t0:.1f}s "
@@ -497,6 +539,8 @@ class CrawlEngine:
             )
             classified.unpersist()
             admitted.unpersist()
+            if timed_out is not None:
+                timed_out.unpersist()
             if self._bloom_scratch is not None:
                 self._bloom_scratch.unpersist()
                 self._bloom_scratch = None

@@ -67,6 +67,11 @@ class CrawlConfig:
     max_fetch_retries: int = MAX_FETCH_RETRIES
     max_anti_retries: int = MAX_ANTI_RETRIES
     salt_buckets: int = 8  # phase-1 salted ranking fan-out (skew axis B)
+    # T2 await-timeout analog (reference worker.wait.timeout=300 s,
+    # TaskWorker.java:200-205): an ELIGIBLE task passed over by the
+    # politeness budget for this many consecutive rounds dies TIMEOUTED into
+    # the recycle bin (late-data policy).  None disables the deadline.
+    max_wait_rounds: int | None = None
 
     def host_budget(self, crawl_delay_s: float) -> int:
         """Fetches allowed for one host in one round (politeness, T4)."""

@@ -18,7 +18,13 @@ from dataclasses import dataclass, field
 
 from crawler_spark.fixtures import load_tables
 from crawler_spark.functions.extract import extract_all
-from crawler_spark.functions.urlnorm import prepare_url, url_host, url_path
+from crawler_spark.functions.urlnorm import (
+    detect_302,
+    prepare_url,
+    repair_302,
+    url_host,
+    url_path,
+)
 from crawler_spark.plans.policy import (
     MAX_BIN_GENERATIONS,
     CrawlConfig,
@@ -99,7 +105,7 @@ def simulate(fix_dir: str, cfg: CrawlConfig | None = None) -> SimResult:
             redrive = [
                 d
                 for d in res.dead
-                if d["reason"] in ("fetch_retries_exhausted", "anti_retries_exhausted")
+                if d["reason"] in ("fetch_retries_exhausted", "anti_retries_exhausted", "timeout")
                 and d["generation"] < MAX_BIN_GENERATIONS
                 and d["url"] not in pending
                 and not d.get("redriven")
@@ -128,6 +134,22 @@ def simulate(fix_dir: str, cfg: CrawlConfig | None = None) -> SimResult:
         if not batch:
             rnd += 1
             continue
+        # T2 round deadline (mirrors the engine: swept only on non-empty
+        # rounds): eligible rows the budget passed over for max_wait_rounds
+        # rounds die TIMEOUTED (→ recycle bin)
+        if cfg.max_wait_rounds is not None:
+            selected_urls = {url for _, url, _ in batch}
+            for url in sorted(pending):
+                e = pending[url]
+                if (
+                    e.wave <= rnd
+                    and url not in selected_urls
+                    and rnd - e.wave >= cfg.max_wait_rounds
+                ):
+                    del pending[url]
+                    res.dead.append(
+                        {"url": url, "reason": "timeout", "generation": e.generation, "round": rnd}
+                    )
         # --- fetch + classify (S3/P3/J4) ------------------------------------
         admitted = {}  # url -> candidate (priority, page_idx, generation)
         n_fetched = n_failed = n_dead = 0
@@ -148,6 +170,7 @@ def simulate(fix_dir: str, cfg: CrawlConfig | None = None) -> SimResult:
                 attempt=e.attempt,
                 cfg=cfg,
             )
+            redirect = page["redirect_url"] if page is not None else None
             res.fetch_log.append(
                 {
                     "round": rnd,
@@ -156,6 +179,8 @@ def simulate(fix_dir: str, cfg: CrawlConfig | None = None) -> SimResult:
                     "url": url,
                     "status": out.status,
                     "attempt": e.attempt,
+                    "redirected": detect_302(url, redirect),
+                    "repaired_url": repair_302(url, redirect),
                 }
             )
             if out.status == ST_FETCHED:

@@ -46,8 +46,14 @@ def commit_round(
     tables: dict[str, DataFrame],
     meta: Optional[dict] = None,
     blobs: Optional[dict[str, bytes]] = None,
+    compacted: tuple[str, ...] = (),
 ) -> dict:
     """Write a round's tables, then the manifest (the atomic commit point).
+
+    A table named in ``compacted`` is a FULL snapshot (all history folded
+    in): ``read_deltas`` starts its union there instead of round 0 — the
+    Iceberg rewrite-manifests pattern, keeping both the file-listing fan-in
+    and the union-plan width O(rounds-since-compaction) on long crawls.
 
     Table writes run as CONCURRENT Spark jobs (thread pool): the per-round
     deltas are independent outputs of the same persisted round state, so
@@ -74,7 +80,7 @@ def commit_round(
     n_workers = int(os.environ.get("SPARK_GRAFT_COMMIT_THREADS", len(tables)) or 1)
     with ThreadPoolExecutor(max_workers=max(1, n_workers)) as ex:
         for name, path in ex.map(_write, tables.items()):
-            manifest["tables"][name] = {"path": path}
+            manifest["tables"][name] = {"path": path, "compacted": name in compacted}
     for fname, data in (blobs or {}).items():
         with open(os.path.join(rdir, fname), "wb") as f:
             f.write(data)
@@ -139,11 +145,16 @@ def read_blob(ckpt_dir: str, fname: str, rnd: int) -> Optional[bytes]:
 def read_deltas(
     spark: SparkSession, ckpt_dir: str, name: str, upto_round: int
 ) -> Optional[DataFrame]:
-    """Union of a delta table across committed rounds ≤ upto_round."""
+    """Union of a delta table across committed rounds ≤ upto_round, starting
+    from the table's most recent COMPACTED snapshot (see commit_round)."""
+    rounds = [r for r in committed_rounds(ckpt_dir) if r <= upto_round]
+    start = 0
+    for i, r in enumerate(rounds):
+        entry = ((read_manifest(ckpt_dir, r) or {}).get("tables") or {}).get(name) or {}
+        if entry.get("compacted"):
+            start = i
     paths = []
-    for r in committed_rounds(ckpt_dir):
-        if r > upto_round:
-            break
+    for r in rounds[start:]:
         p = os.path.join(_round_dir(ckpt_dir, r), name)
         if os.path.exists(p):
             paths.append(p)

@@ -40,12 +40,30 @@ _FETCH_LOG_SCHEMA = (
 _DEAD_SCHEMA = "url string, reason string, generation int, round int"
 
 
+def _committed_frontier(ckpt_dir: str) -> int:
+    """Latest COMMITTED round — the stream's visibility gate.
+
+    The batch readers honor the MANIFEST atomic-commit point; a raw file
+    glob would also see torn rounds (files written, crash before manifest)
+    and, after clean_uncommitted + rewrite, double-count them through the
+    file-source checkpoint.  Streams therefore filter to rounds ≤ the commit
+    frontier AT STREAM START — exact for the availableNow drains used here;
+    a continuous tail should be restarted per round (or the round dirs
+    staged+renamed) to advance the gate.
+    """
+    from crawler_spark.sources import snapshots as snap
+
+    last = snap.latest_round(ckpt_dir)
+    return -1 if last is None else last
+
+
 def fetch_log_stream(spark: SparkSession, ckpt_dir: str) -> DataFrame:
-    """File-source stream of fetch_log deltas as they are committed."""
+    """File-source stream of fetch_log deltas, gated to committed rounds."""
     return (
         spark.readStream.schema(_FETCH_LOG_SCHEMA)
         .option("pathGlobFilter", "*.parquet")
         .parquet(f"{ckpt_dir}/round=*/fetch_log")
+        .filter(F.col("round") <= F.lit(_committed_frontier(ckpt_dir)))
     )
 
 
@@ -72,6 +90,7 @@ def dead_letter_alert_stream(spark: SparkSession, ckpt_dir: str) -> DataFrame:
         spark.readStream.schema(_DEAD_SCHEMA)
         .option("pathGlobFilter", "*.parquet")
         .parquet(f"{ckpt_dir}/round=*/dead_letter")
+        .filter(F.col("round") <= F.lit(_committed_frontier(ckpt_dir)))
     )
     return dead.groupBy("reason").agg(
         F.count("*").alias("n"), F.max("round").alias("last_round")

@@ -67,6 +67,20 @@ def build_spark(cpus: int | None, shuffle_partitions: int | None):
     return b.getOrCreate()
 
 
+def _safe_clear_ckpt(path: str) -> None:
+    """Delete an existing --ckpt dir ONLY if it is empty or actually looks
+    like a crawl checkpoint (has round=*/ entries or is a leftover empty
+    shell) — a mistyped path at an unrelated directory must not be wiped."""
+    entries = os.listdir(path)
+    looks_like_ckpt = all(e.startswith("round=") for e in entries)
+    if not looks_like_ckpt:
+        raise SystemExit(
+            f"refusing to clear {path!r}: not a crawl checkpoint "
+            "(contains non-round entries); remove it manually or pass --resume"
+        )
+    shutil.rmtree(path)
+
+
 def run(args) -> dict:
     from pyspark.sql import functions as F
 
@@ -84,7 +98,7 @@ def run(args) -> dict:
         max_rounds=args.rounds,
     )
     if os.path.isdir(args.ckpt) and not args.resume:
-        shutil.rmtree(args.ckpt)
+        _safe_clear_ckpt(args.ckpt)
     eng = CrawlEngine(
         spark,
         args.fixtures,

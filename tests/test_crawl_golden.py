@@ -36,12 +36,16 @@ def engine_run(spark, fix_dir, tmp_path_factory):
 
 def _engine_fetch_tuples(eng):
     rows = eng.fetch_log().collect()
-    return sorted((r.round, r.host, r.rank, r.url, r.status, r.attempt) for r in rows)
+    return sorted(
+        (r.round, r.host, r.rank, r.url, r.status, r.attempt, r.redirected, r.repaired_url)
+        for r in rows
+    )
 
 
 def _sim_fetch_tuples(sim):
     return sorted(
-        (e["round"], e["host"], e["rank"], e["url"], e["status"], e["attempt"])
+        (e["round"], e["host"], e["rank"], e["url"], e["status"], e["attempt"],
+         e["redirected"], e["repaired_url"])
         for e in sim.fetch_log
     )
 
@@ -176,6 +180,39 @@ def test_export_files_match_simulator(engine_run, golden, tmp_path_factory):
         else:
             assert not os.path.exists(path)
     assert n_written > 0
+
+
+def test_302_detected_and_repaired(engine_run, golden):
+    """P7: the fixture's 302 pages are flagged with the param-delta repair."""
+    eng, _ = engine_run
+    eng_302 = {
+        (r.url, r.repaired_url)
+        for r in eng.fetch_log().filter("redirected").collect()
+    }
+    sim_302 = {(e["url"], e["repaired_url"]) for e in golden.fetch_log if e["redirected"]}
+    assert eng_302 == sim_302
+    assert len(sim_302) > 0
+    # the repair appends the redirect's extra query param (F3 quirks: '?&')
+    assert all(rep is not None and "sid=" in rep and "?&" in rep for _, rep in sim_302)
+
+
+def test_round_deadline_timeout_golden(spark, fix_dir, tmp_path_factory):
+    """T2: with a starvation-inducing budget and a 2-round deadline, passed-
+    over tasks die TIMEOUTED identically in engine and simulator, and the
+    recycle bin re-drives them."""
+    from crawler_spark.plans.engine import CrawlEngine
+
+    cfg = CrawlConfig(max_rounds=16, round_seconds=2.0, max_burst_per_host=2,
+                      max_wait_rounds=2)
+    sim = simulate(fix_dir, cfg)
+    ckpt = str(tmp_path_factory.mktemp("ckpt_t2"))
+    eng = CrawlEngine(spark, fix_dir, ckpt, cfg)
+    eng.run()
+    assert _engine_fetch_tuples(eng) == _sim_fetch_tuples(sim)
+    eng_dead = sorted((r.url, r.reason, r.generation, r.round) for r in eng.dead_letter().collect())
+    sim_dead = sorted((d["url"], d["reason"], d["generation"], d["round"]) for d in sim.dead)
+    assert eng_dead == sim_dead
+    assert any(reason == "timeout" for _, reason, _, _ in sim_dead)
 
 
 def test_resume_equals_straight_run(spark, fix_dir, tmp_path_factory, golden):

@@ -134,3 +134,42 @@ def test_sharded_images_match_single_file(tmpdir_path):
     t1 = pq.read_table(os.path.join(d1, "images.parquet")).sort_by("image_id")
     t2 = pq.read_table(os.path.join(d2, "images.parquet")).sort_by("image_id")
     assert t1.equals(t2)
+
+
+def test_delta_compaction_reads_from_snapshot(spark, tmpdir_path):
+    """A compacted table is a full snapshot: read_deltas skips older rounds
+    (and would double-count if it didn't)."""
+    from crawler_spark.sources import snapshots as snap
+
+    d0 = spark.range(0, 10).withColumnRenamed("id", "k")
+    full1 = spark.range(0, 20).withColumnRenamed("id", "k")  # 0..9 folded in
+    d2 = spark.range(20, 25).withColumnRenamed("id", "k")
+    snap.commit_round(tmpdir_path, 0, {"t": d0})
+    snap.commit_round(tmpdir_path, 1, {"t": full1}, compacted=("t",))
+    snap.commit_round(tmpdir_path, 2, {"t": d2})
+    out = snap.read_deltas(spark, tmpdir_path, "t", 2)
+    assert out.count() == 25  # 35 would mean round 0 was (wrongly) included
+    assert {r.k for r in out.collect()} == set(range(25))
+    # reads bounded before the compaction still see the original deltas
+    assert snap.read_deltas(spark, tmpdir_path, "t", 0).count() == 10
+
+
+def test_engine_compaction_preserves_membership(spark, tmpdir_path):
+    """url_seen compaction every 2 rounds: same membership as the simulator,
+    no duplicate rows in the compacted table."""
+    import os
+
+    from crawler_spark.fixtures import generate
+    from crawler_spark.plans.engine import CrawlEngine
+    from crawler_spark.plans.policy import CrawlConfig
+    from crawler_spark.simulator import simulate
+
+    fix = os.path.join(tmpdir_path, "fix")
+    generate(fix, n_pages=96, n_hosts=4, seed=7)
+    cfg = CrawlConfig(max_rounds=6)
+    eng = CrawlEngine(spark, fix, os.path.join(tmpdir_path, "ck"), cfg, compact_every=2)
+    eng.run()
+    sim = simulate(fix, cfg)
+    rows = eng.url_seen().collect()
+    assert {r.url for r in rows} == sim.url_seen
+    assert len(rows) == len(sim.url_seen)  # compaction introduced no dups

@@ -101,3 +101,23 @@ def test_psnr_known_value():
     b[0, 0, 0] = 255
     mse = 255.0**2 / (8 * 8 * 3)
     assert abs(psnr(a, b) - 10 * np.log10(255.0**2 / mse)) < 1e-9
+
+
+def test_stubbed_codec_rows_are_skipped_not_passed():
+    """A jpeg (stub codec) row must yield NULL flags — never a silent pass
+    (round-1 counted any jpeg row, even a corrupt one, as verified)."""
+    from crawler_spark.functions.imaging import decode_check_rows
+
+    arr = _img(1, 4, 4)
+    out = decode_check_rows(
+        ["a", "b"],
+        [b"\xff\xd8\x00bad", encode_image(arr, "ppm")],
+        ["jpeg", "ppm"],
+        [4, 4],
+        [4, 4],
+        [0, phash64(arr)],
+    )
+    jrow = out[out["image_id"] == "a"].iloc[0]
+    assert jrow["decode_ok"] is None and jrow["shape_ok"] is None and jrow["phash_ok"] is None
+    prow = out[out["image_id"] == "b"].iloc[0]
+    assert bool(prow["decode_ok"]) and bool(prow["shape_ok"]) and bool(prow["phash_ok"])

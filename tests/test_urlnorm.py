@@ -180,3 +180,34 @@ def test_pandas_udf_roundtrip(spark):
     ]
     hosts = df.select(url_host_udf()(F.col("base")).alias("h")).collect()
     assert hosts[0].h == "search.smzdm.com"
+
+
+class Test302:
+    """P7 detection/repair (reference BackLogFetcher.java:164-205)."""
+
+    def test_detects_host_and_path_mismatch(self):
+        from crawler_spark.functions.urlnorm import detect_302
+
+        assert detect_302("http://a.com/p/1", "http://b.com/p/1") is True
+        assert detect_302("http://a.com/p/1", "http://a.com/p/2") is True
+        # same host+path, different query ⇒ NOT a 302 event
+        assert detect_302("http://a.com/p/1", "http://a.com/p/1?x=1") is False
+        assert detect_302("http://a.com/p/1", None) is False
+        # parse failure on either side is ignored (reference catches)
+        assert detect_302("http://a.com/p/1", "::bad::") is False
+        assert detect_302("::bad::", "http://a.com/p/1") is False
+
+    def test_repair_appends_missing_params_with_quirks(self):
+        from crawler_spark.functions.urlnorm import repair_302
+
+        # no query on the original → '?&k=v' (F3 quirk)
+        assert repair_302("http://a.com/p", "http://b.com/p?sid=9") == "http://a.com/p?&sid=9"
+        # existing query → bare '&'
+        assert (
+            repair_302("http://a.com/p?x=1", "http://b.com/p?x=2&sid=9")
+            == "http://a.com/p?x=1&sid=9"
+        )
+        # no param delta → no repair even though redirected
+        assert repair_302("http://a.com/p", "http://b.com/p") is None
+        # not a 302 → no repair
+        assert repair_302("http://a.com/p", "http://a.com/p?sid=9") is None
