@@ -84,6 +84,17 @@ DEFAULT_RULES = [
     _content_rule("content_html", "html"),
     _content_rule("content_jss", "jssfile"),
     _content_rule("content_blank", "no"),
+    # emulator search flow (S4): rendered by the scripted browser
+    # (functions/emulator.py), extracted like a paging task
+    {
+        "extractor": "search",
+        "list_sel": "ul.links li a",
+        "field_sels": ["self@href", "self:text"],
+        "content_sels": None,
+        "next_sel": "div.pager a",
+        "anti_marker": "Robot check",
+        "landing": "pipeline",
+    },
 ]
 
 # The e2e cycle uses the four file-sink variants.  With m = i // max_links,
@@ -215,6 +226,7 @@ def generate(
     image_shards: int = 1,
     max_links: int = 4,
     fmts: list[str] | None = None,
+    n_search_seeds: int = 2,
 ) -> dict:
     """Write images/pages/seeds/robots parquet under out_dir; return paths.
 
@@ -330,14 +342,17 @@ def generate(
     )
     pq.write_table(rules, os.path.join(out_dir, "rules.parquet"))
 
-    # --- seeds ---------------------------------------------------------------
+    # --- seeds (page seeds + emulator search seeds, S4/F9) -------------------
     if n_seeds is None:
         n_seeds = max(8, n_pages // 16)
+    seed_urls = [page_url(i, host_z) for i in range(n_seeds)]
+    for k, word in enumerate(("fox", "moon")[: max(0, n_search_seeds)]):
+        seed_urls.append(f"http://{host_of(k % n_hosts)}/search?_kw_={word}&page=0")
     seeds = pa.table(
         {
-            "seed_id": pa.array([str(i) for i in range(n_seeds)], pa.string()),
-            "url": pa.array([page_url(i, host_z) for i in range(n_seeds)], pa.string()),
-            "story_seq": pa.array([i // 200 for i in range(n_seeds)], pa.int64()),
+            "seed_id": pa.array([str(i) for i in range(len(seed_urls))], pa.string()),
+            "url": pa.array(seed_urls, pa.string()),
+            "story_seq": pa.array([i // 200 for i in range(len(seed_urls))], pa.int64()),
         }
     )
     pq.write_table(seeds, os.path.join(out_dir, "seeds.parquet"))
@@ -382,8 +397,9 @@ def ensure_cached(
 
     A ``_DONE`` marker written last makes partial generations self-healing.
     """
-    # v2: pages carry HTML content + extractor (cache key invalidates v1 dirs)
-    tag = f"fix2_p{n_pages}_h{n_hosts}_s{seed}"
+    # v3: HTML content + extractor + redirects + emulator seeds (cache key
+    # invalidates older layouts)
+    tag = f"fix3_p{n_pages}_h{n_hosts}_s{seed}"
     if n_seeds is not None:
         tag += f"_sd{n_seeds}"
     if img_px is not None:

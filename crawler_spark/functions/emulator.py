@@ -1,0 +1,99 @@
+"""Browser-emulator fetch path S4 + keyword param F9 (SURVEY.md §2.1/§2.7).
+
+The reference drives search flows through a Selenium browser: type the
+keyword from the task's ``_kw_`` query param, paginate, collect result hrefs
+(SeleniumFetcher.java:120-300, search flow 173-260; keyword extraction
+SearchScript.java:76-85 via the ``_kw_`` constant, Crawlers.java:88).
+Emulator tasks ride a separate backlog queue (EMULATOR_BACKLOG,
+Crawlers.java:51) — a second fetch path beside the HTTP fetcher.
+
+Spark-first: the emulator is an ALTERNATE FETCH UDF selected per row
+(when/otherwise routing, per SURVEY §2.1 S4).  No browser exists in this
+sandbox, so the "browser" is a deterministic scripted renderer: given a
+``/search?_kw_=w&page=p`` URL it synthesizes the search-result markup
+(result anchors + a next-page link) as a pure function of (keyword, page) —
+the same scalar runs in the golden simulator, so routing, extraction,
+pagination, and frontier feedback of the emulator path are all pinned by the
+fetch-order/URL-seen invariants.  Routing is URL-based (path prefix
+``/search``) instead of template-based (the reference routes on the task's
+``emulator`` map) — documented deviation; observable dataflow matches.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Optional
+
+from crawler_spark.functions.urlnorm import java_url_parse, parse_params, url_path
+
+__all__ = [
+    "SEARCH_PATH_PREFIX",
+    "is_emulator_url",
+    "search_keyword",
+    "emulate_search_html",
+    "emulate_search_udf",
+]
+
+SEARCH_PATH_PREFIX = "/search"
+N_RESULTS = 5
+TARGET_SPACE = 1024  # result links land in /p/0../p/1023; unknown pages → NO_CONTENT
+
+
+def is_emulator_url(url: str) -> bool:
+    """Routing predicate: search-flow URLs take the emulator fetch path."""
+    p = url_path(url)
+    return p is not None and p.startswith(SEARCH_PATH_PREFIX)
+
+
+def search_keyword(url: str) -> Optional[str]:
+    """F9: the ``_kw_`` query param is the search keyword
+    (SearchScript.java:76-85; parse via the quirk-exact parse_params)."""
+    return parse_params(url).get("_kw_")
+
+
+def emulate_search_html(url: str) -> Optional[str]:
+    """The scripted browser: deterministic search-result markup for a
+    ``/search?_kw_=w&page=p`` URL.
+
+    Result j of page p links to ``/p/<md5(w:p:j) % TARGET_SPACE>`` (relative
+    hrefs — prepare_url resolves them against the search host, F1); the
+    pager emits the next results page, bounded downstream by the page-down
+    machinery (O3), exactly like the reference's scripted scroll/paginate
+    loop (SeleniumFetcher.java:223-260).  Returns None for a keyword-less
+    URL (the reference's script aborts without ``_kw_``).
+    """
+    kw = search_keyword(url)
+    if kw is None:
+        return None
+    params = parse_params(url)
+    try:
+        page = int(params.get("page", "0"))
+    except ValueError:
+        page = 0
+    items = []
+    for j in range(N_RESULTS):
+        t = int(hashlib.md5(f"{kw}:{page}:{j}".encode()).hexdigest()[:8], 16) % TARGET_SPACE
+        items.append(f'<li><a href="/p/{t}">result {j}</a></li>')
+    u = java_url_parse(url)
+    nxt = f"{u.protocol}://{u.host}{SEARCH_PATH_PREFIX}?_kw_={kw}&page={page + 1}"
+    return (
+        "<html><body>"
+        f'<div class="caption">search: {kw} page {page}</div>'
+        f'<ul class="links">{"".join(items)}</ul>'
+        f'<div class="pager"><a rel="next" href="{nxt}">next</a></div>'
+        "</body></html>"
+    )
+
+
+def emulate_search_udf():
+    """Vectorized emulator fetch: url → rendered search markup (or NULL)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _f(urls):
+        return pd.Series(
+            [emulate_search_html(u) if isinstance(u, str) else None for u in urls],
+            dtype="object",
+        )
+
+    return pandas_udf(_f, "string")

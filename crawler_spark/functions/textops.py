@@ -95,29 +95,25 @@ def lang_guess(text: Column) -> Column:
 
 
 def html_to_text_udf():
-    """HTML → pure text (reference PureTextFileTaskResultExporter.java:28-38:
-    Jsoup.clean with Whitelist.none() == strip all tags, keep text).
+    """HTML → pure text (F10, reference
+    PureTextFileTaskResultExporter.java:28-38: Jsoup.clean with
+    Whitelist.none() == strip all tags, keep text).
 
-    Vectorized pandas UDF using regex tag-stripping (no lxml in container).
+    Thin vectorized wrapper over the canonical scalar
+    ``operators.exporters.strip_tags_line`` — the K2 pure-text sink and this
+    column function share ONE implementation, pinned by the reference's own
+    test vectors (tests/test_exporters.py).
     """
-    import re
-
     from pyspark.sql.functions import pandas_udf
-
-    tag = re.compile(r"<[^>]+>")
-    comment = re.compile(r"<!--.*?-->", re.S)
-    script = re.compile(r"<(script|style)[^>]*>.*?</\1>", re.S | re.I)
 
     def _f(s):
         import pandas as pd
 
-        def clean(x):
-            if not isinstance(x, str):
-                return None
-            x = script.sub("", x)
-            x = comment.sub("", x)
-            return tag.sub("", x)
+        from crawler_spark.operators.exporters import strip_tags_line
 
-        return pd.Series([clean(x) for x in s], dtype="object")
+        return pd.Series(
+            [strip_tags_line(x) if isinstance(x, str) else None for x in s],
+            dtype="object",
+        )
 
     return pandas_udf(_f, "string")

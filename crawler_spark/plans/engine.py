@@ -182,9 +182,34 @@ class CrawlEngine:
         pinned by the golden simulator test, which extracts with the same
         scalars).
         """
+        from crawler_spark.functions.emulator import SEARCH_PATH_PREFIX, emulate_search_udf
+
         cfg = self.cfg
+        # S4 routing: search-flow URLs take the emulator fetch path — the
+        # scripted browser renders their markup instead of the page-table
+        # join (when/otherwise fetch-UDF selection, reference
+        # EMULATOR_BACKLOG Crawlers.java:51 / TaskWorker.java:156)
+        em = F.coalesce(F.parse_url(F.col("url"), F.lit("PATH")), F.lit("")).startswith(
+            SEARCH_PATH_PREFIX
+        )
         joined = (
             batch.join(self.pages, "url", "left")
+            .withColumn("_em", em)
+            .withColumn(
+                "content",
+                F.when(F.col("_em"), emulate_search_udf()(F.col("url"))).otherwise(
+                    F.col("content")
+                ),
+            )
+            .withColumn(
+                "extractor",
+                F.when(F.col("_em"), F.lit("search")).otherwise(F.col("extractor")),
+            )
+            .withColumn(
+                "known",
+                F.when(F.col("_em"), F.col("content").isNotNull()).otherwise(F.col("known")),
+            )
+            .drop("_em")
             .withColumn("ex", self._extract(F.col("content"), F.col("extractor")))
             .join(F.broadcast(self._landing), "extractor", "left")
             .withColumn("out_links", F.col("ex.links"))

@@ -773,6 +773,36 @@ FROM orders
 
 
 # --------------------------------------------------------------------------
+# §2.4 A1: task-result collect — collect_list + flatten (the exporter's
+# accumulate-then-flatten, TaskWorker.java:57-133 /
+# AbstractResultExporter.java:24-41) over driver testdata.
+# --------------------------------------------------------------------------
+
+
+def q27_collect_flatten(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sort_array(
+            F.collect_list(F.array("l_returnflag", "l_linestatus"))
+        ).alias("pairs")
+    )
+    return per_order.select(
+        "l_orderkey",
+        F.size("pairs").alias("n_lines"),
+        F.concat_ws("|", F.flatten("pairs")).alias("flags"),
+    )
+
+
+SQL_Q27 = """
+SELECT l_orderkey, len(pairs) AS n_lines,
+       array_to_string(flatten(pairs), '|') AS flags
+FROM (
+  SELECT l_orderkey, list_sort(list([l_returnflag, l_linestatus])) AS pairs
+  FROM lineitem GROUP BY l_orderkey)
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -803,4 +833,5 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q24_embed_near_dup": (q24_embed_near_dup, SQL_Q24),
     "q25_embed_near_dup_lsh": (q25_embed_near_dup_lsh, SQL_Q25),
     "q26_extract_records": (q26_extract_records, SQL_Q26),
+    "q27_collect_flatten": (q27_collect_flatten, SQL_Q27),
 }

@@ -17,6 +17,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 from crawler_spark.fixtures import load_tables
+from crawler_spark.functions.emulator import emulate_search_html, is_emulator_url
 from crawler_spark.functions.extract import extract_all
 from crawler_spark.functions.urlnorm import (
     detect_302,
@@ -155,22 +156,31 @@ def simulate(fix_dir: str, cfg: CrawlConfig | None = None) -> SimResult:
         n_fetched = n_failed = n_dead = 0
         for host, url, rank in batch:
             e = pending[url]
+            # fetch: emulator path (S4, scripted browser) or page-table join
             page = pages.get(url)
+            if is_emulator_url(url):
+                content = emulate_search_html(url)
+                extractor = "search"
+                known = content is not None
+                fail_count, redirect = 0, None
+            elif page is not None:
+                content, extractor = page["content"], page["extractor"]
+                known = True
+                fail_count, redirect = int(page["fail_count"]), page["redirect_url"]
+            else:
+                content, extractor, known, fail_count, redirect = None, None, False, 0, None
             # extraction (P1/P2): same scalars the engine's pandas UDF wraps
-            if page is not None:
-                links, next_url, anti, records = extract_all(
-                    page["content"], page["extractor"], rules
-                )
+            if known:
+                links, next_url, anti, records = extract_all(content, extractor, rules)
             else:
                 links, next_url, anti, records = [], None, False, []
             out = classify_fetch(
-                known_page=page is not None,
+                known_page=known,
                 anti_flag=anti,
-                fail_count=int(page["fail_count"]) if page else 0,
+                fail_count=fail_count,
                 attempt=e.attempt,
                 cfg=cfg,
             )
-            redirect = page["redirect_url"] if page is not None else None
             res.fetch_log.append(
                 {
                     "round": rnd,
@@ -186,13 +196,13 @@ def simulate(fix_dir: str, cfg: CrawlConfig | None = None) -> SimResult:
             if out.status == ST_FETCHED:
                 n_fetched += 1
                 del pending[url]
-                landing = landing_of.get(page["extractor"], "no")
+                landing = landing_of.get(extractor, "no")
                 res.story_results.append(
                     {
                         "round": rnd,
                         "url": url,
                         "task_url": e.task_url,
-                        "extractor": page["extractor"],
+                        "extractor": extractor,
                         "landing": landing,
                         "records": records,
                     }

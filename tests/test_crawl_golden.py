@@ -182,6 +182,23 @@ def test_export_files_match_simulator(engine_run, golden, tmp_path_factory):
     assert n_written > 0
 
 
+def test_emulator_search_flow_golden(engine_run, golden):
+    """S4: the scripted-browser fetch path (search seeds → result links →
+    pagination) reproduces the simulator exactly, incl. structdata."""
+    eng, _ = engine_run
+    eng_search = {
+        (r.url, tuple(map(tuple, r.records)))
+        for r in eng.story_results().filter("extractor = 'search'").collect()
+    }
+    sim_search = {
+        (r["url"], tuple(map(tuple, r["records"])))
+        for r in golden.story_results
+        if r["extractor"] == "search"
+    }
+    assert eng_search == sim_search
+    assert len(sim_search) > 0
+
+
 def test_302_detected_and_repaired(engine_run, golden):
     """P7: the fixture's 302 pages are flagged with the param-delta repair."""
     eng, _ = engine_run

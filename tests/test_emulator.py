@@ -1,0 +1,45 @@
+"""Unit tests for the emulator fetch path S4 + keyword param F9
+(functions.emulator): routing predicate, keyword extraction, deterministic
+search rendering, pagination chaining, and extraction compatibility."""
+
+from crawler_spark.fixtures import DEFAULT_RULES
+from crawler_spark.functions.emulator import (
+    emulate_search_html,
+    is_emulator_url,
+    search_keyword,
+)
+from crawler_spark.functions.extract import extract_all
+
+RULES = {r["extractor"]: r for r in DEFAULT_RULES}
+
+
+def test_routing_predicate():
+    assert is_emulator_url("http://h0.example.com/search?_kw_=fox&page=0") is True
+    assert is_emulator_url("http://h0.example.com/searchlight") is True  # prefix rule
+    assert is_emulator_url("http://h0.example.com/p/7") is False
+    assert is_emulator_url("not a url") is False
+
+
+def test_keyword_param_f9():
+    assert search_keyword("http://h/search?_kw_=fox&page=0") == "fox"
+    assert search_keyword("http://h/search?page=0") is None
+    # quirk parity: trailing-empty split drops '_kw_=' entirely (Java split)
+    assert search_keyword("http://h/search?_kw_=") is None
+
+
+def test_render_is_deterministic_and_paginates():
+    u = "http://h3.example.com/search?_kw_=fox&page=1"
+    h1, h2 = emulate_search_html(u), emulate_search_html(u)
+    assert h1 == h2
+    links, nxt, anti, records = extract_all(h1, "search", RULES)
+    assert len(records) == 5 and len(links) == 5
+    assert all(ln.startswith("/p/") for ln in links)
+    assert nxt == "http://h3.example.com/search?_kw_=fox&page=2"
+    assert anti is False
+    # a different page yields different results
+    other = emulate_search_html("http://h3.example.com/search?_kw_=fox&page=2")
+    assert extract_all(other, "search", RULES)[0] != links
+
+
+def test_keywordless_search_renders_nothing():
+    assert emulate_search_html("http://h/search?page=0") is None
