@@ -31,7 +31,6 @@ __all__ = [
     "is_emulator_url",
     "search_keyword",
     "emulate_search_html",
-    "emulate_search_udf",
 ]
 
 SEARCH_PATH_PREFIX = "/search"
@@ -85,15 +84,6 @@ def emulate_search_html(url: str) -> Optional[str]:
     )
 
 
-def emulate_search_udf():
-    """Vectorized emulator fetch: url → rendered search markup (or NULL)."""
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
-
-    def _f(urls):
-        return pd.Series(
-            [emulate_search_html(u) if isinstance(u, str) else None for u in urls],
-            dtype="object",
-        )
-
-    return pandas_udf(_f, "string")
+# NOTE: emulate_search_html enters Spark plans through the fused fetch-parse
+# UDF (functions/extract.fetch_parse_udf) — one Python hop per round, no
+# standalone wrapper.

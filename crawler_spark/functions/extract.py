@@ -40,7 +40,9 @@ __all__ = [
     "find_next_url",
     "extract_all",
     "extract_all_udf",
+    "fetch_parse_udf",
     "EXTRACT_SCHEMA",
+    "FETCH_PARSE_SCHEMA",
 ]
 
 _VOID_TAGS = frozenset({"img", "br", "hr", "meta", "link", "input", "area", "base", "col"})
@@ -201,6 +203,51 @@ def extract_all(
 EXTRACT_SCHEMA = (
     "links array<string>, next_url string, anti boolean, records array<array<string>>"
 )
+
+FETCH_PARSE_SCHEMA = (
+    "known boolean, extractor string, links array<string>, next_url string, "
+    "anti boolean, records array<array<string>>, redirected boolean, repaired_url string"
+)
+
+
+def fetch_parse_udf(rules: dict):
+    """The round's ENTIRE per-row Python in one Arrow pass:
+    (url, redirect_url, content, extractor) → FETCH_PARSE_SCHEMA.
+
+    Fuses emulator rendering (S4, functions.emulator), extraction dispatch
+    (P1/P2), and 302 detect/repair (P7, functions.urlnorm) — one pandas-UDF
+    stage instead of three.  Three separate UDF projections measurably cost
+    ~serial driver/plan overhead per round at bench scale (each stage is its
+    own exec node, plan subtree, and Python round-trip); the fetch loop is
+    latency-critical, so the hot path gets exactly one Python hop.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from crawler_spark.functions.emulator import emulate_search_html, is_emulator_url
+    from crawler_spark.functions.urlnorm import detect_302, repair_302
+
+    def _f(urls, redirects, contents, extractors):
+        out = {k: [] for k in (
+            "known", "extractor", "links", "next_url", "anti", "records",
+            "redirected", "repaired_url",
+        )}
+        for u, rd, html, ex in zip(urls, redirects, contents, extractors):
+            if isinstance(u, str) and is_emulator_url(u):
+                html, ex, rd = emulate_search_html(u), "search", None
+            known = isinstance(html, str)
+            links, nxt, anti, recs = extract_all(html, ex, rules) if known else ([], None, False, [])
+            out["known"].append(known)
+            out["extractor"].append(ex)
+            out["links"].append(links)
+            out["next_url"].append(nxt)
+            out["anti"].append(anti)
+            out["records"].append(recs)
+            out["redirected"].append(detect_302(u, rd) if isinstance(u, str) else False)
+            out["repaired_url"].append(repair_302(u, rd) if isinstance(u, str) else None)
+        return pd.DataFrame(out)
+
+    return pandas_udf(_f, FETCH_PARSE_SCHEMA)
 
 
 def extract_all_udf(rules: dict):

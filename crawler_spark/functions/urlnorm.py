@@ -34,7 +34,6 @@ __all__ = [
     "append_params",
     "detect_302",
     "repair_302",
-    "redirect_302_udf",
     "url_to_filename",
     "url_host",
     "url_path",
@@ -303,20 +302,6 @@ def url_to_filename_udf():
     return pandas_udf(_f, "string")
 
 
-def redirect_302_udf():
-    """(url, redirect_url) → struct<redirected boolean, repaired_url string>."""
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
-
-    def _f(urls, redirects):
-        red, rep = [], []
-        for u, r in zip(urls, redirects):
-            if not isinstance(u, str):
-                red.append(False)
-                rep.append(None)
-                continue
-            red.append(detect_302(u, r))
-            rep.append(repair_302(u, r))
-        return pd.DataFrame({"redirected": red, "repaired_url": rep})
-
-    return pandas_udf(_f, "redirected boolean, repaired_url string")
+# NOTE: detect_302/repair_302 enter Spark plans through the fused
+# fetch-parse UDF (functions/extract.fetch_parse_udf) — one Python hop per
+# round, no standalone wrapper.

@@ -267,9 +267,17 @@ def simhash_near_pairs(sim: DataFrame, prefix_bits: int = 16) -> DataFrame:
     """Near-dup candidates: equal top-``prefix_bits`` simhash prefix.
 
     The standard multi-probe trick is rotating bands; one prefix band keeps
-    the demo cheap — callers can union several rotations.
+    the demo cheap — callers can union several rotations.  The prefix is
+    extracted as ``(simhash >> (64-k)) & (2^k - 1)`` — arithmetic shift +
+    mask, identical in any engine regardless of sign handling (DuckDB has no
+    unsigned shift on BIGINT).
     """
-    keyed = sim.withColumn("pfx", F.shiftrightunsigned(F.col("simhash"), 64 - prefix_bits))
+    keyed = sim.withColumn(
+        "pfx",
+        F.shiftright(F.col("simhash"), 64 - prefix_bits).bitwiseAND(
+            F.lit((1 << prefix_bits) - 1)
+        ),
+    )
     a, b = keyed.alias("a"), keyed.alias("b")
     return (
         a.join(b, (F.col("a.pfx") == F.col("b.pfx")) & (F.col("a.doc_id") < F.col("b.doc_id")))

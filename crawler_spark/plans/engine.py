@@ -48,7 +48,7 @@ from typing import Optional
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from crawler_spark.functions.urlnorm import prepare_url_udf, redirect_302_udf
+from crawler_spark.functions.urlnorm import prepare_url_udf
 from crawler_spark.operators import dedup as dd
 from crawler_spark.operators.politeness import select_fetch_batch
 from crawler_spark.plans import policy as P
@@ -59,6 +59,7 @@ from crawler_spark.sources import snapshots as snap
 # to the task that discovered it — TaskWorker.java:92-104 follows the chain
 # inside one task); exporters group story results by it (A1)
 FRONTIER_COLS = ["url", "host", "wave", "priority", "page_idx", "attempt", "generation", "task_url"]
+SAT_CHECK_EVERY = 8  # rounds between bloom saturation sweeps (cheap, periodic)
 # recycle-bin re-drive picks these up (TIMEOUTED tasks go to the bin too,
 # StoryWorker.java:193-196)
 _RETRIABLE = ("fetch_retries_exhausted", "anti_retries_exhausted", "timeout")
@@ -96,7 +97,6 @@ class CrawlEngine:
         # per-bucket Bloom bits as a DataFrame beside the checkpoint — built,
         # updated, and probed executor-side (never collected or broadcast)
         self._bloom: Optional[DataFrame] = None
-        self._bloom_scratch: Optional[DataFrame] = None
         # page table: the synthetic web. NOTE: no image bytes here — payload
         # stays in images.parquet, joined only by verify_payloads().
         self.pages = (
@@ -107,11 +107,11 @@ class CrawlEngine:
         self.robots = spark.read.parquet(os.path.join(fix_dir, "robots.parquet")).cache()
         # extractor registry (§2.9): selector rules ride the UDF closure
         # (tiny, per-story in the reference); landing joins in via broadcast
-        from crawler_spark.functions.extract import extract_all_udf
+        from crawler_spark.functions.extract import fetch_parse_udf
 
         rules_df = spark.read.parquet(os.path.join(fix_dir, "rules.parquet"))
         self.rules = {r["extractor"]: r.asDict() for r in rules_df.collect()}
-        self._extract = extract_all_udf(self.rules)
+        self._parse = fetch_parse_udf(self.rules)
         self._landing = rules_df.select("extractor", "landing").cache()
         self._images: Optional[DataFrame] = None
         self._images_index: Optional[DataFrame] = None
@@ -182,47 +182,32 @@ class CrawlEngine:
         pinned by the golden simulator test, which extracts with the same
         scalars).
         """
-        from crawler_spark.functions.emulator import SEARCH_PATH_PREFIX, emulate_search_udf
-
         cfg = self.cfg
-        # S4 routing: search-flow URLs take the emulator fetch path — the
-        # scripted browser renders their markup instead of the page-table
-        # join (when/otherwise fetch-UDF selection, reference
-        # EMULATOR_BACKLOG Crawlers.java:51 / TaskWorker.java:156)
-        em = F.coalesce(F.parse_url(F.col("url"), F.lit("PATH")), F.lit("")).startswith(
-            SEARCH_PATH_PREFIX
-        )
+        # One fused pandas-UDF stage (functions.extract.fetch_parse_udf)
+        # carries ALL the round's per-row Python: emulator routing/rendering
+        # (S4 — search URLs render via the scripted browser instead of the
+        # page-table join, reference EMULATOR_BACKLOG Crawlers.java:51 /
+        # TaskWorker.java:156), extraction dispatch (P1/P2), and 302
+        # detect/repair (P7 — the reference computes the repair but its
+        # resubmit branch is dead code; we record it in the fetch log).
         joined = (
             batch.join(self.pages, "url", "left")
-            .withColumn("_em", em)
             .withColumn(
-                "content",
-                F.when(F.col("_em"), emulate_search_udf()(F.col("url"))).otherwise(
-                    F.col("content")
+                "fx",
+                self._parse(
+                    F.col("url"), F.col("redirect_url"), F.col("content"), F.col("extractor")
                 ),
             )
-            .withColumn(
-                "extractor",
-                F.when(F.col("_em"), F.lit("search")).otherwise(F.col("extractor")),
-            )
-            .withColumn(
-                "known",
-                F.when(F.col("_em"), F.col("content").isNotNull()).otherwise(F.col("known")),
-            )
-            .drop("_em")
-            .withColumn("ex", self._extract(F.col("content"), F.col("extractor")))
+            .withColumn("known", F.col("fx.known"))
+            .withColumn("extractor", F.col("fx.extractor"))
             .join(F.broadcast(self._landing), "extractor", "left")
-            .withColumn("out_links", F.col("ex.links"))
-            .withColumn("next_page_url", F.col("ex.next_url"))
-            .withColumn("anti", F.col("ex.anti"))
-            .withColumn("records", F.col("ex.records"))
-            # P7: 302 detection (host/path mismatch vs the real URL) + the
-            # param-delta repair, recorded in the fetch log (the reference
-            # computes the repair but its resubmit branch is dead code)
-            .withColumn("r302", redirect_302_udf()(F.col("url"), F.col("redirect_url")))
-            .withColumn("redirected", F.coalesce(F.col("r302.redirected"), F.lit(False)))
-            .withColumn("repaired_url", F.col("r302.repaired_url"))
-            .drop("ex", "r302", "content")
+            .withColumn("out_links", F.col("fx.links"))
+            .withColumn("next_page_url", F.col("fx.next_url"))
+            .withColumn("anti", F.col("fx.anti"))
+            .withColumn("records", F.col("fx.records"))
+            .withColumn("redirected", F.coalesce(F.col("fx.redirected"), F.lit(False)))
+            .withColumn("repaired_url", F.col("fx.repaired_url"))
+            .drop("fx", "content")
         )
         known = F.coalesce(F.col("known"), F.lit(False))
         fail_count = F.coalesce(F.col("fail_count"), F.lit(0))
@@ -326,28 +311,44 @@ class CrawlEngine:
                     pass  # missing/torn table → rebuild below
         self._bloom = dd.bloom_build(url_seen, self.bloom_buckets, self.bloom_fpp)
 
-    def _bloom_next(self, admitted: DataFrame, url_seen: DataFrame) -> Optional[DataFrame]:
-        """The next round's filter: OR in the admitted delta, then rebuild any
-        saturated bucket (n_items > capacity ⇒ degraded fpp) from the full
-        membership with grown capacity.  All executor-side; the saturation
-        check is a job over ≤ n_buckets tiny rows."""
+    def _bloom_next(self, admitted: DataFrame) -> Optional[DataFrame]:
+        """The next round's filter: OR in the admitted delta (lazy — the
+        commit write is the single materialization; no extra per-round job,
+        the fetch loop is latency-critical)."""
         if not (self.use_bloom and self._bloom is not None):
             return None
-        merged = dd.bloom_update(
+        return dd.bloom_update(
             self._bloom, admitted.select("url_hash"), self.bloom_buckets, self.bloom_fpp
-        ).persist()
-        self._bloom_scratch = merged  # unpersisted after the round commits
-        sat = [r["bucket"] for r in merged.filter(F.col("n_items") > F.col("capacity"))
-               .select("bucket").collect()]
+        )
+
+    def _bloom_maybe_rebuild(self, url_seen: DataFrame, rnd: int) -> None:
+        """Periodic saturation sweep over the COMMITTED bloom table (tiny —
+        ≤ n_buckets rows read back from parquet, so the check costs one
+        trivial job every SAT_CHECK_EVERY rounds, not a full-DAG job every
+        round).  A saturated bucket (n_items > capacity ⇒ degraded fpp,
+        never wrong answers) is rebuilt from url_seen with count-derived
+        capacity; the rebuild lineage materializes inside the NEXT round's
+        commit."""
+        if not (self.use_bloom and self._bloom is not None):
+            return
+        if rnd % SAT_CHECK_EVERY != SAT_CHECK_EVERY - 1:
+            return
+        sat = [
+            r["bucket"]
+            for r in self._bloom.filter(F.col("n_items") > F.col("capacity"))
+            .select("bucket")
+            .collect()
+        ]
         if not sat:
-            return merged
-        full = url_seen.select("url_hash").unionByName(admitted.select("url_hash"))
+            return
         rebuilt = dd.bloom_build(
-            dd.with_bucket(full, self.bloom_buckets).filter(F.col("bucket").isin(sat)).drop("bucket"),
+            dd.with_bucket(url_seen.select("url_hash"), self.bloom_buckets)
+            .filter(F.col("bucket").isin(sat))
+            .drop("bucket"),
             self.bloom_buckets,
             self.bloom_fpp,
         )
-        return merged.filter(~F.col("bucket").isin(sat)).unionByName(rebuilt)
+        self._bloom = self._bloom.filter(~F.col("bucket").isin(sat)).unionByName(rebuilt)
 
     PAYLOAD_SCHEMA = (
         "image_id string, decode_ok boolean, shape_ok boolean, phash_ok boolean, psnr_db double"
@@ -506,8 +507,8 @@ class CrawlEngine:
             )
             candidates = self._expand(fetched, rnd)
             admitted = self._admit(candidates, url_seen).persist()
-            admitted.count()  # materialize before the bloom cogroup + writes
-            bloom_next = self._bloom_next(admitted, url_seen)
+            admitted.count()  # materialize before the concurrent commit writes
+            bloom_next = self._bloom_next(admitted)
             seen_delta = admitted.select("url", "url_hash", F.lit(rnd + 1).alias("round"))
             folded_seeds = seed_seen is not None
             if folded_seeds:  # first commit carries the seed membership
@@ -566,14 +567,12 @@ class CrawlEngine:
             admitted.unpersist()
             if timed_out is not None:
                 timed_out.unpersist()
-            if self._bloom_scratch is not None:
-                self._bloom_scratch.unpersist()
-                self._bloom_scratch = None
             # re-read committed state: keeps every round's plan lineage O(1)
             frontier = snap.read_full(spark, self.ckpt_dir, "frontier", rnd)
             url_seen = snap.read_deltas(spark, self.ckpt_dir, "url_seen", rnd)
             if bloom_next is not None:
                 self._bloom = snap.read_full(spark, self.ckpt_dir, "bloom", rnd)
+                self._bloom_maybe_rebuild(url_seen, rnd)
             summary["selected"] += n_selected
             summary["rounds"] = rnd + 1 - start_round
             rnd += 1

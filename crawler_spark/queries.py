@@ -773,6 +773,27 @@ FROM orders
 
 
 # --------------------------------------------------------------------------
+# SimHash near-dup candidate pairs (prefix band over q21's md5 simhash)
+# --------------------------------------------------------------------------
+
+
+def q28_simhash_near_pairs(spark, sf_dir):
+    from crawler_spark.operators.dedup_text import simhash64, simhash_near_pairs
+
+    sim = simhash64(t(spark, sf_dir, "documents")).persist()
+    return simhash_near_pairs(sim, prefix_bits=16)
+
+
+SQL_Q28 = f"""
+WITH sim AS ({_sql_q21()})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM sim a JOIN sim b
+  ON ((a.simhash >> 48) & 65535) = ((b.simhash >> 48) & 65535)
+ AND a.doc_id < b.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # §2.4 A1: task-result collect — collect_list + flatten (the exporter's
 # accumulate-then-flatten, TaskWorker.java:57-133 /
 # AbstractResultExporter.java:24-41) over driver testdata.
@@ -834,4 +855,5 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q25_embed_near_dup_lsh": (q25_embed_near_dup_lsh, SQL_Q25),
     "q26_extract_records": (q26_extract_records, SQL_Q26),
     "q27_collect_flatten": (q27_collect_flatten, SQL_Q27),
+    "q28_simhash_near_pairs": (q28_simhash_near_pairs, SQL_Q28),
 }
