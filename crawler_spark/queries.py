@@ -730,6 +730,11 @@ def q26_extract_records(spark, sf_dir):
         }
     }
     o = t(spark, sf_dir, "orders").withColumn("url", _synth_url())
+    # small-input guard: a single-row-group parquet gives ONE scan split and
+    # the HTML parse UDF is CPU-heavy — spread it (no-op at real scale)
+    target = spark.sparkContext.defaultParallelism
+    if o.rdd.getNumPartitions() < target:
+        o = o.repartition(target)
     k = F.col("o_orderkey") % 3  # 0..2 anchors per page
     li1 = F.concat(F.lit('<li><a href="'), F.col("url"), F.lit('"><b>o1</b></a></li>'))
     li2 = F.concat(
