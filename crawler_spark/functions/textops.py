@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "tokens",
     "token_count",
+    "bpe_token_count",
     "stopword_ratio",
     "word_shingles",
     "fingerprint",
@@ -38,6 +39,17 @@ def tokens(text: Column) -> Column:
 
 def token_count(text: Column) -> Column:
     return F.size(tokens(text))
+
+
+BPE_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Subword-style token count: letter runs, digit runs, and single
+    punctuation each count as one token (a BPE-ish regex segmentation;
+    JVM-side regexp, no Python).  DuckDB twin: the same RE2 pattern under
+    ``regexp_extract_all``."""
+    return F.size(F.regexp_extract_all(F.lower(text), F.lit(BPE_PATTERN), F.lit(0)))
 
 
 def stopword_ratio(text: Column, stopwords: tuple = DEFAULT_STOPWORDS) -> Column:

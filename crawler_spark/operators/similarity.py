@@ -43,6 +43,9 @@ __all__ = [
     "embedding_near_dup_pairs",
     "embedding_near_dup_pairs_blocked",
     "embedding_near_dup_pairs_lsh",
+    "ivf_assign_col",
+    "ivf_fit",
+    "ivf_ann_topk",
 ]
 
 
@@ -285,6 +288,100 @@ def embedding_near_dup_pairs_lsh(
         .withColumn("cos", cosine_pair(F.col("va"), F.col("vb")))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: deterministic k-means partitioning + probe
+# ---------------------------------------------------------------------------
+
+
+def ivf_assign_col(vec_col: Column, cids: list[int], cents: list[list[float]]) -> Column:
+    """cid of the nearest centroid (squared-L2; ties → lowest cid).
+
+    Centroids arrive as an inline literal array — assignment is a pure map
+    (zero shuffle), the same broadcast-the-centers pattern MLlib KMeans uses.
+    Literal size is nlist·dim floats; fine up to ~10⁵ entries (nlist≈√N with
+    sampled training keeps it there even at 100 TB — e.g. 4096×256).  ``cents``
+    MUST be sorted by cid so first-match-of-min == lowest-cid tie-break.
+    """
+    C = F.array(*[F.array(*[F.lit(float(x)) for x in cv]) for cv in cents])
+    ids = F.array(*[F.lit(int(c)) for c in cids])
+    v = F.transform(vec_col, lambda x: x.cast("double"))
+    dists = F.transform(
+        C,
+        lambda cv: F.aggregate(
+            F.zip_with(v, cv, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    return F.element_at(ids, F.array_position(dists, F.array_min(dists)).cast("int"))
+
+
+def ivf_fit(
+    emb: DataFrame, dim: int, nlist: int = 8, iters: int = 2,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> tuple[list[int], list[list[float]]]:
+    """Deterministic Lloyd k-means: init = the nlist lowest-id vectors, a
+    fixed number of iterations, centroid components rounded to 6 dp.
+
+    Every step is engine-portable (no RNG), so a SQL twin reproduces the
+    exact same centroids: assignment = argmin over an N×nlist broadcast
+    product; update = posexplode → partial-aggregated avg over only
+    nlist·dim keys (shuffle volume is O(partitions·nlist·dim) rows — flat
+    in N).  The rounding makes cross-engine float-sum-order differences
+    vanish.  At 100 TB, fit on ``emb.sample(...)`` — assignment of the full
+    table stays a map-only pass either way.  Returns (cids, centroids)
+    sorted by cid; empty clusters drop out (deterministically in any engine).
+    """
+    e = emb.select(
+        F.col(id_col).alias("vid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    init = e.filter(F.col("vid") < nlist).orderBy("vid").collect()
+    cids = [int(r.vid) for r in init]
+    cents = [[round(float(x), 6) for x in r.v] for r in init]
+    for _ in range(iters):
+        assigned = e.withColumn("cid", ivf_assign_col(F.col("v"), cids, cents))
+        upd = (
+            assigned.select("cid", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(F.round(F.avg("x"), 6).alias("m"))
+            .collect()
+        )
+        by_cid: dict[int, dict[int, float]] = {}
+        for r in upd:
+            by_cid.setdefault(int(r.cid), {})[int(r.pos)] = float(r.m)
+        cids = sorted(by_cid)
+        cents = [[by_cid[c][p] for p in range(dim)] for c in cids]
+    return cids, cents
+
+
+def ivf_ann_topk(
+    emb: DataFrame, query: list[float], dim: int, k: int = 10,
+    nlist: int = 8, nprobe: int = 2, iters: int = 2,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN top-k: k-means-partition the vectors, scan only the ``nprobe``
+    lists whose centroids are nearest the query, exact cosine re-rank.
+
+    The scan prunes to ~nprobe/nlist of the data (vs LSH's bucket-collision
+    pruning) and the probed-partition filter pushes down to the scan when the
+    table is stored partitioned/clustered by cid — the classic IVF layout.
+    """
+    cids, cents = ivf_fit(emb, dim, nlist, iters, id_col, vec_col)
+    qv = np.asarray(query, dtype=np.float64)
+    qd = [float(((qv - np.asarray(c)) ** 2).sum()) for c in cents]
+    order = sorted(range(len(cids)), key=lambda i: (qd[i], cids[i]))[:nprobe]
+    probe = [cids[i] for i in order]
+    cand = emb.withColumn("cid", ivf_assign_col(F.col(vec_col), cids, cents)).filter(
+        F.col("cid").isin(probe)
+    )
+    return (
+        cand.select(id_col, cosine_to(F.col(vec_col), query).alias("cos"))
+        .orderBy(F.col("cos").desc(), F.col(id_col).asc())
+        .limit(k)
     )
 
 

@@ -829,6 +829,101 @@ FROM (
 
 
 # --------------------------------------------------------------------------
+# LLM-pipeline: IVF ANN — deterministic k-means inverted lists + nprobe scan
+# (the third ANN tier next to q19 brute-force and q20 LSH; partition-prunable
+# layout at scale: store clustered by cid, probe filter prunes ~nprobe/nlist)
+# --------------------------------------------------------------------------
+
+
+def q29_ivf_ann(spark, sf_dir):
+    """IVF top-10: Lloyd k-means (init = first-8 ids, 2 iterations, centroids
+    rounded 6 dp — fully engine-portable, no RNG), probe the 2 nearest
+    inverted lists, exact cosine re-rank inside them."""
+    from crawler_spark.operators.similarity import ivf_ann_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    q = _query_vec(spark, sf_dir)
+    out = ivf_ann_topk(emb, q, dim=len(q), k=10, nlist=8, nprobe=2, iters=2)
+    return out.select("vec_id", F.round(F.col("cos"), 6).alias("cos"))
+
+
+def _ivf_step(src_c: str, n: int) -> str:
+    """One Lloyd iteration as SQL CTEs: assign to nearest centroid of
+    ``src_c`` (squared L2, ties → lowest cid), then 6-dp-rounded mean."""
+    return f"""
+d{n} AS (SELECT e.vec_id, e.v, c.cid,
+              list_sum(list_transform(generate_series(1, 64),
+                       i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))) AS dist
+       FROM e, {src_c} c),
+a{n} AS (SELECT vec_id, v, cid FROM d{n}
+       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1),
+c{n + 1} AS (SELECT cid, list(m ORDER BY pos) AS cv FROM (
+         SELECT cid, pos, round(avg(v[pos]), 6) AS m
+         FROM a{n}, generate_series(1, 64) g(pos) GROUP BY cid, pos)
+       GROUP BY cid)"""
+
+
+SQL_Q29 = ("""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c0 AS (SELECT CAST(vec_id AS INT) AS cid, list_transform(v, x -> round(x, 6)) AS cv
+       FROM e WHERE vec_id < 8),"""
+           + _ivf_step("c0", 0) + "," + _ivf_step("c1", 1) + ","
+           + """
+df AS (SELECT e.vec_id, c.cid,
+              list_sum(list_transform(generate_series(1, 64),
+                       i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))) AS dist
+       FROM e, c2 c),
+af AS (SELECT vec_id, cid FROM df
+       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1),
+qv AS (SELECT v AS qe FROM e WHERE vec_id = 0),
+qc AS (SELECT c.cid FROM c2 c, qv
+       ORDER BY list_sum(list_transform(generate_series(1, 64),
+                i -> (qv.qe[i] - c.cv[i]) * (qv.qe[i] - c.cv[i]))), c.cid
+       LIMIT 2),
+scored AS (
+  SELECT a.vec_id,
+         list_sum(list_transform(generate_series(1, 64), i -> e.v[i] * qv.qe[i])) /
+         (sqrt(list_sum(list_transform(e.v, x -> x * x))) *
+          sqrt(list_sum(list_transform(qv.qe, x -> x * x)))) AS cos_raw
+  FROM af a JOIN qc USING (cid) JOIN e ON a.vec_id = e.vec_id, qv)
+SELECT vec_id, round(cos_raw, 6) AS cos
+FROM scored ORDER BY cos_raw DESC, vec_id LIMIT 10
+""")
+
+
+# --------------------------------------------------------------------------
+# LLM-pipeline: token counting — whitespace vs BPE-ish regex tokenizer
+# (subword-style segmentation: letter runs / digit runs / single punctuation;
+# all-integer output so the cross-engine hash is exact)
+# --------------------------------------------------------------------------
+
+def q30_token_stats(spark, sf_dir):
+    from crawler_spark.functions.textops import bpe_token_count, token_count
+
+    d = t(spark, sf_dir, "documents")
+    bpe = bpe_token_count(F.col("text"))
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).alias("ws_tokens"),
+        bpe.alias("bpe_tokens"),
+        F.round(F.col("n_chars").cast("double") / bpe.cast("double"), 4).alias(
+            "chars_per_token"
+        ),
+    )
+
+
+SQL_Q30 = r"""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS ws_tokens,
+       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS bpe_tokens,
+       round(CAST(n_chars AS DOUBLE)
+             / len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')), 4)
+         AS chars_per_token
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -861,4 +956,6 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q26_extract_records": (q26_extract_records, SQL_Q26),
     "q27_collect_flatten": (q27_collect_flatten, SQL_Q27),
     "q28_simhash_near_pairs": (q28_simhash_near_pairs, SQL_Q28),
+    "q29_ivf_ann": (q29_ivf_ann, SQL_Q29),
+    "q30_token_stats": (q30_token_stats, SQL_Q30),
 }
