@@ -98,15 +98,16 @@ def dead_letter_alert_stream(spark: SparkSession, ckpt_dir: str) -> DataFrame:
 
 
 def run_stream_to_memory(
-    stream: DataFrame, name: str, complete: bool = True
+    stream: DataFrame, name: str, complete: bool = True, mode: str | None = None
 ) -> list:
     """Drain all currently-available data (availableNow trigger) into an
     in-memory sink and return the collected rows — the deterministic test/
-    driver path for the streams above."""
+    driver path for the streams above.  ``mode`` overrides the output mode
+    (stateful operators require 'update')."""
     q = (
         stream.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete" if complete else "append")
+        .outputMode(mode or ("complete" if complete else "append"))
         .trigger(availableNow=True)
         .start()
     )

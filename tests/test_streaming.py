@@ -38,6 +38,41 @@ def test_fetch_metrics_stream_matches_batch(spark, crawl_ckpt):
         assert agg[(b.host, b.status)] == b["count"]
 
 
+def test_host_circuit_breaker_matches_batch_golden(spark, crawl_ckpt):
+    """The stateful breaker's final per-host state must equal a driver-side
+    recompute over the batch fetch_log (same ordering, same streak rule)."""
+    from crawler_spark.streaming.metrics import fetch_log_stream, run_stream_to_memory
+    from crawler_spark.streaming.stateful import FAIL_STATUSES, host_circuit_breaker
+
+    eng, ckpt = crawl_ckpt
+    rows = run_stream_to_memory(
+        host_circuit_breaker(fetch_log_stream(spark, ckpt), threshold=2),
+        "cb_test",
+        mode="update",
+    )
+    # update-mode sink may hold one row per trigger; keep the latest per host
+    final = {}
+    for r in rows:
+        if r.host not in final or r.rows_seen > final[r.host].rows_seen:
+            final[r.host] = r
+
+    batch = sorted(
+        eng.fetch_log().select("host", "round", "rank", "url", "status").collect(),
+        key=lambda r: (r.host, r.round, r.rank, r.url),
+    )
+    golden = {}
+    for r in batch:
+        consec, max_streak, n = golden.get(r.host, (0, 0, 0))
+        consec = consec + 1 if r.status in FAIL_STATUSES else 0
+        golden[r.host] = (consec, max(max_streak, consec), n + 1)
+
+    assert set(final) == set(golden)
+    for host, (consec, max_streak, n) in golden.items():
+        got = final[host]
+        assert (got.consec_fail, got.max_streak, got.rows_seen) == (consec, max_streak, n)
+        assert got.tripped == (max_streak >= 2)
+
+
 def test_dead_letter_alert_stream(spark, crawl_ckpt):
     from crawler_spark.streaming.metrics import dead_letter_alert_stream, run_stream_to_memory
 
