@@ -50,9 +50,30 @@ def _materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _warmup(spark) -> None:
+    """JVM JIT + codegen + Python-worker spawn warm-up, excluded from the
+    timed loop — the same round-0-exclusion methodology scaling_bench uses
+    (BASELINE.md).  Touches each execution path once (range agg, parquet
+    scan+agg, Arrow pandas-UDF round trip) without running any REGISTRY
+    query, so no per-query result is pre-computed."""
+    from pyspark.sql.functions import col, pandas_udf
+
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    n = spark.read.parquet(os.path.join(SF_DIR, "nation.parquet"))
+    n.filter(col("n_nationkey") >= 0).agg({"n_nationkey": "max"}).collect()
+
+    def _ident(s):
+        return s
+
+    spark.range(1000).select(pandas_udf(_ident, "long")(col("id"))).write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+
 def bench_queries(spark) -> dict[str, float]:
     from crawler_spark.queries import REGISTRY
 
+    _warmup(spark)
     timings: dict[str, float] = {}
     for name, (fn, _sql) in REGISTRY.items():
         t0 = time.time()

@@ -1,0 +1,74 @@
+"""Scale-safe total ordering: global row numbers without the
+single-partition WindowExec.
+
+``Window.orderBy(...)`` with no partition key funnels the ENTIRE dataset
+through one task (Spark logs "No Partition Defined for Window operation") —
+fine for a broadcast-sized proxy pool, fatal for 3×10⁸ seeds or an orders
+table at 100 TB.  The distributed classic is two passes (what RDD
+``zipWithIndex`` does, re-expressed for DataFrames):
+
+1. ``repartitionByRange`` on the order keys + ``sortWithinPartitions`` —
+   a range shuffle gives a total order ACROSS partitions with every
+   partition still parallel;
+2. count rows per partition (cheap agg job), turn the counts into
+   per-partition starting offsets (a tiny driver list);
+3. one ``mapInPandas`` pass adds ``offset + local_index`` — narrow, keeps
+   the partitioning and order, Arrow-batched.
+
+The order key must be a total order (include a unique tiebreaker) or row
+numbers within ties are partition-placement-dependent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["global_row_number"]
+
+
+def global_row_number(
+    df: DataFrame, order_cols: list[str], rn_col: str = "rn",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """1-based dense global row number over ``order_cols`` order.
+
+    Two jobs over the range-partitioned input (the count pass and the
+    numbering pass re-derive identical partitioning — repartitionByRange's
+    boundary sampling is seed-stable for the same input).
+    """
+    spark = df.sparkSession
+    n_parts = num_partitions or spark.sparkContext.defaultParallelism
+    sdf = df.repartitionByRange(n_parts, *order_cols).sortWithinPartitions(*order_cols)
+
+    counts = (
+        sdf.withColumn("_pid", F.spark_partition_id())
+        .groupBy("_pid")
+        .count()
+        .collect()
+    )
+    sizes = {int(r["_pid"]): int(r["count"]) for r in counts}
+    offsets = {}
+    acc = 0
+    for pid in sorted(sizes):
+        offsets[pid] = acc
+        acc += sizes[pid]
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    # build a NEW StructType — .add() would mutate the cached input schema
+    out_schema = StructType(list(sdf.schema.fields) + [StructField(rn_col, LongType())])
+
+    def number(it):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        base = offsets.get(pid, 0)
+        seen = 0
+        for pdf in it:
+            pdf = pdf.copy()
+            pdf[rn_col] = range(base + seen + 1, base + seen + 1 + len(pdf))
+            seen += len(pdf)
+            yield pdf
+
+    return sdf.mapInPandas(number, schema=out_schema)

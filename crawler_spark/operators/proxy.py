@@ -35,6 +35,8 @@ def pool_df(spark: SparkSession, ips: list[str]) -> DataFrame:
     determinism)."""
     rows = [(ip,) for ip in sorted(set(ips))]
     df = spark.createDataFrame(rows, "ip string")
+    # unpartitioned window is safe ONLY because the pool is broadcast-sized
+    # (≤ hundreds of IPs, DynamicIpPoolChecker's whole map fits one batch)
     w = Window.orderBy("ip")
     return df.withColumn("idx", F.row_number().over(w) - 1)
 

@@ -191,12 +191,15 @@ SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
 
 
 def q07_slice_paging(spark, sf_dir):
-    from pyspark.sql import Window
+    """O2 savepoint slicing via the scale-safe total-order operator — a bare
+    ``Window.orderBy`` would funnel the whole table through ONE partition;
+    global_row_number range-partitions + offsets instead (zipWithIndex
+    pattern, every partition stays parallel)."""
+    from crawler_spark.operators.ordering import global_row_number
 
     o = t(spark, sf_dir, "orders")
-    w = Window.orderBy("o_orderkey")
     return (
-        o.withColumn("rn", F.row_number().over(w))
+        global_row_number(o.select("o_orderkey"), ["o_orderkey"])
         .filter((F.col("rn") >= 201) & (F.col("rn") <= 400))
         .select("o_orderkey", "rn", F.floor((F.col("rn") - 1) / 200).alias("story_seq"))
     )

@@ -29,7 +29,7 @@ a file_row_index-capable source).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -104,11 +104,16 @@ def slice_stories(seeds: DataFrame, step: int = SEEDS_PER_STORY) -> DataFrame:
     """O2: savepoint slicing — global seed order → (story_seq, arg_idx).
 
     story_seq = rn // step over (file_name, line_idx) order; the savepoint
-    offset is story_seq * step (SavePointPlanner.java:53-85,174-183)."""
-    w = Window.orderBy("file_name", "line_idx")
-    rn = F.row_number().over(w) - 1
+    offset is story_seq * step (SavePointPlanner.java:53-85,174-183).
+
+    Uses the range-partitioned global_row_number operator — at north-rule
+    seed counts (3×10⁸) a bare ``Window.orderBy`` would collapse the whole
+    seed set into one task."""
+    from crawler_spark.operators.ordering import global_row_number
+
+    numbered = global_row_number(seeds, ["file_name", "line_idx"], rn_col="_rn")
     return (
-        seeds.withColumn("_rn", rn)
+        numbered.withColumn("_rn", F.col("_rn") - 1)
         .withColumn("story_seq", (F.col("_rn") / step).cast("long"))
         .withColumn("arg_idx", F.col("_rn") % step)
         .drop("_rn")
