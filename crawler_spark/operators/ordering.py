@@ -33,13 +33,22 @@ def global_row_number(
 ) -> DataFrame:
     """1-based dense global row number over ``order_cols`` order.
 
-    Two jobs over the range-partitioned input (the count pass and the
-    numbering pass re-derive identical partitioning — repartitionByRange's
-    boundary sampling is seed-stable for the same input).
+    The range-partitioned input is PERSISTED before the count pass:
+    RangePartitioner's boundary sampling is seeded by the RDD id, which
+    changes per execution, so two independent executions of the same plan
+    can land rows in different partitions — the offsets would then be wrong
+    (measured: silent gaps/overlaps in the numbering).  Materializing once
+    pins the partitioning for both passes; the cache is the honest cost of
+    a stable distributed index (LRU-evicted once downstream consumers are
+    done — same lifetime discipline as the LSH band-table persist).
     """
     spark = df.sparkSession
     n_parts = num_partitions or spark.sparkContext.defaultParallelism
-    sdf = df.repartitionByRange(n_parts, *order_cols).sortWithinPartitions(*order_cols)
+    sdf = (
+        df.repartitionByRange(n_parts, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .persist()
+    )
 
     counts = (
         sdf.withColumn("_pid", F.spark_partition_id())

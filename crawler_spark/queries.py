@@ -927,6 +927,87 @@ FROM documents
 
 
 # --------------------------------------------------------------------------
+# §2.5/§2.8: gap-based sessionization over the event stream — the classic
+# distributed session-window build (lag → new-session flag → running sum),
+# every window PARTITIONED by user_id (parallel per key; no global funnel)
+# --------------------------------------------------------------------------
+
+
+def q31_sessionize(spark, sf_dir):
+    from pyspark.sql import Window
+
+    GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap, in microseconds
+    # ts is TIMESTAMP_NTZ; unix_micros needs TIMESTAMP — the cast is exact
+    # under the UTC session (and only *differences* of us are consumed, so
+    # any constant offset cancels anyway)
+    e = t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    new_sess = (
+        F.when(F.col("us") - F.lag("us").over(w) > GAP_US, 1)
+        .when(F.lag("us").over(w).isNull(), 1)
+        .otherwise(0)
+    )
+    sess = e.withColumn(
+        "session_idx", F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return sess.groupBy("user_id", "session_idx").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("sess_start"),
+        F.max("ts").alias("sess_end"),
+        (F.max("us") - F.min("us")).alias("duration_us"),
+        _dsum("value").alias("sess_value"),
+    )
+
+
+SQL_Q31 = """
+WITH e AS (
+  SELECT user_id, event_id, ts, value, epoch_us(ts) AS us FROM events),
+flagged AS (
+  SELECT *, CASE WHEN us - LAG(us) OVER w > 1800000000 THEN 1
+                 WHEN LAG(us) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+sess AS (
+  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM flagged)
+SELECT user_id, session_idx, COUNT(*) AS n_events,
+       MIN(ts) AS sess_start, MAX(ts) AS sess_end,
+       MAX(us) - MIN(us) AS duration_us,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sess_value
+FROM sess GROUP BY user_id, session_idx
+"""
+
+
+# --------------------------------------------------------------------------
+# §2.7 F11: JSON decode as a first-class expression (the reference GSON-codes
+# every Redis value; columnar engines decode JSON columns in the plan)
+# --------------------------------------------------------------------------
+
+
+def q32_json_props(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+SQL_Q32 = """
+SELECT event_type, COUNT(*) AS n,
+       SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+       MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -961,4 +1042,6 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q28_simhash_near_pairs": (q28_simhash_near_pairs, SQL_Q28),
     "q29_ivf_ann": (q29_ivf_ann, SQL_Q29),
     "q30_token_stats": (q30_token_stats, SQL_Q30),
+    "q31_sessionize": (q31_sessionize, SQL_Q31),
+    "q32_json_props": (q32_json_props, SQL_Q32),
 }
