@@ -173,3 +173,35 @@ def test_engine_compaction_preserves_membership(spark, tmpdir_path):
     rows = eng.url_seen().collect()
     assert {r.url for r in rows} == sim.url_seen
     assert len(rows) == len(sim.url_seen)  # compaction introduced no dups
+
+
+def test_engine_soak_many_rounds_resume_clean(spark, tmpdir_path):
+    """Soak: tight budgets force many rounds across several compaction
+    cycles and the T2 round-deadline; afterwards (a) every round has a
+    committed manifest, (b) resume re-admits NOTHING (url_seen exactness
+    survives long histories + folding), (c) membership covers the log."""
+    import glob
+    import os
+
+    from crawler_spark.fixtures import generate
+    from crawler_spark.plans.engine import CrawlEngine
+    from crawler_spark.plans.policy import CrawlConfig
+
+    fix = os.path.join(tmpdir_path, "soakfix")
+    generate(fix, n_pages=768, n_hosts=8, seed=13)
+    ckpt = os.path.join(tmpdir_path, "soakck")
+    cfg = CrawlConfig(
+        round_seconds=2.0, max_burst_per_host=8, max_rounds=8, max_wait_rounds=4
+    )
+    eng = CrawlEngine(spark, fix, ckpt, cfg, compact_every=3)
+    s = eng.run()
+    assert s["rounds"] == 8
+    assert len(glob.glob(os.path.join(ckpt, "round=*", "MANIFEST.json"))) == 8
+
+    eng2 = CrawlEngine(spark, fix, ckpt, cfg, compact_every=3)
+    s2 = eng2.run(resume=True)
+    assert s2["selected"] == 0  # nothing re-admitted after resume
+
+    seen = {r.url for r in eng2.url_seen().collect()}
+    logged = {r.url for r in eng2.fetch_log().select("url").distinct().collect()}
+    assert logged <= seen
