@@ -104,7 +104,14 @@ class CrawlEngine:
             .withColumn("known", F.lit(True))
             .cache()
         )
-        self.robots = spark.read.parquet(os.path.join(fix_dir, "robots.parquet")).cache()
+        robots = spark.read.parquet(os.path.join(fix_dir, "robots.parquet"))
+        if "disallow_prefixes" not in robots.columns and "robots_txt" in robots.columns:
+            # raw-body ingestion path: fetched /robots.txt text per host →
+            # structured politeness table (functions.robots, north-rule T4)
+            from crawler_spark.functions.robots import robots_table_from_bodies
+
+            robots = robots_table_from_bodies(robots)
+        self.robots = robots.cache()
         # extractor registry (§2.9): selector rules ride the UDF closure
         # (tiny, per-story in the reference); landing joins in via broadcast
         from crawler_spark.functions.extract import fetch_parse_udf
