@@ -1008,6 +1008,52 @@ FROM events GROUP BY event_type
 
 
 # --------------------------------------------------------------------------
+# LLM-pipeline: TF-IDF top terms per language — corpus statistics as two
+# partial-aggregated shuffles (term counts + doc frequencies) and a
+# lang-partitioned top-k window; idf = ln(N/df) with N embedded as a literal
+# (one count job — the MLlib IDF pattern, centroids-style driver scalar)
+# --------------------------------------------------------------------------
+
+
+def q33_tfidf_terms(spark, sf_dir):
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    n_docs = d.count()
+    toks = d.select(
+        "doc_id", "lang", F.explode(F.split(F.col("text"), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("lang", "term").agg(F.count("*").alias("tf"))
+    dfreq = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(dfreq, "term").withColumn(
+        "score",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6),
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("lang", "term", "tf", "df", "score", "rank")
+    )
+
+
+SQL_Q33 = """
+WITH toks AS (
+  SELECT doc_id, lang, term FROM documents, UNNEST(string_split(text, ' ')) AS u(term)
+  WHERE term <> ''),
+tf AS (SELECT lang, term, COUNT(*) AS tf FROM toks GROUP BY lang, term),
+dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+scored AS (
+  SELECT tf.lang, tf.term, tf.tf, dfreq.df,
+         round(tf.tf * ln((SELECT COUNT(*) FROM documents) * 1.0 / dfreq.df), 6) AS score
+  FROM tf JOIN dfreq USING (term))
+SELECT lang, term, tf, df, score,
+       row_number() OVER (PARTITION BY lang ORDER BY score DESC, term) AS rank
+FROM scored QUALIFY rank <= 5
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -1044,4 +1090,5 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q30_token_stats": (q30_token_stats, SQL_Q30),
     "q31_sessionize": (q31_sessionize, SQL_Q31),
     "q32_json_props": (q32_json_props, SQL_Q32),
+    "q33_tfidf_terms": (q33_tfidf_terms, SQL_Q33),
 }
