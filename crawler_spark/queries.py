@@ -492,7 +492,8 @@ FROM pairs p JOIN dsh x ON p.doc_a = x.doc_id JOIN dsh y ON p.doc_b = y.doc_id
 
 
 # --------------------------------------------------------------------------
-# Embedding similarity: brute-force cosine top-k (+ LSH ANN, rows-only)
+# Embedding similarity: brute-force cosine top-k (+ LSH / IVF ANN, each with
+# an exact md5-derived oracle twin)
 # --------------------------------------------------------------------------
 
 
