@@ -217,13 +217,21 @@ def write_export_files(exports: DataFrame, out_dir: str, story: str = "story") -
     )
 
     def _write(it):
+        import uuid
+
         for r in it:
             if r["landing"] == "jssfile":
                 d = os.path.join(out_dir, "objectstore", story)
             else:
                 d = os.path.join(out_dir, story)
             os.makedirs(d, exist_ok=True)
-            with open(os.path.join(d, r["file_name"]), "w", encoding="utf-8") as f:
+            # write-then-rename: a task killed mid-write must never leave a
+            # torn export visible (rename is atomic on a POSIX filesystem;
+            # the uuid keeps speculative/retried attempts from colliding)
+            final = os.path.join(d, r["file_name"])
+            tmp = final + f".tmp-{uuid.uuid4().hex[:8]}"
+            with open(tmp, "w", encoding="utf-8") as f:
                 f.write("\n".join(r["lines"]) + "\n")
+            os.replace(tmp, final)
 
     rows.foreachPartition(_write)
