@@ -464,6 +464,20 @@ class CrawlEngine:
             fetch_log = classified.select(
                 F.lit(rnd).alias("round"), "host", "rank", "url", "status", "attempt",
                 "redirected", "repaired_url",
+                # F6 status timestamping (reference Crawlers.java:229-233
+                # formats status + yyyy-MM-dd HH:mm:ss wall time).  Rounds are
+                # this engine's clock, so the stamp derives from the round
+                # epoch — deterministic, so golden/resume equality holds.
+                F.concat_ws(
+                    " ",
+                    F.col("status"),
+                    F.date_format(
+                        F.timestamp_seconds(
+                            F.lit(1704067200.0) + F.lit(float(rnd) * cfg.round_seconds)
+                        ),
+                        "yyyy-MM-dd HH:mm:ss",
+                    ),
+                ).alias("status_line"),
             )
             dead_delta = classified.filter(F.col("dead_reason").isNotNull()).select(
                 "url",
