@@ -1055,6 +1055,62 @@ FROM scored QUALIFY rank <= 5
 
 
 # --------------------------------------------------------------------------
+# LLM-pipeline: end-to-end dedup keep-list — the operator a 100 TB corpus
+# actually runs: drop every doc that is (a) an exact md5 duplicate of a
+# lower-id doc or (b) a verified (LSH-candidate, Jaccard ≥ 0.5) near-dup of a
+# lower-id doc; keep everything else.  One anti-join against a tiny drop set;
+# candidate generation is the bucketed LSH path (never all-pairs), so the
+# whole pipeline is the scale shape (exact dedup one shuffle on the 128-bit
+# key, near-dup per-band buckets, final left_anti).
+# --------------------------------------------------------------------------
+
+
+def q34_dedup_keeplist(spark, sf_dir):
+    from crawler_spark.operators.dedup_text import (
+        lsh_candidate_pairs,
+        ngram_jaccard_pairs,
+        shingle_table,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    keyed = d.select("doc_id", F.md5("text").alias("h"))
+    keepers = keyed.groupBy("h").agg(F.min("doc_id").alias("keeper"))
+    exact_drop = (
+        keyed.join(keepers, "h").filter(F.col("doc_id") > F.col("keeper")).select("doc_id")
+    )
+    sh = shingle_table(d).persist()
+    cand = lsh_candidate_pairs(d, k=6, bands=3, shingles=sh)
+    near = ngram_jaccard_pairs(d, cand, threshold=0.5, shingles=sh)
+    near_drop = near.select(F.col("doc_b").alias("doc_id"))
+    drops = exact_drop.unionByName(near_drop).distinct()
+    return (
+        d.join(drops, "doc_id", "left_anti")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_kept"), F.min("doc_id").alias("first_kept"))
+    )
+
+
+SQL_Q34 = _MINHASH_CTES + """, dsh AS (
+  SELECT doc_id, list_distinct(shingles) AS sh FROM sh
+), near AS (
+  SELECT p.doc_b AS doc_id
+  FROM pairs p JOIN dsh x ON p.doc_a = x.doc_id JOIN dsh y ON p.doc_b = y.doc_id
+  WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+        / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) >= 0.5
+), exact_drop AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper FROM documents)
+  WHERE doc_id > keeper
+), drops AS (
+  SELECT doc_id FROM exact_drop UNION SELECT doc_id FROM near
+)
+SELECT lang, COUNT(*) AS n_kept, MIN(doc_id) AS first_kept
+FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+GROUP BY lang
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -1092,4 +1148,5 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q31_sessionize": (q31_sessionize, SQL_Q31),
     "q32_json_props": (q32_json_props, SQL_Q32),
     "q33_tfidf_terms": (q33_tfidf_terms, SQL_Q33),
+    "q34_dedup_keeplist": (q34_dedup_keeplist, SQL_Q34),
 }

@@ -35,7 +35,8 @@ __all__ = [
 ]
 
 _FETCH_LOG_SCHEMA = (
-    "round int, host string, rank int, url string, status string, attempt int"
+    "round int, host string, rank int, url string, status string, attempt int, "
+    "redirected boolean, repaired_url string, status_line string"
 )
 _DEAD_SCHEMA = "url string, reason string, generation int, round int"
 
@@ -70,16 +71,22 @@ def fetch_log_stream(spark: SparkSession, ckpt_dir: str) -> DataFrame:
 def fetch_metrics_stream(
     spark: SparkSession, ckpt_dir: str, window: str = "1 minute", late: str = "2 minutes"
 ) -> DataFrame:
-    """Windowed per-host/status fetch counts with late-data watermark.
+    """Windowed per-host/status fetch counts with a REAL event-time watermark.
 
-    The event time is the commit observation time (file streams carry no
-    embedded timestamp in the reference's model; rounds are the clock), so
-    the watermark bounds state exactly like T2 bounds task waits.
+    Event time comes from the row itself: fetch_log's ``status_line`` embeds
+    the round-epoch timestamp (F6 stamping, plans/engine.py) — "STATUS
+    yyyy-MM-dd HH:mm:ss", last 19 chars are the stamp.  Rounds are the
+    engine's clock, so windows group rounds deterministically and the
+    watermark expires state for rounds older than ``late`` — the same
+    late-data bound T2 puts on task waits.  (Round 1 used
+    ``current_timestamp()`` — a processing-time stand-in, not a watermark.)
     """
-    log = fetch_log_stream(spark, ckpt_dir).withColumn("obs_ts", F.current_timestamp())
+    log = fetch_log_stream(spark, ckpt_dir).withColumn(
+        "event_ts", F.to_timestamp(F.substring(F.col("status_line"), -19, 19))
+    )
     return (
-        log.withWatermark("obs_ts", late)
-        .groupBy(F.window("obs_ts", window), "host", "status")
+        log.withWatermark("event_ts", late)
+        .groupBy(F.window("event_ts", window), "host", "status")
         .agg(F.count("*").alias("n"), F.max("round").alias("last_round"))
     )
 

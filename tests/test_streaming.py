@@ -38,6 +38,26 @@ def test_fetch_metrics_stream_matches_batch(spark, crawl_ckpt):
         assert agg[(b.host, b.status)] == b["count"]
 
 
+def test_fetch_metrics_event_time_windows_align_to_rounds(spark, crawl_ckpt):
+    """The watermark column is REAL event time: status_line embeds the round
+    epoch (1704067200 + round*round_seconds, engine F6 stamping), so an
+    8-second tumbling window puts each round in exactly its own window with
+    start == the round's epoch."""
+    from crawler_spark.streaming.metrics import fetch_metrics_stream, run_stream_to_memory
+
+    eng, ckpt = crawl_ckpt
+    rows = run_stream_to_memory(
+        fetch_metrics_stream(spark, ckpt, window="8 seconds"), "fm_evt"
+    )
+    assert rows, "stream produced no windows"
+    for r in rows:
+        start_epoch = int(r.window.start.timestamp())
+        # 8s windows ⇒ the group's max(round) IS the window's only round
+        assert start_epoch == 1704067200 + 8 * r.last_round
+    streamed = sum(r.n for r in rows)
+    assert streamed == eng.fetch_log().count()
+
+
 def test_host_circuit_breaker_matches_batch_golden(spark, crawl_ckpt):
     """The stateful breaker's final per-host state must equal a driver-side
     recompute over the batch fetch_log (same ordering, same streak rule)."""
