@@ -393,6 +393,20 @@ class CrawlEngine:
         ids = fetched.select("image_id").distinct()
         return self._payload_check(ids).withColumn("round", F.lit(rnd))
 
+    @staticmethod
+    def _wparts(n_rows: int, rows_per_file: int = 1 << 20) -> int:
+        """Output-file count for a committed table of ~n_rows narrow rows —
+        the Iceberg write.target-file-size idea expressed as coalesce.
+
+        Per-round deltas are tiny relative to the cluster (a round commits
+        O(batch) rows), so writing them at shuffle-partition fan-out produces
+        cores×tables small files EVERY round: a file-explosion at thousand-
+        round scale and ~30 near-empty write tasks per table at bench scale
+        (measured: the per-task fixed cost dominated the whole commit).
+        coalesce never *increases* partitions, so large tables (> rows_per_file
+        per file) keep their natural write parallelism."""
+        return max(1, n_rows // rows_per_file + 1)
+
     def _redrive(self, dead: Optional[DataFrame], rnd: int) -> Optional[DataFrame]:
         """Recycle-bin re-drive (U1): max-generation retriable deaths, gen<cap."""
         if dead is None:
@@ -436,6 +450,11 @@ class CrawlEngine:
             self._bloom_init(url_seen, None)
 
         rnd = start_round
+        # row-count ESTIMATES for output-file sizing (_wparts).  Upper bounds
+        # are fine (they only add partitions); both grow by the admitted
+        # delta each round, so no extra counting jobs in the loop.
+        frontier_est = frontier.count()
+        seen_est = frontier_est
         summary = {
             "rounds": 0,
             "fetched": 0,
@@ -528,7 +547,7 @@ class CrawlEngine:
             )
             candidates = self._expand(fetched, rnd)
             admitted = self._admit(candidates, url_seen).persist()
-            admitted.count()  # materialize before the concurrent commit writes
+            n_admitted = admitted.count()  # materialize before the concurrent commit writes
             bloom_next = self._bloom_next(admitted)
             seen_delta = admitted.select("url", "url_hash", F.lit(rnd + 1).alias("round"))
             folded_seeds = seed_seen is not None
@@ -555,13 +574,15 @@ class CrawlEngine:
                 .withColumn("round", F.lit(rnd))
                 .withColumn("wall_ms", F.lit(int((time.time() - t0) * 1000)))
             )
+            # size committed files by row volume, not shuffle fan-out
+            seen_rows = n_admitted + (seen_est if (folded_seeds or compact_seen) else 0)
             tables = {
-                "frontier": frontier_next,
-                "url_seen": seen_delta,
-                "dead_letter": dead_delta,
-                "fetch_log": fetch_log,
-                "story_results": story_results,
-                "lineage": lineage,
+                "frontier": frontier_next.coalesce(self._wparts(frontier_est + n_admitted)),
+                "url_seen": seen_delta.coalesce(self._wparts(seen_rows)),
+                "dead_letter": dead_delta.coalesce(self._wparts(n_selected)),
+                "fetch_log": fetch_log.coalesce(self._wparts(n_selected)),
+                "story_results": story_results.coalesce(self._wparts(n_selected)),
+                "lineage": lineage.coalesce(self._wparts(n_selected)),
             }
             if self.ingest_payloads:
                 tables["payload_log"] = self._payload_log(fetched, rnd)
@@ -596,6 +617,8 @@ class CrawlEngine:
                 self._bloom_maybe_rebuild(url_seen, rnd)
             summary["selected"] += n_selected
             summary["rounds"] = rnd + 1 - start_round
+            frontier_est += n_admitted
+            seen_est += n_admitted
             rnd += 1
         # final tallies from committed state
         last = snap.latest_round(self.ckpt_dir)
