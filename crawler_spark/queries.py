@@ -1111,6 +1111,109 @@ GROUP BY lang
 
 
 # --------------------------------------------------------------------------
+# §2.10 repetition filter: within-doc duplicate 3-gram fraction (the Gopher
+# repetition rule): a doc whose trigrams are mostly repeats of each other is
+# boilerplate/spam and gets dropped from training data.  All outputs are
+# integer tallies so the oracle value-hash is exact.
+# --------------------------------------------------------------------------
+
+
+def q35_repetition(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    # tokenize ONCE into a column; the lambda below only indexes the
+    # materialized array (round 1's hot spot was split() inside the lambda,
+    # re-tokenizing the doc per shingle -> O(tokens^2))
+    toks = d.select("doc_id", "lang", F.split("text", " ").alias("w"))
+    n = F.size("w")
+    grams = F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(1), n - 2),
+            lambda i: F.concat_ws(
+                " ", F.element_at("w", i), F.element_at("w", i + 1), F.element_at("w", i + 2)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    per_doc = toks.select(
+        "doc_id",
+        "lang",
+        F.size(grams).alias("n_grams"),
+        F.size(F.array_distinct(grams)).alias("n_distinct"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_grams").alias("sum_grams"),
+            F.sum("n_distinct").alias("sum_distinct"),
+            # duplicate-trigram fraction > 0.5, integer-exact on both engines
+            F.sum(
+                F.when(2 * (F.col("n_grams") - F.col("n_distinct")) > F.col("n_grams"), 1).otherwise(
+                    0
+                )
+            ).alias("n_repetitive"),
+        )
+        .orderBy("lang")
+    )
+
+
+SQL_Q35 = """
+WITH toks AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents
+), grams AS (
+  SELECT doc_id, lang,
+         CASE WHEN len(w) >= 3
+              THEN list_transform(range(1, len(w) - 1),
+                                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+              ELSE [] END AS g
+  FROM toks
+), per_doc AS (
+  SELECT doc_id, lang, len(g) AS n_grams, len(list_distinct(g)) AS n_distinct
+  FROM grams
+)
+SELECT lang, COUNT(*) AS n_docs, SUM(n_grams) AS sum_grams,
+       SUM(n_distinct) AS sum_distinct,
+       SUM(CASE WHEN 2 * (n_grams - n_distinct) > n_grams THEN 1 ELSE 0 END)
+         AS n_repetitive
+FROM per_doc GROUP BY lang ORDER BY lang
+"""
+
+
+# --------------------------------------------------------------------------
+# §2.10 deterministic stratified split: hash-route every doc to train/val on
+# md5(doc_id) so the assignment is reproducible across engines, runs and
+# cluster sizes (no sampling RNG), stratified per language.  first hex nibble
+# < 'e' -> train (14/16 = 87.5%).
+# --------------------------------------------------------------------------
+
+
+def q36_stratified_split(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    split = F.when(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "e", "train"
+    ).otherwise(F.lit("val"))
+    return (
+        d.select("lang", split.alias("split"), "n_chars", "doc_id")
+        .groupBy("lang", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("lang", "split")
+    )
+
+
+SQL_Q36 = """
+SELECT lang,
+       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'e'
+            THEN 'train' ELSE 'val' END AS split,
+       COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars, MIN(doc_id) AS first_doc
+FROM documents GROUP BY 1, 2 ORDER BY lang, split
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -1149,4 +1252,6 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q32_json_props": (q32_json_props, SQL_Q32),
     "q33_tfidf_terms": (q33_tfidf_terms, SQL_Q33),
     "q34_dedup_keeplist": (q34_dedup_keeplist, SQL_Q34),
+    "q35_repetition": (q35_repetition, SQL_Q35),
+    "q36_stratified_split": (q36_stratified_split, SQL_Q36),
 }
