@@ -393,8 +393,7 @@ class CrawlEngine:
         ids = fetched.select("image_id").distinct()
         return self._payload_check(ids).withColumn("round", F.lit(rnd))
 
-    @staticmethod
-    def _wparts(n_rows: int, rows_per_file: int = 1 << 20) -> int:
+    def _wparts(self, n_rows: int, cached: bool = True, rows_per_file: int = 1 << 20) -> int:
         """Output-file count for a committed table of ~n_rows narrow rows —
         the Iceberg write.target-file-size idea expressed as coalesce.
 
@@ -404,8 +403,20 @@ class CrawlEngine:
         round scale and ~30 near-empty write tasks per table at bench scale
         (measured: the per-task fixed cost dominated the whole commit).
         coalesce never *increases* partitions, so large tables (> rows_per_file
-        per file) keep their natural write parallelism."""
-        return max(1, n_rows // rows_per_file + 1)
+        per file) keep their natural write parallelism.
+
+        cached=False marks a table whose upstream is NOT a persisted
+        DataFrame (frontier bookkeeping: parquet scan + broadcast join;
+        url_seen history fold on compact rounds).  coalesce folds the whole
+        narrow chain into the write tasks, so collapsing those to
+        ceil(rows/1M) files would also SERIALIZE the real upstream compute —
+        floor them at the cluster's core count instead.  At 100 TB the
+        row-based count exceeds the floor anyway, so the floor only matters
+        exactly where it should: small tables with non-trivial lineage."""
+        parts = n_rows // rows_per_file + 1
+        if not cached:
+            parts = max(parts, self.spark.sparkContext.defaultParallelism)
+        return max(1, parts)
 
     def _redrive(self, dead: Optional[DataFrame], rnd: int) -> Optional[DataFrame]:
         """Recycle-bin re-drive (U1): max-generation retriable deaths, gen<cap."""
@@ -577,8 +588,12 @@ class CrawlEngine:
             # size committed files by row volume, not shuffle fan-out
             seen_rows = n_admitted + (seen_est if (folded_seeds or compact_seen) else 0)
             tables = {
-                "frontier": frontier_next.coalesce(self._wparts(frontier_est + n_admitted)),
-                "url_seen": seen_delta.coalesce(self._wparts(seen_rows)),
+                "frontier": frontier_next.coalesce(
+                    self._wparts(frontier_est + n_admitted, cached=False)
+                ),
+                "url_seen": seen_delta.coalesce(
+                    self._wparts(seen_rows, cached=not (folded_seeds or compact_seen))
+                ),
                 "dead_letter": dead_delta.coalesce(self._wparts(n_selected)),
                 "fetch_log": fetch_log.coalesce(self._wparts(n_selected)),
                 "story_results": story_results.coalesce(self._wparts(n_selected)),
