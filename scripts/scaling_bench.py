@@ -89,6 +89,58 @@ def run_level(cpus: int, fixtures: str, args, zpath: str) -> dict:
         return json.loads(f.read())
 
 
+def _sha_work(_arg=None) -> None:
+    block = b"\x00" * (1 << 22)
+    h = __import__("hashlib").sha256()
+    for _ in range(16):
+        h.update(block)
+
+
+def cpu_probe() -> dict:
+    """Host-interference probe: single-process SHA-256 time over 64 MiB plus
+    the 4-process parallel efficiency of the same workload.
+
+    This sandbox is a microVM on a shared physical host.  Co-tenant load is
+    invisible from inside (ps shows nothing) but steals physical cores: the
+    measured signature is a *stable* single-thread time alongside a 4-way
+    parallel efficiency collapsing from ~0.95 to ~0.7, which silently halves
+    any local[4] leg and fakes a bad N->4N ratio (measured: an identical
+    engine round took 130 s and 230 s forty minutes apart, zero code change;
+    a scaling run in such a window read 0.54 where quiet windows read 0.83).
+    A scaling ratio is only meaningful when both legs saw a quiet machine —
+    so the probe runs before and after each leg and is recorded in the JSON,
+    and --wait-quiet gates the legs on it."""
+    import multiprocessing as mp
+    import time
+
+    t1 = float("inf")
+    for _ in range(3):  # min-of-3: a single sample can catch a scheduler blip
+        t0 = time.time()
+        _sha_work()
+        t1 = min(t1, time.time() - t0)
+    t4 = float("inf")
+    with mp.get_context("fork").Pool(4) as pool:
+        for _ in range(2):
+            t0 = time.time()
+            pool.map(_sha_work, range(4))
+            t4 = min(t4, time.time() - t0)
+    return {"t1_s": round(t1, 3), "par_eff4": round(min(t1 / t4, 1.0), 3)}
+
+
+def wait_quiet(min_eff: float, max_wait_s: float, poll_s: float = 45.0) -> dict:
+    """Block until the 4-way probe efficiency reaches min_eff (quiet host)
+    or max_wait_s elapses; returns the last probe either way."""
+    import time
+
+    deadline = time.time() + max_wait_s
+    probe = cpu_probe()
+    while probe["par_eff4"] < min_eff and time.time() < deadline:
+        print(f"host busy (par_eff4={probe['par_eff4']}), waiting...", flush=True)
+        time.sleep(poll_s)
+        probe = cpu_probe()
+    return probe
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--pages", type=int, default=655360)
@@ -103,6 +155,12 @@ def main() -> None:
     ap.add_argument("--rounds", type=int, default=3)
     ap.add_argument("--round-seconds", type=float, default=2048.0)
     ap.add_argument("--burst", type=int, default=1 << 20)
+    ap.add_argument("--wait-quiet", action="store_true",
+                    help="gate each leg on a quiet-host probe and retry loud legs")
+    ap.add_argument("--quiet-eff", type=float, default=0.88,
+                    help="min 4-process probe efficiency counted as quiet")
+    ap.add_argument("--max-wait-s", type=float, default=1800.0)
+    ap.add_argument("--max-leg-tries", type=int, default=3)
     args = ap.parse_args()
 
     sys.path.insert(0, REPO)
@@ -115,8 +173,29 @@ def main() -> None:
     )
     zpath = build_pyfiles_zip()
 
-    lo = run_level(args.n, fixtures, args, zpath)
-    hi = run_level(args.xn, fixtures, args, zpath)
+    def measured_leg(cpus: int) -> tuple[dict, dict, dict]:
+        """Run one leg bracketed by probes; retry while the host was loud."""
+        for attempt in range(args.max_leg_tries):
+            pre = (
+                wait_quiet(args.quiet_eff, args.max_wait_s)
+                if args.wait_quiet
+                else cpu_probe()
+            )
+            res = run_level(cpus, fixtures, args, zpath)
+            post = cpu_probe()
+            quiet = min(pre["par_eff4"], post["par_eff4"]) >= args.quiet_eff
+            if quiet or not args.wait_quiet or attempt == args.max_leg_tries - 1:
+                return res, pre, post
+            print(
+                f"leg local[{cpus}] bracketed by busy host "
+                f"(pre={pre['par_eff4']} post={post['par_eff4']}), retrying",
+                flush=True,
+            )
+        raise AssertionError("unreachable")
+
+    lo, lo_pre, lo_post = measured_leg(args.n)
+    hi, hi_pre, hi_post = measured_leg(args.xn)
+    probes = [lo_pre, lo_post, hi_pre, hi_post]
     ratio = args.xn / args.n
     # efficiency on STEADY-STATE rounds (first round = JVM JIT + Python
     # worker spawn + cache warm, excluded at both sizes identically); the
@@ -161,6 +240,15 @@ def main() -> None:
         "fmts": args.fmts,
         "rounds": args.rounds,
         "launcher": "spark-submit --py-files crawler_spark.zip",
+        # host-interference control (see cpu_probe): each leg bracketed by a
+        # single- and 4-process SHA probe; par_eff4 well under ~0.9 means a
+        # co-tenant on the physical host was stealing cores during that leg
+        # and the ratio above is not trustworthy
+        "calib_probes": {
+            "n_pre": lo_pre, "n_post": lo_post,
+            "xn_pre": hi_pre, "xn_post": hi_post,
+        },
+        "calib_min_par_eff4": min(p["par_eff4"] for p in probes),
     }
     with open(os.path.join(REPO, "BENCH_SCALING.json"), "w") as f:
         json.dump(out, f, indent=1)
