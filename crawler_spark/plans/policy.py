@@ -92,6 +92,10 @@ def child_priority() -> int:
 
 
 def order_key(wave: int, priority: int, url: str) -> tuple:
+    """Canonical per-host selection order (O1): FIFO by admission wave, then
+    priority, then URL as the deterministic tiebreak.  The politeness
+    window's ORDER BY (operators/politeness.py) and the golden simulator
+    both derive from this single definition."""
     return (wave, priority, url)
 
 

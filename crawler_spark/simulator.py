@@ -32,6 +32,7 @@ from crawler_spark.plans.policy import (
     child_priority,
     classify_fetch,
     is_disallowed,
+    order_key,
     seed_priority,
     ST_FETCHED,
 )
@@ -123,7 +124,7 @@ def simulate(fix_dir: str, cfg: CrawlConfig | None = None) -> SimResult:
         for url, e in pending.items():
             if e.wave > rnd:
                 continue  # admitted for a later wave
-            by_host.setdefault(url_host(url), []).append((e.wave, e.priority, url))
+            by_host.setdefault(url_host(url), []).append(order_key(e.wave, e.priority, url))
         batch: list[tuple[str, str, int]] = []  # (host, url, rank)
         for host in sorted(by_host):
             rb = robots.get(host)
