@@ -971,8 +971,9 @@ flagged AS (
                  WHEN LAG(us) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
   FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
 sess AS (
-  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
-                                ROWS UNBOUNDED PRECEDING) AS session_idx
+  SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+              AS session_idx
   FROM flagged)
 SELECT user_id, session_idx, COUNT(*) AS n_events,
        MIN(ts) AS sess_start, MAX(ts) AS sess_end,
@@ -1001,7 +1002,8 @@ def q32_json_props(spark, sf_dir):
 
 SQL_Q32 = """
 SELECT event_type, COUNT(*) AS n,
-       SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT)
+         AS sum_k,
        MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
        MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
 FROM events GROUP BY event_type
@@ -1171,9 +1173,10 @@ WITH toks AS (
   SELECT doc_id, lang, len(g) AS n_grams, len(list_distinct(g)) AS n_distinct
   FROM grams
 )
-SELECT lang, COUNT(*) AS n_docs, SUM(n_grams) AS sum_grams,
-       SUM(n_distinct) AS sum_distinct,
-       SUM(CASE WHEN 2 * (n_grams - n_distinct) > n_grams THEN 1 ELSE 0 END)
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_grams) AS BIGINT) AS sum_grams,
+       CAST(SUM(n_distinct) AS BIGINT) AS sum_distinct,
+       CAST(SUM(CASE WHEN 2 * (n_grams - n_distinct) > n_grams
+                     THEN 1 ELSE 0 END) AS BIGINT)
          AS n_repetitive
 FROM per_doc GROUP BY lang ORDER BY lang
 """
@@ -1208,7 +1211,8 @@ SQL_Q36 = """
 SELECT lang,
        CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'e'
             THEN 'train' ELSE 'val' END AS split,
-       COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars, MIN(doc_id) AS first_doc
+       COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       MIN(doc_id) AS first_doc
 FROM documents GROUP BY 1, 2 ORDER BY lang, split
 """
 

@@ -31,12 +31,19 @@ def _normalize(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
 
     def norm(v):
+        if hasattr(v, "item"):  # numpy scalar from the pandas path -> Python
+            v = v.item()
         if isinstance(v, bool):
             return str(v).lower()
         if isinstance(v, float):
+            # type-tagged: the driver hashes exact strings, so an int column
+            # on one side vs float on the other (DuckDB HUGEINT->float64) is
+            # a real mismatch even when the values are numerically equal —
+            # the "f:" tag keeps that failure visible while still rounding
+            # away genuine float summation-order noise between engines.
             if math.isnan(v):
-                return "nan"
-            return f"{v:.9g}"
+                return "f:nan"
+            return f"f:{v:.9g}"
         return str(v)
 
     return sorted(tuple(norm(r[i]) for i in order) for r in rows)
@@ -50,8 +57,15 @@ def _spark_result(spark, fn):
 
 
 def _duck_result(ddb, sql):
+    # Materialize through pandas (.df()), NOT fetchall(): the driver's gate
+    # hashes the pandas frame, where DuckDB HUGEINT (SUM of any integer type)
+    # becomes float64 — fetchall() hides that as Python int and round 2's four
+    # red rows sailed through this test.  Keep norm()'s int/float distinction
+    # intact so an un-cast SUM fails here the same way it fails the driver.
     rel = ddb.sql(sql)
-    return rel.fetchall(), list(rel.columns)
+    pdf = rel.df()
+    rows = [tuple(r) for r in pdf.itertuples(index=False, name=None)]
+    return rows, list(pdf.columns)
 
 
 def all_query_names():
