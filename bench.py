@@ -81,7 +81,7 @@ def bench_queries(spark) -> dict[str, float]:
         timings[name] = round(time.time() - t0, 3)
         # isolate queries: several (q17/q18/q25/q34) persist intermediates
         # that only live for the query's own execution; left in the block
-        # manager they accumulate across the 34-query loop, and the eviction
+        # manager they accumulate across the registry loop, and the eviction
         # + GC churn was measured to slow LATE queries ~2× (q34 43 s dirty
         # vs 3.5 s isolated at sf0.1).  Clearing between timings measures
         # each query the way the driver's per-query oracle run executes it.
@@ -98,6 +98,11 @@ def bench_calibration(spark) -> dict:
     - calib_cpu_s: single-thread SHA-256 over 64 MiB (pure CPU, no Spark).
     - calib_shuffle_s: a fixed 2M-row repartition+agg job (Spark scheduler +
       shuffle fixed costs; run post-warmup so JIT is excluded).
+
+    Neither sees the signal that actually matters on this box — co-tenant
+    load steals *parallel* headroom while single-thread speed stays flat —
+    so main() additionally brackets the whole bench with
+    calibration.cpu_probe (par_eff4_before/after in the JSON).
     """
     import hashlib
 
@@ -144,6 +149,9 @@ def bench_crawl(spark) -> dict:
 def main() -> None:
     from pyspark.sql import SparkSession
 
+    from crawler_spark.calibration import cpu_probe
+
+    probe_before = cpu_probe()
     spark = (
         SparkSession.builder.master(f"local[{CPUS}]")
         .appName("crawler-spark-bench")
@@ -162,6 +170,7 @@ def main() -> None:
     calib = bench_calibration(spark)
     crawl = bench_crawl(spark)
     spark.stop()
+    probe_after = cpu_probe()
 
     out = {
         "metric": "headline_queries_total",
@@ -171,6 +180,13 @@ def main() -> None:
         "sf": _sf_of(SF_DIR),
         "cpus": CPUS,
         **calib,
+        # 4-process parallel-efficiency brackets: if either reads well under
+        # ~0.9, a co-tenant on the shared physical host was stealing cores
+        # during this bench and the multi-core timings above are inflated
+        # (crawler_spark/calibration.py, BASELINE.md "host interference")
+        "par_eff4_before": probe_before["par_eff4"],
+        "par_eff4_after": probe_after["par_eff4"],
+        "probe_t1_s": probe_before["t1_s"],
         **crawl,
     }
     print(json.dumps(out))

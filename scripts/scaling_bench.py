@@ -89,56 +89,10 @@ def run_level(cpus: int, fixtures: str, args, zpath: str) -> dict:
         return json.loads(f.read())
 
 
-def _sha_work(_arg=None) -> None:
-    block = b"\x00" * (1 << 22)
-    h = __import__("hashlib").sha256()
-    for _ in range(16):
-        h.update(block)
-
-
-def cpu_probe() -> dict:
-    """Host-interference probe: single-process SHA-256 time over 64 MiB plus
-    the 4-process parallel efficiency of the same workload.
-
-    This sandbox is a microVM on a shared physical host.  Co-tenant load is
-    invisible from inside (ps shows nothing) but steals physical cores: the
-    measured signature is a *stable* single-thread time alongside a 4-way
-    parallel efficiency collapsing from ~0.95 to ~0.7, which silently halves
-    any local[4] leg and fakes a bad N->4N ratio (measured: an identical
-    engine round took 130 s and 230 s forty minutes apart, zero code change;
-    a scaling run in such a window read 0.54 where quiet windows read 0.83).
-    A scaling ratio is only meaningful when both legs saw a quiet machine —
-    so the probe runs before and after each leg and is recorded in the JSON,
-    and --wait-quiet gates the legs on it."""
-    import multiprocessing as mp
-    import time
-
-    t1 = float("inf")
-    for _ in range(3):  # min-of-3: a single sample can catch a scheduler blip
-        t0 = time.time()
-        _sha_work()
-        t1 = min(t1, time.time() - t0)
-    t4 = float("inf")
-    with mp.get_context("fork").Pool(4) as pool:
-        for _ in range(2):
-            t0 = time.time()
-            pool.map(_sha_work, range(4))
-            t4 = min(t4, time.time() - t0)
-    return {"t1_s": round(t1, 3), "par_eff4": round(min(t1 / t4, 1.0), 3)}
-
-
-def wait_quiet(min_eff: float, max_wait_s: float, poll_s: float = 45.0) -> dict:
-    """Block until the 4-way probe efficiency reaches min_eff (quiet host)
-    or max_wait_s elapses; returns the last probe either way."""
-    import time
-
-    deadline = time.time() + max_wait_s
-    probe = cpu_probe()
-    while probe["par_eff4"] < min_eff and time.time() < deadline:
-        print(f"host busy (par_eff4={probe['par_eff4']}), waiting...", flush=True)
-        time.sleep(poll_s)
-        probe = cpu_probe()
-    return probe
+# host-interference probe + quiet-window gate: shared with bench.py (which
+# brackets every driver bench with the same probe) — see the module docstring
+sys.path.insert(0, REPO)
+from crawler_spark.calibration import cpu_probe, wait_quiet  # noqa: E402
 
 
 def main() -> None:
@@ -163,7 +117,6 @@ def main() -> None:
     ap.add_argument("--max-leg-tries", type=int, default=3)
     args = ap.parse_args()
 
-    sys.path.insert(0, REPO)
     from crawler_spark.fixtures import ensure_cached
 
     fixtures = ensure_cached(
