@@ -273,24 +273,63 @@ def simhash64(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return packed
 
 
-def simhash_near_pairs(sim: DataFrame, prefix_bits: int = 16) -> DataFrame:
-    """Near-dup candidates: equal top-``prefix_bits`` simhash prefix.
+def simhash_near_pairs(
+    sim: DataFrame,
+    bands: int = 4,
+    max_band_size: int | None = DEFAULT_MAX_BAND_SIZE,
+) -> DataFrame:
+    """Near-dup candidates: any equal ``64//bands``-bit simhash band slice
+    (banded Hamming LSH, same scheme as image_dedup.phash_near_dup_pairs).
 
-    The standard multi-probe trick is rotating bands; one prefix band keeps
-    the demo cheap — callers can union several rotations.  The prefix is
-    extracted as ``(simhash >> (64-k)) & (2^k - 1)`` — arithmetic shift +
-    mask, identical in any engine regardless of sign handling (DuckDB has no
-    unsigned shift on BIGINT).
+    By pigeonhole any pair with Hamming distance ≤ bands−1 shares a band, so
+    the default 4×16-bit banding has FULL recall at distance ≤ 3 — strictly
+    better than round 2's single top-16-bit prefix, which missed any near-dup
+    whose flipped bit landed in the prefix.
+
+    Band key b = ``(simhash >> b·width) & (2^width − 1)``: arithmetic shift +
+    mask equals logical shift + mask for every band (the mask keeps only bits
+    below the sign-fill region), so the DuckDB oracle's plain ``>>``
+    reproduces the keys exactly on negative simhashes.
+
+    ``max_band_size`` (ON by default — simhashes of boilerplate-heavy corpora
+    cluster, and one hot band bucket otherwise goes quadratic at scale) caps
+    rows per (band, band_key) via a deterministic row_number ordered by
+    doc_id, the same skew guard as lsh_candidate_pairs; pass ``None`` for the
+    exact pigeonhole guarantee on small corpora.
+
+    The capped band table is persisted before the self-join (same contract
+    as lsh_candidate_pairs): the simhash lineage and the cap's window shuffle
+    run once and both join sides read the one materialization.  Lifetime is
+    caller-owned — unpersist via ``spark.catalog.clearCache()`` after
+    materializing the result (bench.py and the correctness driver do).
     """
-    keyed = sim.withColumn(
-        "pfx",
-        F.shiftright(F.col("simhash"), 64 - prefix_bits).bitwiseAND(
-            F.lit((1 << prefix_bits) - 1)
-        ),
+    if 64 % bands:
+        raise ValueError(f"bands must divide 64, got {bands}")
+    width = 64 // bands
+    mask = (1 << width) - 1
+    keys = F.array(
+        *[
+            F.shiftright(F.col("simhash"), b * width).bitwiseAND(F.lit(mask))
+            for b in range(bands)
+        ]
     )
+    keyed = sim.select("doc_id", F.posexplode(keys).alias("band", "band_key"))
+    if max_band_size is not None:
+        w = Window.partitionBy("band", "band_key").orderBy("doc_id")
+        keyed = (
+            keyed.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= max_band_size)
+            .drop("_rn")
+        )
+    keyed = keyed.persist()
     a, b = keyed.alias("a"), keyed.alias("b")
     return (
-        a.join(b, (F.col("a.pfx") == F.col("b.pfx")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )

@@ -782,23 +782,37 @@ FROM orders
 
 
 # --------------------------------------------------------------------------
-# SimHash near-dup candidate pairs (prefix band over q21's md5 simhash)
+# SimHash near-dup candidate pairs: 4×16-bit banded Hamming LSH over q21's
+# md5 simhash (full recall at Hamming ≤ 3 by pigeonhole) with the
+# deterministic per-bucket skew cap ON — the same plan shape as the text
+# MinHash and image phash paths; never quadratic in a hot bucket.
 # --------------------------------------------------------------------------
 
 
 def q28_simhash_near_pairs(spark, sf_dir):
     from crawler_spark.operators.dedup_text import simhash64, simhash_near_pairs
 
-    sim = simhash64(t(spark, sf_dir, "documents")).persist()
-    return simhash_near_pairs(sim, prefix_bits=16)
+    # the operator persists the capped band table itself, so both self-join
+    # sides share one simhash computation — no outer persist needed
+    sim = simhash64(t(spark, sf_dir, "documents"))
+    return simhash_near_pairs(sim, bands=4, max_band_size=64)
 
 
+# arithmetic >> + mask equals unsigned-shift + mask for all four bands (the
+# mask keeps only bits below the sign fill), so plain BIGINT >> is portable
 SQL_Q28 = f"""
-WITH sim AS ({_sql_q21()})
+WITH sim AS ({_sql_q21()}),
+keyed AS (
+  SELECT doc_id, band, (simhash >> (band * 16)) & 65535 AS band_key
+  FROM sim, (SELECT unnest([0, 1, 2, 3]) AS band)),
+capped AS (
+  SELECT doc_id, band, band_key,
+         ROW_NUMBER() OVER (PARTITION BY band, band_key ORDER BY doc_id) AS rn
+  FROM keyed)
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM sim a JOIN sim b
-  ON ((a.simhash >> 48) & 65535) = ((b.simhash >> 48) & 65535)
- AND a.doc_id < b.doc_id
+FROM capped a JOIN capped b
+  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+WHERE a.rn <= 64 AND b.rn <= 64
 """
 
 
