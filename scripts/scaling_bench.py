@@ -114,7 +114,7 @@ def main() -> None:
     ap.add_argument("--quiet-eff", type=float, default=0.88,
                     help="min 4-process probe efficiency counted as quiet")
     ap.add_argument("--max-wait-s", type=float, default=1800.0)
-    ap.add_argument("--max-leg-tries", type=int, default=3)
+    ap.add_argument("--max-leg-tries", type=int, default=6)
     args = ap.parse_args()
 
     from crawler_spark.fixtures import ensure_cached
@@ -203,7 +203,18 @@ def main() -> None:
         },
         "calib_min_par_eff4": min(p["par_eff4"] for p in probes),
     }
-    with open(os.path.join(REPO, "BENCH_SCALING.json"), "w") as f:
+    # A leg that exhausted its retries in a loud window still reports, but it
+    # must NOT clobber an existing accepted result: co-tenant interference
+    # (see crawler_spark.calibration) makes the ratio meaningless, and this
+    # exact overwrite destroyed a valid 0.829 measurement once.  Loud runs
+    # land in a candidate file beside the cache instead.
+    quiet_run = out["calib_min_par_eff4"] >= args.quiet_eff
+    target = os.path.join(REPO, "BENCH_SCALING.json")
+    if not quiet_run and os.path.exists(target):
+        target = os.path.join(CACHE, "BENCH_SCALING.candidate.json")
+        print(f"loud run (min par_eff4 {out['calib_min_par_eff4']}) — "
+              f"keeping existing BENCH_SCALING.json, writing {target}", flush=True)
+    with open(target, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
 
