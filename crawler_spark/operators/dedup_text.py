@@ -159,9 +159,13 @@ def lsh_candidate_pairs(
     at scale; the cap is deterministic (row_number ordered by doc_id) so the
     oracle SQL reproduces it exactly.
 
-    The band table is persisted before the self-join: both join sides read
-    the one materialization instead of re-running the minhash lineage twice.
-    (At cluster scale this persist is a checkpoint to the state store.)
+    The band table is materialized ONCE via ``localCheckpoint`` before the
+    self-join: both join sides read the one materialization instead of
+    re-running the minhash lineage twice, and the blocks are released by the
+    ContextCleaner when the result DataFrame is garbage-collected — no
+    caller-side ``unpersist``/``clearCache`` obligation (round 2 used
+    ``persist``, which leaked into the block manager across registry
+    queries).  (At cluster scale this is a checkpoint to the state store.)
     """
     sig = minhash_signature(docs, text_col, k, shingle_n, shingles=shingles)
     exploded = lsh_band_table(sig, k, bands)
@@ -172,7 +176,7 @@ def lsh_candidate_pairs(
             .filter(F.col("_rn") <= max_band_size)
             .drop("_rn")
         )
-    exploded = exploded.persist()
+    exploded = exploded.localCheckpoint(eager=True)
     a, c = exploded.alias("a"), exploded.alias("c")
     return (
         a.join(
@@ -215,55 +219,76 @@ def ngram_jaccard_pairs(
     return j.filter(F.col("jaccard") >= threshold).select("doc_a", "doc_b", "jaccard")
 
 
+# simhash token bound: the per-bit one-counts are summed in packed 16-bit
+# lanes (see simhash64), and the top lane sits at shift 48 — a per-doc token
+# count ≤ 32767 keeps every lane carry-free AND the top-lane sum < 2^63.
+# Docs beyond the cap hash their first 32767 tokens (the usual practical
+# truncation for sketching very long documents); the oracle twin slices
+# identically so engine/oracle equality holds at any length.
+SIMHASH_MAX_TOKENS = 32767
+
+
 def simhash64(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, simhash:long) — 64-bit Charikar simhash over token md5s.
 
     Token hash = md5(token); bit b of the simhash is 1 iff the sum of ±1
-    contributions of that bit across tokens is positive.  Bit b is read from
-    hex digit b//4 of the md5 (nibble >> (3 - b%4)) — md5-derived so the
-    DuckDB oracle computes the identical value (round-1 used xxhash64, which
-    has no portable twin).  Pure aggregate plan: explode tokens → per-bit
-    vote sums (map-side partial agg) → pack.  One shuffle on doc_id.
+    contributions of that bit across tokens is positive — equivalently iff
+    2·ones(b) > n_tokens.  Bit b is read from hex digit b//4 of the md5
+    (nibble >> (3 − b%4)) — md5-derived so the DuckDB oracle computes the
+    identical value (round-1 used xxhash64, which has no portable twin).
+
+    Plan shape: the 64 per-bit one-counts are summed as 16 LANE-PACKED longs
+    (one per md5 nibble; the nibble's 4 bits spread into 16-bit lanes at
+    shifts 48/32/16/0), so the aggregate is 16 SUMs + COUNT instead of the
+    64 SUMs of the naive plan — round 2's version carried the largest
+    codegen/aggregate constant in the registry for its row count.  Lanes are
+    carry-free because tokens-per-doc is capped at SIMHASH_MAX_TOKENS.  The
+    64-way unpack runs on one row per doc after the shuffle.  One shuffle on
+    doc_id, map-side partial aggregation intact.
     """
     # small-input guard: a single-row-group parquet gives ONE scan split and
-    # the 64-bit nibble extraction is CPU-heavy; spread it when the scan has
-    # fewer partitions than cores (no-op at scale — real inputs carry many
-    # splits, and the repartition would otherwise shuffle the full text).
-    target = docs.sparkSession.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < target:
-        docs = docs.repartition(target)
-    toks = docs.select("doc_id", F.explode(F.split(F.col(text_col), " ")).alias("tok"))
-    h = toks.select("doc_id", F.md5("tok").alias("hx"))
-    # materialize the 16 nibbles once per token instead of repeating
-    # conv(substring(...)) inside all 64 vote expressions — codegen CSE
-    # recovers most of the duplication, but the explicit projection is still
-    # ~10-15% faster at sf0.1 and keeps the expression tree readable
-    nib = h.select(
+    # the per-token hashing is CPU-heavy; spread it when the scan has fewer
+    # files than cores (no-op at scale — real inputs carry many splits, and
+    # the repartition would otherwise shuffle the full text).
+    from crawler_spark.operators import ensure_scan_parallelism
+
+    docs = ensure_scan_parallelism(docs)
+    toks = docs.select(
         "doc_id",
-        *[
-            F.conv(F.substring("hx", n + 1, 1), 16, 10).cast("int").alias(f"n{n}")
-            for n in range(16)
-        ],
+        F.explode(
+            F.slice(F.split(F.col(text_col), " "), 1, SIMHASH_MAX_TOKENS)
+        ).alias("tok"),
     )
+    h = toks.select("doc_id", F.md5("tok").alias("hx"))
 
-    def bit(b: int):
-        return F.shiftright(F.col(f"n{b // 4}"), 3 - b % 4).bitwiseAND(F.lit(1))
+    def spread(n: int):
+        """Nibble n (hex digit n of the md5) → 4 bit-flags in 16-bit lanes:
+        bit 4n+k lands at lane shift 48−16k (lane order mirrors the bit
+        numbering used by the unpack below and the DuckDB twin)."""
+        v = F.conv(F.substring("hx", n + 1, 1), 16, 10).cast("long")
+        return (
+            F.shiftleft(F.shiftright(v, 3).bitwiseAND(F.lit(1)), 48)
+            + F.shiftleft(F.shiftright(v, 2).bitwiseAND(F.lit(1)), 32)
+            + F.shiftleft(F.shiftright(v, 1).bitwiseAND(F.lit(1)), 16)
+            + v.bitwiseAND(F.lit(1))
+        ).alias(f"s{n}")
 
-    votes = (
-        nib.select(
-            "doc_id",
-            *[F.when(bit(b) == 1, 1).otherwise(-1).alias(f"b{b}") for b in range(64)],
-        )
+    lanes = (
+        h.select("doc_id", *[spread(n) for n in range(16)])
         .groupBy("doc_id")
-        .agg(*[F.sum(f"b{b}").alias(f"b{b}") for b in range(64)])
+        .agg(F.count("*").alias("_n"), *[F.sum(f"s{n}").alias(f"s{n}") for n in range(16)])
     )
-    packed = votes.select(
+
+    def ones(b: int):
+        return F.shiftright(F.col(f"s{b // 4}"), 48 - 16 * (b % 4)).bitwiseAND(F.lit(65535))
+
+    packed = lanes.select(
         "doc_id",
         sum(
             [
                 F.when(
-                    F.col(f"b{b}") > 0,
-                    F.lit(1).cast("long") * (1 << b) if b < 63 else F.lit(-(1 << 63)).cast("long"),
+                    ones(b) * 2 > F.col("_n"),
+                    F.lit(1 << b if b < 63 else -(1 << 63)).cast("long"),
                 ).otherwise(F.lit(0).cast("long"))
                 for b in range(64)
             ],
@@ -297,11 +322,11 @@ def simhash_near_pairs(
     doc_id, the same skew guard as lsh_candidate_pairs; pass ``None`` for the
     exact pigeonhole guarantee on small corpora.
 
-    The capped band table is persisted before the self-join (same contract
-    as lsh_candidate_pairs): the simhash lineage and the cap's window shuffle
-    run once and both join sides read the one materialization.  Lifetime is
-    caller-owned — unpersist via ``spark.catalog.clearCache()`` after
-    materializing the result (bench.py and the correctness driver do).
+    The capped band table is materialized once via ``localCheckpoint``
+    before the self-join (same contract as lsh_candidate_pairs): the simhash
+    lineage and the cap's window shuffle run once, both join sides read the
+    one materialization, and the ContextCleaner releases the blocks when the
+    result is garbage-collected — no caller-side cache management.
     """
     if 64 % bands:
         raise ValueError(f"bands must divide 64, got {bands}")
@@ -321,7 +346,7 @@ def simhash_near_pairs(
             .filter(F.col("_rn") <= max_band_size)
             .drop("_rn")
         )
-    keyed = keyed.persist()
+    keyed = keyed.localCheckpoint(eager=True)
     a, b = keyed.alias("a"), keyed.alias("b")
     return (
         a.join(

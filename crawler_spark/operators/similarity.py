@@ -271,7 +271,7 @@ def embedding_near_dup_pairs_lsh(
     O(N²) to Σ_band Σ_bucket O(n_b²).  Deterministic end-to-end (md5
     hyperplanes) — the DuckDB oracle reproduces the exact pair set.
     """
-    sigs = band_signatures(emb, dim, bands, r, id_col=id_col, vec_col=vec_col).persist()
+    sigs = band_signatures(emb, dim, bands, r, id_col=id_col, vec_col=vec_col).localCheckpoint(eager=True)
     a = sigs.select(F.col(id_col).alias("id_a"), "band", "bucket")
     b = sigs.select(F.col(id_col).alias("id_b"), "band", "bucket")
     cand = (

@@ -475,7 +475,7 @@ def q18_jaccard_verify(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
     # one persisted shingle table feeds both the candidate generation and the
     # Jaccard verify — round 1 recomputed the whole tokenize→minhash lineage
-    sh = shingle_table(d).persist()
+    sh = shingle_table(d).localCheckpoint(eager=True)
     pairs = lsh_candidate_pairs(d, k=6, bands=3, shingles=sh)
     out = ngram_jaccard_pairs(d, pairs, threshold=0.0, shingles=sh)
     return out.select("doc_a", "doc_b", F.round(F.col("jaccard"), 6).alias("jaccard"))
@@ -582,29 +582,44 @@ def q21_simhash(spark, sf_dir):
 
 
 def _sql_q21() -> str:
-    # bit b of md5(tok) = nibble (hex digit b//4) >> (3 − b%4) & 1; vote ±1;
-    # simhash bit b set iff the vote sum is positive; b=63 is the sign bit.
-    votes = ",\n         ".join(
-        f"SUM(CASE WHEN ((((strpos('0123456789abcdef', substr(hx, {b // 4 + 1}, 1)) - 1)"
-        f" >> {3 - b % 4}) & 1) = 1) THEN 1 ELSE -1 END) AS b{b}"
-        for b in range(64)
+    # Lane-packed twin of operators.dedup_text.simhash64: nibble n of md5(tok)
+    # spreads its 4 bits into 16-bit lanes (shift 48−16k for bit 4n+k); 16
+    # SUMs + COUNT per doc, then bit b set iff 2·ones(b) > n_tokens; b=63 is
+    # the sign bit.  Tokens are sliced to SIMHASH_MAX_TOKENS (32767) exactly
+    # like the engine, which also keeps every lane sum carry-free.
+    lanes = ",\n         ".join(
+        "SUM(((v{n} >> 3) & 1) * CAST(281474976710656 AS BIGINT)"
+        " + ((v{n} >> 2) & 1) * 4294967296"
+        " + ((v{n} >> 1) & 1) * 65536 + (v{n} & 1)) AS s{n}".format(n=n)
+        for n in range(16)
+    )
+    nibbles = ",\n         ".join(
+        f"strpos('0123456789abcdef', substr(hx, {n + 1}, 1)) - 1 AS v{n}"
+        for n in range(16)
     )
     packed = " + ".join(
         (
-            f"CASE WHEN b{b} > 0 THEN (CAST(1 AS BIGINT) << {b}) ELSE CAST(0 AS BIGINT) END"
+            f"CASE WHEN 2 * ((s{b // 4} >> {48 - 16 * (b % 4)}) & 65535) > n"
+            f" THEN (CAST(1 AS BIGINT) << {b}) ELSE CAST(0 AS BIGINT) END"
             if b < 63
-            else f"CASE WHEN b{b} > 0 THEN CAST(-9223372036854775808 AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+            else f"CASE WHEN 2 * ((s{b // 4} >> {48 - 16 * (b % 4)}) & 65535) > n"
+            f" THEN CAST(-9223372036854775808 AS BIGINT) ELSE CAST(0 AS BIGINT) END"
         )
         for b in range(64)
     )
     return f"""
-WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+WITH toks AS (SELECT doc_id, unnest(list_slice(string_split(text, ' '), 1, 32767)) AS tok
+              FROM documents),
 h AS (SELECT doc_id, md5(tok) AS hx FROM toks),
-votes AS (
+nib AS (
   SELECT doc_id,
-         {votes}
-  FROM h GROUP BY doc_id)
-SELECT doc_id, {packed} AS simhash FROM votes
+         {nibbles}
+  FROM h),
+lanes AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n,
+         {lanes}
+  FROM nib GROUP BY doc_id)
+SELECT doc_id, {packed} AS simhash FROM lanes
 """
 
 
@@ -733,12 +748,12 @@ def q26_extract_records(spark, sf_dir):
             "landing": "pipeline",
         }
     }
+    from crawler_spark.operators import ensure_scan_parallelism
+
     o = t(spark, sf_dir, "orders").withColumn("url", _synth_url())
     # small-input guard: a single-row-group parquet gives ONE scan split and
     # the HTML parse UDF is CPU-heavy — spread it (no-op at real scale)
-    target = spark.sparkContext.defaultParallelism
-    if o.rdd.getNumPartitions() < target:
-        o = o.repartition(target)
+    o = ensure_scan_parallelism(o)
     k = F.col("o_orderkey") % 3  # 0..2 anchors per page
     li1 = F.concat(F.lit('<li><a href="'), F.col("url"), F.lit('"><b>o1</b></a></li>'))
     li2 = F.concat(
@@ -1094,7 +1109,7 @@ def q34_dedup_keeplist(spark, sf_dir):
     exact_drop = (
         keyed.join(keepers, "h").filter(F.col("doc_id") > F.col("keeper")).select("doc_id")
     )
-    sh = shingle_table(d).persist()
+    sh = shingle_table(d).localCheckpoint(eager=True)
     cand = lsh_candidate_pairs(d, k=6, bands=3, shingles=sh)
     near = ngram_jaccard_pairs(d, cand, threshold=0.5, shingles=sh)
     near_drop = near.select(F.col("doc_b").alias("doc_id"))

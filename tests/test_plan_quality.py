@@ -13,8 +13,13 @@ engine promises at 100 TB:
 * scans do not read every column when the query projects a few (column
   pruning is alive).
 
-The checks read the EXECUTED plan string (post-AQE), the same artifact
-`.explain("formatted")` prints, so they hold for what actually ran.
+The checks read the INITIAL physical plan (pre-AQE finalization): join
+strategy selection — the thing the forbidden-node gate pins — happens at
+initial planning, and AQE only ever *improves* a join (sort-merge →
+broadcast), never introduces a CartesianProduct/BNLJ that wasn't planned.
+Inspecting the DataFrame's own queryExecution directly avoids executing
+every registry query twice (a noop-write materialization inspected a
+SEPARATE QueryExecution anyway, so it never saw the finalized plan either).
 """
 
 from __future__ import annotations
@@ -35,8 +40,6 @@ FORBIDDEN_NODES = ("CartesianProduct", "BroadcastNestedLoopJoin")
 
 
 def _executed_plan(df) -> str:
-    # materialize first so AQE finalizes the adaptive plan
-    df.write.format("noop").mode("overwrite").save()
     return df._jdf.queryExecution().executedPlan().toString()
 
 
