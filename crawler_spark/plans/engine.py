@@ -97,6 +97,8 @@ class CrawlEngine:
         # per-bucket Bloom bits as a DataFrame beside the checkpoint — built,
         # updated, and probed executor-side (never collected or broadcast)
         self._bloom: Optional[DataFrame] = None
+        self._bloom_round: Optional[int] = None  # round of the last WRITTEN bloom
+        self._bloom_dirty = False  # un-materialized rebuild lineage pending
         # page table: the synthetic web. NOTE: no image bytes here — payload
         # stays in images.parquet, joined only by verify_payloads().
         self.pages = (
@@ -310,9 +312,13 @@ class CrawlEngine:
             )
             if compatible:
                 try:
+                    # rounds with nothing new to fold skip the bloom write and
+                    # point at the last materialized table via meta.bloom_round
+                    bloom_round = int(meta.get("bloom_round", resume_round))
                     self._bloom = snap.read_full(
-                        self.spark, self.ckpt_dir, "bloom", resume_round
+                        self.spark, self.ckpt_dir, "bloom", bloom_round
                     )
+                    self._bloom_round = bloom_round
                     return
                 except Exception:
                     pass  # missing/torn table → rebuild below
@@ -356,6 +362,7 @@ class CrawlEngine:
             self.bloom_fpp,
         )
         self._bloom = self._bloom.filter(~F.col("bucket").isin(sat)).unionByName(rebuilt)
+        self._bloom_dirty = True  # force the next commit to materialize the rebuild
 
     PAYLOAD_SCHEMA = (
         "image_id string, decode_ok boolean, shape_ok boolean, phash_ok boolean, psnr_db double"
@@ -463,9 +470,12 @@ class CrawlEngine:
         rnd = start_round
         # row-count ESTIMATES for output-file sizing (_wparts).  Upper bounds
         # are fine (they only add partitions); both grow by the admitted
-        # delta each round, so no extra counting jobs in the loop.
+        # delta each round, so no extra counting jobs in the loop.  On resume
+        # the frontier holds only PENDING urls while url_seen holds the whole
+        # crawl history — seeding seen_est from the frontier would undersize
+        # the compact-round url_seen snapshot's file fan-out.
         frontier_est = frontier.count()
-        seen_est = frontier_est
+        seen_est = url_seen.count() if start_round > 0 else frontier_est
         summary = {
             "rounds": 0,
             "fetched": 0,
@@ -479,7 +489,16 @@ class CrawlEngine:
             eligible = frontier.filter(F.col("wave") <= rnd)
             batch = select_fetch_batch(eligible, self.robots, cfg)
             classified = self._classify(batch).persist()
-            n_selected = classified.count()
+            # one materializing job returns every per-round tally the commit
+            # planner needs (round 2 counted then re-aggregated per table)
+            stats = classified.agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("dead_reason").isNotNull().cast("long")).alias("n_dead"),
+                F.sum((F.col("status") == P.ST_FETCHED).cast("long")).alias("n_fetched"),
+            ).first()
+            n_selected = stats["n"]
+            n_dead_rows = stats["n_dead"] or 0
+            n_fetched_rows = stats["n_fetched"] or 0
             if n_selected == 0:
                 dead_all = snap.read_deltas(spark, self.ckpt_dir, "dead_letter", rnd)
                 red = self._redrive(dead_all, rnd)
@@ -491,6 +510,7 @@ class CrawlEngine:
                 classified.unpersist()
                 continue
 
+            round_epoch = 1704067200.0 + float(rnd) * cfg.round_seconds
             fetch_log = classified.select(
                 F.lit(rnd).alias("round"), "host", "rank", "url", "status", "attempt",
                 "redirected", "repaired_url",
@@ -502,12 +522,14 @@ class CrawlEngine:
                     " ",
                     F.col("status"),
                     F.date_format(
-                        F.timestamp_seconds(
-                            F.lit(1704067200.0) + F.lit(float(rnd) * cfg.round_seconds)
-                        ),
-                        "yyyy-MM-dd HH:mm:ss",
+                        F.timestamp_seconds(F.lit(round_epoch)), "yyyy-MM-dd HH:mm:ss"
                     ),
                 ).alias("status_line"),
+                # raw event-time for the streaming surfaces: format+reparse of
+                # status_line is session-timezone-dependent (a stamp in a DST
+                # gap parses to null/the wrong instant); the epoch column is
+                # timezone-free, so watermarks/windows are exact anywhere.
+                F.lit(round_epoch).alias("event_epoch"),
             )
             dead_delta = classified.filter(F.col("dead_reason").isNotNull()).select(
                 "url",
@@ -518,12 +540,14 @@ class CrawlEngine:
             # T2 round deadline: eligible rows the budget passed over for
             # max_wait_rounds rounds die TIMEOUTED (→ recycle bin)
             timed_out = None
+            n_timed_out = 0
             if cfg.max_wait_rounds is not None:
                 timed_out = (
                     eligible.join(F.broadcast(classified.select("url")), "url", "left_anti")
                     .filter(F.lit(rnd) - F.col("wave") >= cfg.max_wait_rounds)
                     .persist()
                 )
+                n_timed_out = timed_out.count()
                 dead_delta = dead_delta.unionByName(
                     timed_out.select(
                         "url", F.lit("timeout").alias("reason"), "generation",
@@ -545,7 +569,6 @@ class CrawlEngine:
             )
             if timed_out is not None:
                 kept = kept.join(timed_out.select("url"), "url", "left_anti")
-            self._bloom_scratch = None
             fetched = classified.filter(F.col("status") == P.ST_FETCHED)
             # structdata story results (consumed by the exporter family K1-K5)
             story_results = fetched.select(
@@ -585,27 +608,41 @@ class CrawlEngine:
                 .withColumn("round", F.lit(rnd))
                 .withColumn("wall_ms", F.lit(int((time.time() - t0) * 1000)))
             )
-            # size committed files by row volume, not shuffle fan-out
+            # size committed files by row volume, not shuffle fan-out.
+            # KNOWN-EMPTY deltas are skipped outright: read_deltas tolerates a
+            # missing per-round table dir, and every skipped table is a whole
+            # Spark write job saved from the round's critical path (dead_letter
+            # and payload_log are 0-row on most healthy rounds).
             seen_rows = n_admitted + (seen_est if (folded_seeds or compact_seen) else 0)
             tables = {
                 "frontier": frontier_next.coalesce(
                     self._wparts(frontier_est + n_admitted, cached=False)
                 ),
-                "url_seen": seen_delta.coalesce(
-                    self._wparts(seen_rows, cached=not (folded_seeds or compact_seen))
-                ),
-                "dead_letter": dead_delta.coalesce(self._wparts(n_selected)),
                 "fetch_log": fetch_log.coalesce(self._wparts(n_selected)),
-                "story_results": story_results.coalesce(self._wparts(n_selected)),
                 "lineage": lineage.coalesce(self._wparts(n_selected)),
             }
-            if self.ingest_payloads:
-                tables["payload_log"] = self._payload_log(fetched, rnd)
+            if n_admitted or folded_seeds or compact_seen:
+                tables["url_seen"] = seen_delta.coalesce(
+                    self._wparts(seen_rows, cached=not (folded_seeds or compact_seen))
+                )
+            if n_dead_rows + n_timed_out:
+                tables["dead_letter"] = dead_delta.coalesce(self._wparts(n_selected))
+            if n_fetched_rows:
+                tables["story_results"] = story_results.coalesce(self._wparts(n_selected))
+                if self.ingest_payloads:
+                    tables["payload_log"] = self._payload_log(fetched, rnd)
             meta = {"selected": n_selected, "wall_s": time.time() - t0}
             if bloom_next is not None:
-                tables["bloom"] = bloom_next
                 meta["bloom_format"] = 2
                 meta["bloom_buckets"] = self.bloom_buckets
+                if n_admitted or self._bloom_dirty or self._bloom_round is None:
+                    # content changed (new hashes OR'd in / saturation rebuild)
+                    # → materialize; otherwise point the manifest at the last
+                    # written table and skip the n_buckets-row bitset write
+                    tables["bloom"] = bloom_next
+                    meta["bloom_round"] = rnd
+                else:
+                    meta["bloom_round"] = self._bloom_round
             t_commit = time.time()
             snap.commit_round(
                 self.ckpt_dir, rnd, tables, meta=meta,
@@ -628,7 +665,11 @@ class CrawlEngine:
             frontier = snap.read_full(spark, self.ckpt_dir, "frontier", rnd)
             url_seen = snap.read_deltas(spark, self.ckpt_dir, "url_seen", rnd)
             if bloom_next is not None:
-                self._bloom = snap.read_full(spark, self.ckpt_dir, "bloom", rnd)
+                if "bloom" in tables:
+                    self._bloom = snap.read_full(spark, self.ckpt_dir, "bloom", rnd)
+                    self._bloom_round = rnd
+                    self._bloom_dirty = False
+                # else: _bloom already reads the last written parquet table
                 self._bloom_maybe_rebuild(url_seen, rnd)
             summary["selected"] += n_selected
             summary["rounds"] = rnd + 1 - start_round

@@ -36,7 +36,7 @@ __all__ = [
 
 _FETCH_LOG_SCHEMA = (
     "round int, host string, rank int, url string, status string, attempt int, "
-    "redirected boolean, repaired_url string, status_line string"
+    "redirected boolean, repaired_url string, status_line string, event_epoch double"
 )
 _DEAD_SCHEMA = "url string, reason string, generation int, round int"
 
@@ -73,16 +73,17 @@ def fetch_metrics_stream(
 ) -> DataFrame:
     """Windowed per-host/status fetch counts with a REAL event-time watermark.
 
-    Event time comes from the row itself: fetch_log's ``status_line`` embeds
-    the round-epoch timestamp (F6 stamping, plans/engine.py) — "STATUS
-    yyyy-MM-dd HH:mm:ss", last 19 chars are the stamp.  Rounds are the
-    engine's clock, so windows group rounds deterministically and the
-    watermark expires state for rounds older than ``late`` — the same
+    Event time comes from the row itself: fetch_log's ``event_epoch`` column
+    carries the round epoch as raw seconds (F6 stamping, plans/engine.py).
+    Rounds are the engine's clock, so windows group rounds deterministically
+    and the watermark expires state for rounds older than ``late`` — the same
     late-data bound T2 puts on task waits.  (Round 1 used
-    ``current_timestamp()`` — a processing-time stand-in, not a watermark.)
+    ``current_timestamp()`` — a processing-time stand-in, not a watermark;
+    round 2 re-parsed the formatted ``status_line`` stamp, which is
+    session-timezone-dependent and breaks in DST gaps/overlaps.)
     """
     log = fetch_log_stream(spark, ckpt_dir).withColumn(
-        "event_ts", F.to_timestamp(F.substring(F.col("status_line"), -19, 19))
+        "event_ts", F.timestamp_seconds(F.col("event_epoch"))
     )
     return (
         log.withWatermark("event_ts", late)
