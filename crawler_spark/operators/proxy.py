@@ -7,11 +7,13 @@ anti-reported proxies only while the pool holds at least ``minsize`` (10)
 entries (A5, DynamicIpPoolChecker.java:171-176).
 
 Spark-first: the pool is a tiny DataFrame (ip, idx) kept by the round driver
-and BROADCAST into any join that needs it; the random pick becomes a
-seed-deterministic hash pick ``pool[xxhash64(url) % n]`` (the reference uses
-``RandomUtils.nextInt`` — made deterministic for reproducibility, documented
-deviation per SURVEY §2.3 J6).  Refresh/evict rebuild the small DataFrame —
-per-round broadcast refresh is the T5 analog of the 30 s scheduler.
+and BROADCAST into any join that needs it; the random pick becomes the
+url-keyed md5 pick ``pool[proxy_index(url, n)]`` (plans.policy.proxy_index —
+the reference uses ``RandomUtils.nextInt``; made deterministic for
+reproducibility, documented deviation per SURVEY §2.3 J6, and md5-derived so
+the golden simulator picks identically).  Refresh/evict rebuild the small
+DataFrame — per-round broadcast refresh is the T5 analog of the 30 s
+scheduler.
 """
 
 from __future__ import annotations
@@ -41,13 +43,22 @@ def pool_df(spark: SparkSession, ips: list[str]) -> DataFrame:
     return df.withColumn("idx", F.row_number().over(w) - 1)
 
 
-def assign_proxy(batch: DataFrame, pool: DataFrame, url_col: str = "url") -> DataFrame:
-    """J6: deterministic per-URL pick — broadcast-join the pool on
-    ``pmod(xxhash64(url), n)``; an empty pool assigns NULL (direct fetch)."""
-    n = pool.count()
+def assign_proxy(
+    batch: DataFrame, pool: DataFrame, url_col: str = "url", n: int | None = None
+) -> DataFrame:
+    """J6: deterministic per-URL pick — broadcast-join the pool on the
+    md5-derived index (policy.proxy_index's exact Spark mirror, so the golden
+    simulator and any SQL twin reproduce the pick); an empty pool assigns
+    NULL (direct fetch).  Pass ``n`` (the pool size) when known to skip the
+    count job — the engine calls this every round."""
+    if n is None:
+        n = pool.count()
     if n == 0:
         return batch.withColumn("proxy_ip", F.lit(None).cast("string"))
-    keyed = batch.withColumn("idx", F.pmod(F.xxhash64(F.col(url_col)), F.lit(n)).cast("int"))
+    idx = F.pmod(
+        F.conv(F.substring(F.md5(F.col(url_col)), 1, 15), 16, 10).cast("long"), F.lit(n)
+    ).cast("int")
+    keyed = batch.withColumn("idx", idx)
     return (
         keyed.join(F.broadcast(pool.withColumnRenamed("ip", "proxy_ip")), "idx", "left")
         .drop("idx")

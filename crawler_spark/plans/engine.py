@@ -77,6 +77,7 @@ class CrawlEngine:
         bloom_fpp: float = 0.01,
         ingest_payloads: bool = False,
         compact_every: int = 16,
+        proxy_pool: Optional[list] = None,
     ):
         self.spark = spark
         self.fix_dir = fix_dir
@@ -124,6 +125,17 @@ class CrawlEngine:
         self._landing = rules_df.select("extractor", "landing").cache()
         self._images: Optional[DataFrame] = None
         self._images_index: Optional[DataFrame] = None
+        # proxy pool (S5/J6): every fetch is assigned a pool member via the
+        # deterministic url-keyed pick (operators.proxy.assign_proxy); the
+        # assignment rides the fetch log as ``proxy_ip`` — the reference's
+        # rawdata carries the fetching ``ip`` (BackLogFetcher.java:221-239).
+        self._proxy_ips = sorted(set(proxy_pool)) if proxy_pool else []
+        self._proxy_n = len(self._proxy_ips)
+        self._proxy_pool_df: Optional[DataFrame] = None
+        if self._proxy_n:
+            from crawler_spark.operators.proxy import pool_df
+
+            self._proxy_pool_df = pool_df(spark, self._proxy_ips).cache()
 
     @property
     def images(self) -> DataFrame:
@@ -218,6 +230,14 @@ class CrawlEngine:
             .withColumn("repaired_url", F.col("fx.repaired_url"))
             .drop("fx", "content")
         )
+        # J6: assign each fetch a proxy-pool member (broadcast join on the
+        # deterministic pick; NULL column when no pool = direct fetch)
+        if self._proxy_pool_df is not None:
+            from crawler_spark.operators.proxy import assign_proxy
+
+            joined = assign_proxy(joined, self._proxy_pool_df, n=self._proxy_n)
+        else:
+            joined = joined.withColumn("proxy_ip", F.lit(None).cast("string"))
         known = F.coalesce(F.col("known"), F.lit(False))
         fail_count = F.coalesce(F.col("fail_count"), F.lit(0))
         anti = F.coalesce(F.col("anti"), F.lit(False))
@@ -513,7 +533,7 @@ class CrawlEngine:
             round_epoch = 1704067200.0 + float(rnd) * cfg.round_seconds
             fetch_log = classified.select(
                 F.lit(rnd).alias("round"), "host", "rank", "url", "status", "attempt",
-                "redirected", "repaired_url",
+                "redirected", "repaired_url", "proxy_ip",
                 # F6 status timestamping (reference Crawlers.java:229-233
                 # formats status + yyyy-MM-dd HH:mm:ss wall time).  Rounds are
                 # this engine's clock, so the stamp derives from the round

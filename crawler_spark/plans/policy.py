@@ -99,6 +99,20 @@ def order_key(wave: int, priority: int, url: str) -> tuple:
     return (wave, priority, url)
 
 
+def proxy_index(url: str, n: int) -> int:
+    """J6 deterministic proxy pick: index into the sorted pool.
+
+    The reference draws ``RandomUtils.nextInt(poolsize)`` per fetch
+    (BackLogFetcher.java:292-318); exact-match mode replaces the draw with a
+    url-keyed md5 hash (documented deviation, SURVEY §2.3 J6) so the engine,
+    the golden simulator, and any SQL twin pick the SAME pool member.  15 hex
+    chars = 60 bits, inside int64 for the Spark mirror
+    (``pmod(conv(substring(md5(url),1,15),16,10), n)``)."""
+    import hashlib
+
+    return int(hashlib.md5(url.encode()).hexdigest()[:15], 16) % n
+
+
 def is_disallowed(path: str, disallow_prefixes: list[str]) -> bool:
     """robots.txt Disallow check (north_rule addition; no reference analog)."""
     if not disallow_prefixes:

@@ -33,6 +33,7 @@ from crawler_spark.plans.policy import (
     classify_fetch,
     is_disallowed,
     order_key,
+    proxy_index,
     seed_priority,
     ST_FETCHED,
 )
@@ -70,8 +71,12 @@ class SimResult:
         return out
 
 
-def simulate(fix_dir: str, cfg: CrawlConfig | None = None) -> SimResult:
+def simulate(
+    fix_dir: str, cfg: CrawlConfig | None = None, proxy_ips: list | None = None
+) -> SimResult:
     cfg = cfg or CrawlConfig()
+    # J6 proxy pick mirror: same sorted pool + same md5 index as the engine
+    pool = sorted(set(proxy_ips)) if proxy_ips else []
     tables = load_tables(fix_dir)
     pages, robots, seeds = tables["pages"], tables["robots"], tables["seeds"]
     rules = tables["rules"]
@@ -192,6 +197,7 @@ def simulate(fix_dir: str, cfg: CrawlConfig | None = None) -> SimResult:
                     "attempt": e.attempt,
                     "redirected": detect_302(url, redirect),
                     "repaired_url": repair_302(url, redirect),
+                    "proxy_ip": pool[proxy_index(url, len(pool))] if pool else None,
                 }
             )
             if out.status == ST_FETCHED:

@@ -36,7 +36,8 @@ __all__ = [
 
 _FETCH_LOG_SCHEMA = (
     "round int, host string, rank int, url string, status string, attempt int, "
-    "redirected boolean, repaired_url string, status_line string, event_epoch double"
+    "redirected boolean, repaired_url string, proxy_ip string, "
+    "status_line string, event_epoch double"
 )
 _DEAD_SCHEMA = "url string, reason string, generation int, round int"
 

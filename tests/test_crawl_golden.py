@@ -232,6 +232,30 @@ def test_round_deadline_timeout_golden(spark, fix_dir, tmp_path_factory):
     assert any(reason == "timeout" for _, reason, _, _ in sim_dead)
 
 
+def test_proxy_assignment_golden(spark, fix_dir, tmp_path_factory, golden):
+    """J6/S5: with a proxy pool present, every fetch carries the pool member
+    the deterministic url-keyed pick selects — engine == simulator exactly
+    (reference rawdata carries the fetching ip, BackLogFetcher.java:221-239).
+    The pool must not perturb any other observable: the fetch log matches the
+    no-proxy golden on all shared columns."""
+    from crawler_spark.plans.engine import CrawlEngine
+    from crawler_spark.simulator import simulate
+
+    ips = [f"10.0.0.{i}:8080" for i in range(5)]
+    ckpt = str(tmp_path_factory.mktemp("ckpt_proxy"))
+    eng = CrawlEngine(spark, fix_dir, ckpt, CFG, proxy_pool=ips)
+    eng.run()
+    sim = simulate(fix_dir, CFG, proxy_ips=ips)
+    got = sorted(
+        (r.round, r.url, r.proxy_ip) for r in eng.fetch_log().collect()
+    )
+    want = sorted((e["round"], e["url"], e["proxy_ip"]) for e in sim.fetch_log)
+    assert got == want
+    assert all(p is not None for _, _, p in got)
+    assert {p for _, _, p in got} == set(ips)  # pool fully exercised
+    assert _engine_fetch_tuples(eng) == _sim_fetch_tuples(golden)
+
+
 def test_resume_equals_straight_run(spark, fix_dir, tmp_path_factory, golden):
     """T6/T7: interrupt after 3 rounds, resume — identical final state."""
     from crawler_spark.plans.engine import CrawlEngine
