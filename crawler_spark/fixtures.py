@@ -116,15 +116,23 @@ def page_html(
     next_url: str | None,
     anti: bool,
     image_id: str,
+    cookie_marker: bool = False,
 ) -> str:
-    """Deterministic page markup; everything extraction recovers lives here."""
+    """Deterministic page markup; everything extraction recovers lives here.
+
+    ``cookie_marker`` appends a ``{{cookie:sid}}`` echo marker to the caption
+    div: the synthetic server renders the fetching task's ``sid`` cookie into
+    the body (functions.extract.render_cookie_markers), so cookie-carrying
+    tasks observably extract different structdata than cookie-less ones —
+    the testable analog of the reference's per-task request cookies."""
     if anti:
         return (
             "<html><body><div class=\"denial\">" + ANTI_MARKER + "</div></body></html>"
         )
+    caption = caption_of(i) + (" [sid={{cookie:sid}}]" if cookie_marker else "")
     parts = [
         f"<html><head><title>p{i}</title></head><body>",
-        f'<div class="caption">{caption_of(i)}</div>',
+        f'<div class="caption">{caption}</div>',
         f'<img src="/img/{image_id}.png"/>',
     ]
     if extractor == "paging":
@@ -227,6 +235,7 @@ def generate(
     max_links: int = 4,
     fmts: list[str] | None = None,
     n_search_seeds: int = 2,
+    n_cookie_pages: int = 0,
 ) -> dict:
     """Write images/pages/seeds/robots parquet under out_dir; return paths.
 
@@ -295,7 +304,10 @@ def generate(
 
     def html_of(i: int) -> str:
         p = page_params[i]
-        return page_html(i, p["extractor"], p["links"], p["next"], p["anti"], f"img{i:010d}")
+        return page_html(
+            i, p["extractor"], p["links"], p["next"], p["anti"], f"img{i:010d}",
+            cookie_marker=i < n_cookie_pages,
+        )
 
     for i in range(n_pages):
         base = page_url(i, host_z)
@@ -348,11 +360,18 @@ def generate(
     seed_urls = [page_url(i, host_z) for i in range(n_seeds)]
     for k, word in enumerate(("fox", "moon")[: max(0, n_search_seeds)]):
         seed_urls.append(f"http://{host_of(k % n_hosts)}/search?_kw_={word}&page=0")
+    # per-task cookies (Task.cookies analog): seeds of cookie-marked pages
+    # carry the sid cookie their pages echo; everyone else crawls cookie-less
+    seed_cookies = [
+        f"sid=s{i}" if i < min(n_cookie_pages, n_seeds) else ""
+        for i in range(len(seed_urls))
+    ]
     seeds = pa.table(
         {
             "seed_id": pa.array([str(i) for i in range(len(seed_urls))], pa.string()),
             "url": pa.array(seed_urls, pa.string()),
             "story_seq": pa.array([i // 200 for i in range(len(seed_urls))], pa.int64()),
+            "cookies": pa.array(seed_cookies, pa.string()),
         }
     )
     pq.write_table(seeds, os.path.join(out_dir, "seeds.parquet"))

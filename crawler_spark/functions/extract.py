@@ -28,6 +28,7 @@ reference replay extract with ONE implementation.
 
 from __future__ import annotations
 
+import re
 from html.parser import HTMLParser
 from typing import Optional
 
@@ -41,6 +42,8 @@ __all__ = [
     "extract_all",
     "extract_all_udf",
     "fetch_parse_udf",
+    "parse_cookie_header",
+    "render_cookie_markers",
     "EXTRACT_SCHEMA",
     "FETCH_PARSE_SCHEMA",
 ]
@@ -200,6 +203,37 @@ def extract_all(
     return links, next_url, anti, records
 
 
+def parse_cookie_header(cookies: Optional[str]) -> dict:
+    """Canonical task-cookie string ``"k=v; k2=v2"`` → dict.
+
+    The reference carries per-task cookies as a map and builds the request's
+    Cookie header from it (Task.cookies, BackLogFetcher.java:122-127); the
+    frontier stores the header form because it is orderable (it rides the
+    first-submission-wins tie-break struct) and parquet-friendly."""
+    out: dict = {}
+    if not cookies:
+        return out
+    for part in cookies.split(";"):
+        k, sep, v = part.strip().partition("=")
+        if sep and k:
+            out[k] = v
+    return out
+
+
+_COOKIE_RE = re.compile(r"\{\{cookie:([^}]*)\}\}")
+
+
+def render_cookie_markers(html: str, cookies: Optional[str]) -> str:
+    """Server-side cookie echo for the synthetic web: ``{{cookie:NAME}}``
+    markers render as the task's cookie value (missing cookie → "").  This is
+    the deterministic stand-in for cookie-dependent responses; the Spark
+    fetch UDF and the golden simulator share this one scalar."""
+    if "{{cookie:" not in html:
+        return html
+    jar = parse_cookie_header(cookies)
+    return _COOKIE_RE.sub(lambda m: jar.get(m.group(1), ""), html)
+
+
 EXTRACT_SCHEMA = (
     "links array<string>, next_url string, anti boolean, records array<array<string>>"
 )
@@ -212,11 +246,13 @@ FETCH_PARSE_SCHEMA = (
 
 def fetch_parse_udf(rules: dict):
     """The round's ENTIRE per-row Python in one Arrow pass:
-    (url, redirect_url, content, extractor) → FETCH_PARSE_SCHEMA.
+    (url, redirect_url, content, extractor, cookies) → FETCH_PARSE_SCHEMA.
 
-    Fuses emulator rendering (S4, functions.emulator), extraction dispatch
-    (P1/P2), and 302 detect/repair (P7, functions.urlnorm) — one pandas-UDF
-    stage instead of three.  Three separate UDF projections measurably cost
+    Fuses emulator rendering (S4, functions.emulator), the task-cookie echo
+    (render_cookie_markers — the reference builds each request with
+    Task.cookies, BackLogFetcher.java:122-127), extraction dispatch (P1/P2),
+    and 302 detect/repair (P7, functions.urlnorm) — one pandas-UDF stage
+    instead of three.  Three separate UDF projections measurably cost
     ~serial driver/plan overhead per round at bench scale (each stage is its
     own exec node, plan subtree, and Python round-trip); the fetch loop is
     latency-critical, so the hot path gets exactly one Python hop.
@@ -227,15 +263,17 @@ def fetch_parse_udf(rules: dict):
     from crawler_spark.functions.emulator import emulate_search_html, is_emulator_url
     from crawler_spark.functions.urlnorm import detect_302, repair_302
 
-    def _f(urls, redirects, contents, extractors):
+    def _f(urls, redirects, contents, extractors, cookies):
         out = {k: [] for k in (
             "known", "extractor", "links", "next_url", "anti", "records",
             "redirected", "repaired_url",
         )}
-        for u, rd, html, ex in zip(urls, redirects, contents, extractors):
+        for u, rd, html, ex, ck in zip(urls, redirects, contents, extractors, cookies):
             if isinstance(u, str) and is_emulator_url(u):
                 html, ex, rd = emulate_search_html(u), "search", None
             known = isinstance(html, str)
+            if known:
+                html = render_cookie_markers(html, ck if isinstance(ck, str) else None)
             links, nxt, anti, recs = extract_all(html, ex, rules) if known else ([], None, False, [])
             out["known"].append(known)
             out["extractor"].append(ex)

@@ -57,8 +57,14 @@ from crawler_spark.sources import snapshots as snap
 
 # task_url = the task owning this row's page chain (a next-page row belongs
 # to the task that discovered it — TaskWorker.java:92-104 follows the chain
-# inside one task); exporters group story results by it (A1)
-FRONTIER_COLS = ["url", "host", "wave", "priority", "page_idx", "attempt", "generation", "task_url"]
+# inside one task); exporters group story results by it (A1).
+# cookies = the task's Cookie header string ("k=v; k2=v2", "" = none) — the
+# reference builds each request with Task.cookies (BackLogFetcher.java:
+# 122-127); page chains and discovered children inherit the task's cookies.
+FRONTIER_COLS = [
+    "url", "host", "wave", "priority", "page_idx", "attempt", "generation",
+    "task_url", "cookies",
+]
 SAT_CHECK_EVERY = 8  # rounds between bloom saturation sweeps (cheap, periodic)
 # recycle-bin re-drive picks these up (TIMEOUTED tasks go to the bin too,
 # StoryWorker.java:193-196)
@@ -164,6 +170,11 @@ class CrawlEngine:
     def _seed_frontier(self) -> DataFrame:
         """Seeds → wave-0 frontier (S1; priority = seed order, O2 slicing)."""
         seeds = self.spark.read.parquet(os.path.join(self.fix_dir, "seeds.parquet"))
+        cookies = (
+            F.coalesce(F.col("cookies"), F.lit(""))
+            if "cookies" in seeds.columns
+            else F.lit("")
+        )
         rows = (
             seeds.withColumn("priority", F.col("seed_id").cast("long"))
             .withColumn("host", F.parse_url(F.col("url"), F.lit("HOST")))
@@ -172,6 +183,7 @@ class CrawlEngine:
             .withColumn("attempt", F.lit(0))
             .withColumn("generation", F.lit(0))
             .withColumn("task_url", F.col("url"))
+            .withColumn("cookies", cookies)
             .select(*FRONTIER_COLS)
         )
         return self._robots_allow(rows).dropDuplicates(["url"])
@@ -216,7 +228,8 @@ class CrawlEngine:
             .withColumn(
                 "fx",
                 self._parse(
-                    F.col("url"), F.col("redirect_url"), F.col("content"), F.col("extractor")
+                    F.col("url"), F.col("redirect_url"), F.col("content"),
+                    F.col("extractor"), F.coalesce(F.col("cookies"), F.lit("")),
                 ),
             )
             .withColumn("known", F.col("fx.known"))
@@ -271,7 +284,8 @@ class CrawlEngine:
         children = (
             fetched.filter(F.col("landing") == "pipeline")
             .select(
-                F.col("url").alias("base"), F.explode("out_links").alias("href"), "generation"
+                F.col("url").alias("base"), F.explode("out_links").alias("href"),
+                "generation", "cookies",
             )
             .withColumn("curl", prepare_url_udf()(F.col("base"), F.col("href")))
             .select(
@@ -280,6 +294,7 @@ class CrawlEngine:
                 F.lit(0).alias("page_idx"),
                 "generation",
                 F.col("curl").alias("task_url"),  # a discovered link starts its own task
+                "cookies",  # …under the discovering story's cookie config
             )
         )
         nexts = fetched.filter(
@@ -290,13 +305,19 @@ class CrawlEngine:
             (F.col("page_idx") + 1).alias("page_idx"),
             "generation",
             "task_url",  # the chain stays inside the discovering task
+            "cookies",
         )
-        # first-submission-wins inside the round: min (priority, page_idx, generation, task_url)
+        # first-submission-wins inside the round:
+        # min (priority, page_idx, generation, task_url, cookies)
         cands = (
             children.unionByName(nexts)
             .groupBy("url")
-            .agg(F.min(F.struct("priority", "page_idx", "generation", "task_url")).alias("b"))
-            .select("url", "b.priority", "b.page_idx", "b.generation", "b.task_url")
+            .agg(
+                F.min(
+                    F.struct("priority", "page_idx", "generation", "task_url", "cookies")
+                ).alias("b")
+            )
+            .select("url", "b.priority", "b.page_idx", "b.generation", "b.task_url", "b.cookies")
             .withColumn("host", F.parse_url(F.col("url"), F.lit("HOST")))
             .withColumn("wave", F.lit(rnd + 1))
             .withColumn("attempt", F.lit(0))
@@ -465,6 +486,9 @@ class CrawlEngine:
             .withColumn("attempt", F.lit(0))
             .withColumn("generation", F.col("generation") + 1)
             .withColumn("task_url", F.col("url"))  # re-driven task restarts its chain
+            # the bin stores (url, reason, generation) only — a re-driven task
+            # restarts without cookies, like a fresh plan of the bare URL
+            .withColumn("cookies", F.lit(""))
             .select(*FRONTIER_COLS)
         )
         return out

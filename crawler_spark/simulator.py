@@ -18,7 +18,7 @@ from dataclasses import dataclass, field
 
 from crawler_spark.fixtures import load_tables
 from crawler_spark.functions.emulator import emulate_search_html, is_emulator_url
-from crawler_spark.functions.extract import extract_all
+from crawler_spark.functions.extract import extract_all, render_cookie_markers
 from crawler_spark.functions.urlnorm import (
     detect_302,
     prepare_url,
@@ -49,6 +49,7 @@ class _Entry:
     attempt: int
     generation: int
     task_url: str
+    cookies: str = ""  # task Cookie header ("" = none); chains/children inherit
 
 
 @dataclass
@@ -86,7 +87,8 @@ def simulate(
     pending: dict[str, _Entry] = {}
 
     def admit(
-        url: str, wave: int, priority: int, page_idx: int, generation: int, task_url: str
+        url: str, wave: int, priority: int, page_idx: int, generation: int,
+        task_url: str, cookies: str = "",
     ) -> bool:
         """First-submission-wins membership (U2); returns True if admitted."""
         if url in res.url_seen:
@@ -98,11 +100,11 @@ def simulate(
         if rb is not None and is_disallowed(url_path(url) or "", rb["disallow_prefixes"]):
             return False
         res.url_seen.add(url)
-        pending[url] = _Entry(wave, priority, page_idx, 0, generation, task_url)
+        pending[url] = _Entry(wave, priority, page_idx, 0, generation, task_url, cookies)
         return True
 
     for idx, s in enumerate(seeds):
-        admit(s["url"], 0, seed_priority(idx), 0, 0, s["url"])
+        admit(s["url"], 0, seed_priority(idx), 0, 0, s["url"], s.get("cookies") or "")
 
     rnd = 0
     while rnd < cfg.max_rounds:
@@ -121,8 +123,10 @@ def simulate(
                 break
             for d in sorted(redrive, key=lambda d: d["url"]):
                 d["redriven"] = True
+                # the bin stores (url, reason, generation) only — a re-driven
+                # task restarts without cookies (mirrors engine._redrive)
                 pending[d["url"]] = _Entry(
-                    rnd, child_priority(), 0, 0, d["generation"] + 1, d["url"]
+                    rnd, child_priority(), 0, 0, d["generation"] + 1, d["url"], ""
                 )
         # --- politeness-ranked fetch batch (O1/T4) -------------------------
         by_host: dict[str, list] = {}
@@ -175,8 +179,10 @@ def simulate(
                 fail_count, redirect = int(page["fail_count"]), page["redirect_url"]
             else:
                 content, extractor, known, fail_count, redirect = None, None, False, 0, None
-            # extraction (P1/P2): same scalars the engine's pandas UDF wraps
+            # extraction (P1/P2): same scalars the engine's pandas UDF wraps,
+            # after the task-cookie echo (render_cookie_markers)
             if known:
+                content = render_cookie_markers(content, e.cookies)
                 links, next_url, anti, records = extract_all(content, extractor, rules)
             else:
                 links, next_url, anti, records = [], None, False, []
@@ -220,11 +226,11 @@ def simulate(
                 if landing == "pipeline":
                     for href in links:
                         child = prepare_url(url, href)
-                        cand = (child_priority(), 0, e.generation, child)
+                        cand = (child_priority(), 0, e.generation, child, e.cookies)
                         if child not in admitted or cand < admitted[child]:
                             admitted[child] = cand
                 if next_url is not None and e.page_idx < cfg.page_down_count:
-                    cand = (e.priority, e.page_idx + 1, e.generation, e.task_url)
+                    cand = (e.priority, e.page_idx + 1, e.generation, e.task_url, e.cookies)
                     if next_url not in admitted or cand < admitted[next_url]:
                         admitted[next_url] = cand
             elif out.retry:
@@ -238,8 +244,8 @@ def simulate(
                 )
         n_admitted = 0
         for child in sorted(admitted):
-            prio, pidx, gen, task_url = admitted[child]
-            if admit(child, rnd + 1, prio, pidx, gen, task_url):
+            prio, pidx, gen, task_url, cookies = admitted[child]
+            if admit(child, rnd + 1, prio, pidx, gen, task_url, cookies):
                 n_admitted += 1
         res.lineage.append(
             {

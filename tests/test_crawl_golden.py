@@ -256,6 +256,47 @@ def test_proxy_assignment_golden(spark, fix_dir, tmp_path_factory, golden):
     assert _engine_fetch_tuples(eng) == _sim_fetch_tuples(golden)
 
 
+def test_task_cookies_golden(spark, tmp_path_factory):
+    """Task cookies (BackLogFetcher.java:122-127): seeds carry a Cookie
+    header, page chains/children inherit it, and the synthetic server echoes
+    ``{{cookie:sid}}`` markers into the body — so cookie-carrying tasks
+    extract observably different structdata.  Engine == simulator exactly,
+    and the echo is actually exercised (a record contains the cookie value,
+    and a marker page fetched cookie-less renders the empty echo)."""
+    from crawler_spark.fixtures import generate
+    from crawler_spark.plans.engine import CrawlEngine
+    from crawler_spark.simulator import simulate
+
+    fix = str(tmp_path_factory.mktemp("fix_cookies"))
+    generate(fix, n_pages=192, n_hosts=8, seed=42, n_cookie_pages=8)
+    cfg = CrawlConfig(max_rounds=8)
+    sim = simulate(fix, cfg)
+    ckpt = str(tmp_path_factory.mktemp("ckpt_cookies"))
+    eng = CrawlEngine(spark, fix, ckpt, cfg)
+    eng.run()
+    got = sorted(
+        (r.round, r.url, r.status, r.attempt) for r in eng.fetch_log().collect()
+    )
+    want = sorted((e["round"], e["url"], e["status"], e["attempt"]) for e in sim.fetch_log)
+    assert got == want
+    flat = lambda rows: sorted(
+        (r["url"], tuple(tuple(rec) for rec in r["records"])) for r in rows
+    )
+    eng_sr = [
+        {"url": r.url, "records": [list(x) for x in r.records]}
+        for r in eng.story_results().collect()
+    ]
+    assert flat(eng_sr) == flat(sim.story_results)
+    all_fields = [f for _, recs in flat(eng_sr) for rec in recs for f in rec]
+    assert any("[sid=s" in f for f in all_fields), "cookie echo never rendered"
+    # a marker page fetched WITHOUT the cookie renders the empty echo
+    # (scalar-level pin; this graph's marker content pages are all seeds)
+    from crawler_spark.functions.extract import render_cookie_markers
+
+    assert render_cookie_markers("x [sid={{cookie:sid}}]", "") == "x [sid=]"
+    assert render_cookie_markers("x [sid={{cookie:sid}}]", "sid=s7; t=u") == "x [sid=s7]"
+
+
 def test_resume_equals_straight_run(spark, fix_dir, tmp_path_factory, golden):
     """T6/T7: interrupt after 3 rounds, resume — identical final state."""
     from crawler_spark.plans.engine import CrawlEngine
