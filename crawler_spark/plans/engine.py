@@ -84,6 +84,7 @@ class CrawlEngine:
         ingest_payloads: bool = False,
         compact_every: int = 16,
         proxy_pool: Optional[list] = None,
+        trace_tasks: bool = True,
     ):
         self.spark = spark
         self.fix_dir = fix_dir
@@ -101,6 +102,12 @@ class CrawlEngine:
         # is the image-crawler analog of U2 over payloads); results land in
         # the per-round payload_log delta
         self.ingest_payloads = ingest_payloads
+        # per-task trace (reference worker.trace, Crawlers.java:80): one
+        # append-only event per task state change — submitted / per-attempt
+        # fetch status (death reason in ``detail``) / TIMEOUT / resubmitted —
+        # as a per-round delta; execution_paths() is the readback
+        # (SavePointPlanner.java:248-266 reads paths from the trace)
+        self.trace_tasks = trace_tasks
         # per-bucket Bloom bits as a DataFrame beside the checkpoint — built,
         # updated, and probed executor-side (never collected or broadcast)
         self._bloom: Optional[DataFrame] = None
@@ -493,11 +500,26 @@ class CrawlEngine:
         )
         return out
 
+    def _trace_events(self, df: DataFrame, rnd: int, state, attempt=None, detail=None):
+        """Project a frontier/classified-shaped DF into task_trace rows."""
+        return df.select(
+            F.lit(rnd).alias("round"),
+            "url",
+            "task_url",
+            (F.lit(state) if isinstance(state, str) else state).alias("state"),
+            (F.lit(0) if attempt is None else F.col(attempt)).alias("attempt"),
+            "generation",
+            (F.lit(None).cast("string") if detail is None else F.col(detail)).alias(
+                "detail"
+            ),
+        )
+
     def run(self, resume: bool = False) -> dict:
         spark, cfg = self.spark, self.cfg
         snap.clean_uncommitted(self.ckpt_dir)
         start_round = 0
         seed_seen: Optional[DataFrame] = None  # folded into the first commit's Δ
+        pending_trace: Optional[DataFrame] = None  # events awaiting the next commit
         if resume and (last := snap.latest_round(self.ckpt_dir)) is not None:
             frontier = snap.read_full(spark, self.ckpt_dir, "frontier", last)
             url_seen = snap.read_deltas(spark, self.ckpt_dir, "url_seen", last)
@@ -510,6 +532,8 @@ class CrawlEngine:
             )
             seed_seen = url_seen
             self._bloom_init(url_seen, None)
+            if self.trace_tasks:  # seed plan submission events (wave 0)
+                pending_trace = self._trace_events(frontier, 0, "submitted")
 
         rnd = start_round
         # row-count ESTIMATES for output-file sizing (_wparts).  Upper bounds
@@ -551,6 +575,11 @@ class CrawlEngine:
                     classified.unpersist()
                     break
                 frontier = frontier.unionByName(red)
+                if self.trace_tasks:  # recycle-bin re-drive events (U1)
+                    ev = self._trace_events(red, rnd, "resubmitted")
+                    pending_trace = (
+                        ev if pending_trace is None else pending_trace.unionByName(ev)
+                    )
                 classified.unpersist()
                 continue
 
@@ -675,6 +704,28 @@ class CrawlEngine:
                 tables["story_results"] = story_results.coalesce(self._wparts(n_selected))
                 if self.ingest_payloads:
                     tables["payload_log"] = self._payload_log(fetched, rnd)
+            if self.trace_tasks:
+                # per-task trace: one event per state change this round —
+                # fetch attempts (status + attempt; death reason in detail),
+                # admissions, deadline timeouts, plus any buffered seed /
+                # re-drive submissions
+                trace = self._trace_events(
+                    classified, rnd, F.col("status"), attempt="attempt",
+                    detail="dead_reason",
+                ).unionByName(self._trace_events(admitted, rnd, "submitted"))
+                if timed_out is not None and n_timed_out:
+                    trace = trace.unionByName(
+                        self._trace_events(
+                            timed_out.withColumn("detail", F.lit("timeout")),
+                            rnd, "TIMEOUT", attempt="attempt", detail="detail",
+                        )
+                    )
+                if pending_trace is not None:
+                    trace = trace.unionByName(pending_trace)
+                    pending_trace = None
+                tables["task_trace"] = trace.coalesce(
+                    self._wparts(n_selected + n_admitted, cached=False)
+                )
             meta = {"selected": n_selected, "wall_s": time.time() - t0}
             if bloom_next is not None:
                 meta["bloom_format"] = 2
@@ -767,6 +818,24 @@ class CrawlEngine:
         """Structdata per fetched (url, extractor) — the exporters' input."""
         last = snap.latest_round(self.ckpt_dir)
         return snap.read_deltas(self.spark, self.ckpt_dir, "story_results", last)
+
+    def task_trace(self) -> DataFrame:
+        """Per-task state-change events (reference worker.trace)."""
+        last = snap.latest_round(self.ckpt_dir)
+        return snap.read_deltas(self.spark, self.ckpt_dir, "task_trace", last)
+
+    def execution_paths(self) -> DataFrame:
+        """(url, path) — each URL's ordered event history, reconstructed from
+        the trace (the SavePointPlanner.java:248-266 readback).  Within a
+        round, (re)submissions order before fetch outcomes."""
+        tr = self.task_trace()
+        seq = (
+            F.when(F.col("state") == "submitted", F.lit(0))
+            .when(F.col("state") == "resubmitted", F.lit(1))
+            .otherwise(F.lit(2))
+        )
+        ev = F.struct(F.col("round"), seq.alias("seq"), F.col("state"), F.col("attempt"))
+        return tr.groupBy("url").agg(F.array_sort(F.collect_list(ev)).alias("path"))
 
     def verify_payloads(self) -> DataFrame:
         """Post-hoc payload invariants for every fetched URL.

@@ -33,7 +33,10 @@ from pyspark.sql import DataFrame, SparkSession
 
 MANIFEST = "MANIFEST.json"
 FULL_TABLES = ("frontier", "bloom")
-DELTA_TABLES = ("url_seen", "dead_letter", "fetch_log", "story_results", "lineage", "payload_log")
+DELTA_TABLES = (
+    "url_seen", "dead_letter", "fetch_log", "story_results", "lineage",
+    "payload_log", "task_trace",
+)
 
 
 def _round_dir(ckpt_dir: str, rnd: int) -> str:

@@ -232,6 +232,42 @@ def test_round_deadline_timeout_golden(spark, fix_dir, tmp_path_factory):
     assert any(reason == "timeout" for _, reason, _, _ in sim_dead)
 
 
+def test_task_trace_paths(engine_run, golden):
+    """T9/worker.trace: a retried URL's full path is reconstructible from the
+    per-task trace — submitted, then one event per attempt (FAILED xN →
+    FETCHED), with death reasons in ``detail`` (Crawlers.java:80 trace;
+    SavePointPlanner.java:248-266 execution-path readback)."""
+    eng, _ = engine_run
+    rows = eng.execution_paths().collect()
+    paths = {r.url: [(e["state"], e["attempt"]) for e in r.path] for r in rows}
+    # a transient-failure URL (fixture fail_count > 0): FAILED per attempt,
+    # then FETCHED — the trace path must be submitted + the golden attempts
+    per_url = {}
+    for e in golden.fetch_log:
+        per_url.setdefault(e["url"], []).append((e["status"], e["attempt"]))
+    url_r, evs = next(
+        (u, evs) for u, evs in per_url.items()
+        if len(evs) >= 3 and evs[-1][0] == ST_FETCHED
+        and all(s == "FAILED" for s, _ in evs[:-1])
+    )
+    assert paths[url_r] == [("submitted", 0)] + evs
+    # trace totals reconcile with the other state tables: one submitted event
+    # per URL ever admitted; one fetch event per fetch-log row
+    tr = eng.task_trace()
+    n_sub = tr.filter("state = 'submitted'").count()
+    assert n_sub == eng.url_seen().select("url").distinct().count()
+    assert tr.filter("state = 'submitted'").select("url").distinct().count() == n_sub
+    fetch_states = {ST_FETCHED, "FAILED", "ANTIED", "NO_CONTENT"}
+    n_fetch_ev = tr.filter(tr.state.isin(*fetch_states)).count()
+    assert n_fetch_ev == len(golden.fetch_log)
+    # death reasons ride the final attempt's event detail
+    dead_ev = {
+        (r.url, r.detail)
+        for r in tr.filter("detail is not null and state != 'TIMEOUT'").collect()
+    }
+    assert dead_ev == {(d["url"], d["reason"]) for d in golden.dead}
+
+
 def test_proxy_assignment_golden(spark, fix_dir, tmp_path_factory, golden):
     """J6/S5: with a proxy pool present, every fetch carries the pool member
     the deterministic url-keyed pick selects — engine == simulator exactly
