@@ -39,6 +39,7 @@ __all__ = [
     "expand_el_range",
     "slice_stories",
     "plan_seed_dir",
+    "mark_plan_done",
 ]
 
 SEEDS_PER_STORY = 200  # planner.step (crawler-planner application.properties:18)
@@ -138,3 +139,34 @@ def plan_seed_dir(
     planned = slice_stories(apply_seed_template(fresh, template), step)
     new_registry = fresh.select("file_name").distinct()
     return planned, new_registry
+
+
+def mark_plan_done(
+    seed_dir: str, file_names: list[str], recyclebin: bool = False
+) -> list[str]:
+    """Mark seed objects consumed once their plan has COMPLETED its crawl.
+
+    The reference's two lifecycles, both driver-side metadata moves:
+    * local: rename ``<f>`` → ``<f>.done`` (LocalFilePlanner.java:96-102)
+    * object store: move the object under ``recyclebin/`` so a re-drive can
+      find it (JssPlanner.java:118-128 copy + delete)
+
+    Either way the next ``scan_seed_objects`` pass (``*.txt`` glob) no longer
+    lists the object, so completion survives a registry loss.  Idempotent:
+    already-moved / missing files are skipped.  Returns the files moved.
+    """
+    import os
+
+    done = []
+    for fn in sorted(set(file_names)):
+        src = os.path.join(seed_dir, fn)
+        if not os.path.exists(src):
+            continue
+        if recyclebin:
+            bin_dir = os.path.join(seed_dir, "recyclebin")
+            os.makedirs(bin_dir, exist_ok=True)
+            os.replace(src, os.path.join(bin_dir, fn))
+        else:
+            os.replace(src, src + ".done")
+        done.append(fn)
+    return done

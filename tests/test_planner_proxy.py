@@ -59,6 +59,31 @@ class TestSeedPlanner:
         assert max(s for s, _ in got) == 2
         assert (0, 0) in got and (0, 199) in got and (1, 0) in got and (2, 49) in got
 
+    def test_mark_plan_done_lifecycle(self, spark, tmpdir_path):
+        """Plan completion marks seed objects consumed: rename to .done
+        (local mode) or move to recyclebin/ (object-store mode); the next
+        scan no longer lists them even without the registry."""
+        import os
+
+        from crawler_spark.sources.seed_planner import (
+            mark_plan_done,
+            plan_seed_dir,
+            scan_seed_objects,
+        )
+
+        _write_seed_file(tmpdir_path, "a.txt", ["1"])
+        _write_seed_file(tmpdir_path, "b.txt", ["2"])
+        _, new_reg = plan_seed_dir(spark, tmpdir_path, "x%s")
+        files = [r.file_name for r in new_reg.collect()]
+        done = mark_plan_done(tmpdir_path, ["a.txt"])
+        assert done == ["a.txt"]
+        assert os.path.exists(os.path.join(tmpdir_path, "a.txt.done"))
+        assert {r.file_name for r in scan_seed_objects(spark, tmpdir_path).collect()} == {"b.txt"}
+        assert mark_plan_done(tmpdir_path, ["a.txt"]) == []  # idempotent
+        assert mark_plan_done(tmpdir_path, ["b.txt"], recyclebin=True) == ["b.txt"]
+        assert os.path.exists(os.path.join(tmpdir_path, "recyclebin", "b.txt"))
+        assert sorted(files) == ["a.txt", "b.txt"]
+
     def test_el_range_expansion(self, spark):
         from crawler_spark.sources.seed_planner import expand_el_range
 
