@@ -79,13 +79,16 @@ def bench_queries(spark) -> dict[str, float]:
         t0 = time.time()
         _materialize(fn(spark, SF_DIR))
         timings[name] = round(time.time() - t0, 3)
-        # isolate queries: several (q17/q18/q25/q34) persist intermediates
-        # that only live for the query's own execution; left in the block
-        # manager they accumulate across the registry loop, and the eviction
-        # + GC churn was measured to slow LATE queries ~2× (q34 43 s dirty
-        # vs 3.5 s isolated at sf0.1).  Clearing between timings measures
+        # isolate queries: several (q17/q18/q25/q34) materialize shared
+        # intermediates via localCheckpoint; their blocks are released by the
+        # ContextCleaner only on a driver GC, and block-manager accumulation
+        # across the registry loop was measured to slow LATE queries ~2×
+        # (q34 43 s dirty vs 3.5 s isolated at sf0.1).  clearCache covers any
+        # Dataset-level cache; the explicit (untimed) JVM GC makes the
+        # checkpoint-block release deterministic between timings, measuring
         # each query the way the driver's per-query oracle run executes it.
         spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
     return timings
 
 
