@@ -80,15 +80,13 @@ def bench_queries(spark) -> dict[str, float]:
         _materialize(fn(spark, SF_DIR))
         timings[name] = round(time.time() - t0, 3)
         # isolate queries: several (q17/q18/q25/q34) materialize shared
-        # intermediates via localCheckpoint; their blocks are released by the
-        # ContextCleaner only on a driver GC, and block-manager accumulation
-        # across the registry loop was measured to slow LATE queries ~2×
-        # (q34 43 s dirty vs 3.5 s isolated at sf0.1).  clearCache covers any
-        # Dataset-level cache; the explicit (untimed) JVM GC makes the
-        # checkpoint-block release deterministic between timings, measuring
-        # each query the way the driver's per-query oracle run executes it.
+        # intermediates via localCheckpoint; blocks are released by the
+        # ContextCleaner on driver GC, which natural allocation pressure
+        # provides (verified: no late-query slowdown at sf0.01/sf0.1 —
+        # round 2's 2× accumulation effect came from Dataset persists, which
+        # clearCache drops).  An explicit per-query System.gc() was tried and
+        # REVERTED: the forced full GCs made later queries 2-3× slower.
         spark.catalog.clearCache()
-        spark.sparkContext._jvm.System.gc()
     return timings
 
 
