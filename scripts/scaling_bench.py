@@ -55,7 +55,7 @@ def build_pyfiles_zip() -> str:
     return zpath
 
 
-def run_level(cpus: int, fixtures: str, args, zpath: str) -> dict:
+def run_level(cpus: int, fixtures: str, args, zpath: str, during: list | None = None) -> dict:
     ckpt = os.path.join(CACHE, f"scale_ckpt_{cpus}")
     if os.path.isdir(ckpt):
         shutil.rmtree(ckpt)
@@ -83,8 +83,32 @@ def run_level(cpus: int, fixtures: str, args, zpath: str) -> dict:
         "--json-out", json_out,
     ]
     env = dict(os.environ, SPARK_LOCAL_IP="127.0.0.1")
-    subprocess.run(cmd, check=True, cwd=REPO, env=env,
-                   stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    # mid-leg interference monitor: endpoint probes alone missed a co-tenant
+    # that stayed loud through a 16-minute leg and relented before the post
+    # probe, recording a uniformly-depressed leg as "quiet" (measured: a
+    # local[1] leg at 704 urls/s with quiet brackets vs 900+ in controlled
+    # A/B windows — which produced an impossible 1.17 scaling ratio).  The
+    # probe costs ~1 s every 45 s and needs only 4 of the host's 16 physical
+    # cores, so it does not perturb a 1-4-core leg.
+    monitor = None
+    if during is not None:
+        import threading
+
+        stop = threading.Event()
+
+        def _mon():
+            while not stop.wait(45.0):
+                during.append(cpu_probe()["par_eff4"])
+
+        monitor = (stop, threading.Thread(target=_mon, daemon=True))
+        monitor[1].start()
+    try:
+        subprocess.run(cmd, check=True, cwd=REPO, env=env,
+                       stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    finally:
+        if monitor is not None:
+            monitor[0].set()
+            monitor[1].join(timeout=5)
     with open(json_out) as f:
         return json.loads(f.read())
 
@@ -127,24 +151,52 @@ def main() -> None:
     zpath = build_pyfiles_zip()
 
     def measured_leg(cpus: int) -> tuple[dict, dict, dict]:
-        """Run one leg bracketed by probes; retry while the host was loud."""
+        """Run one leg bracketed AND monitored by probes; retry while loud.
+
+        Quiet = endpoints ≥ quiet_eff, median of the mid-leg samples ≥
+        quiet_eff, and no mid-leg sample more than 0.08 below it (one 45 s
+        scheduler blip out of ~20 samples shouldn't burn a whole leg, a
+        sustained co-tenant must)."""
+        import statistics
+
         for attempt in range(args.max_leg_tries):
             pre = (
                 wait_quiet(args.quiet_eff, args.max_wait_s)
                 if args.wait_quiet
                 else cpu_probe()
             )
-            res = run_level(cpus, fixtures, args, zpath)
+            during: list = []
+            res = run_level(cpus, fixtures, args, zpath, during)
             post = cpu_probe()
-            quiet = min(pre["par_eff4"], post["par_eff4"]) >= args.quiet_eff
+            pre["during"] = during
+            quiet = min(pre["par_eff4"], post["par_eff4"]) >= args.quiet_eff and (
+                not during
+                or (
+                    statistics.median(during) >= args.quiet_eff
+                    and min(during) >= args.quiet_eff - 0.08
+                )
+            )
             if quiet or not args.wait_quiet or attempt == args.max_leg_tries - 1:
                 return res, pre, post
             print(
-                f"leg local[{cpus}] bracketed by busy host "
-                f"(pre={pre['par_eff4']} post={post['par_eff4']}), retrying",
+                f"leg local[{cpus}] bracketed/monitored by busy host "
+                f"(pre={pre['par_eff4']} post={post['par_eff4']} "
+                f"during={during}), retrying",
                 flush=True,
             )
         raise AssertionError("unreachable")
+
+    def leg_quiet(pre: dict, post: dict) -> bool:
+        import statistics
+
+        during = pre.get("during") or []
+        return min(pre["par_eff4"], post["par_eff4"]) >= args.quiet_eff and (
+            not during
+            or (
+                statistics.median(during) >= args.quiet_eff
+                and min(during) >= args.quiet_eff - 0.08
+            )
+        )
 
     lo, lo_pre, lo_post = measured_leg(args.n)
     hi, hi_pre, hi_post = measured_leg(args.xn)
@@ -208,7 +260,7 @@ def main() -> None:
     # (see crawler_spark.calibration) makes the ratio meaningless, and this
     # exact overwrite destroyed a valid 0.829 measurement once.  Loud runs
     # land in a candidate file beside the cache instead.
-    quiet_run = out["calib_min_par_eff4"] >= args.quiet_eff
+    quiet_run = leg_quiet(lo_pre, lo_post) and leg_quiet(hi_pre, hi_post)
     target = os.path.join(REPO, "BENCH_SCALING.json")
     if not quiet_run and os.path.exists(target):
         target = os.path.join(CACHE, "BENCH_SCALING.candidate.json")
