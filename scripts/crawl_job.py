@@ -106,6 +106,8 @@ def run(args) -> dict:
         cfg=cfg,
         use_bloom=not args.no_bloom,
         ingest_payloads=args.ingest_payloads,
+        proxy_pool=[p for p in (args.proxy_pool or "").split(",") if p] or None,
+        trace_tasks=not args.no_trace,
     )
 
     # warm the JVM + page-table cache outside the measured span so the
@@ -171,6 +173,10 @@ def main() -> None:
     ap.add_argument("--burst", type=int, default=4096)
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--no-bloom", action="store_true")
+    ap.add_argument("--proxy-pool", default=None,
+                    help="comma-separated proxy ips; each fetch logs its pick as proxy_ip")
+    ap.add_argument("--no-trace", action="store_true",
+                    help="skip the per-task trace delta (worker.trace parity is ON by default)")
     ap.add_argument("--ingest-payloads", action="store_true",
                     help="decode+phash+PSNR every fetched image inside the round")
     ap.add_argument("--verify-payloads", action="store_true",
