@@ -154,9 +154,11 @@ def main() -> None:
         """Run one leg bracketed AND monitored by probes; retry while loud.
 
         Quiet = endpoints ≥ quiet_eff, median of the mid-leg samples ≥
-        quiet_eff, and no mid-leg sample more than 0.08 below it (one 45 s
-        scheduler blip out of ~20 samples shouldn't burn a whole leg, a
-        sustained co-tenant must)."""
+        quiet_eff, and mean ≥ quiet_eff − 0.02.  The mean integrates the
+        leg's actual capacity loss: a sustained co-tenant (the failure mode
+        that recorded a uniformly-depressed 704 urls/s leg as quiet) drags
+        it far below the gate, while one or two 45 s scheduler blips out of
+        ~15 samples — a few percent of leg wall — do not burn the leg."""
         import statistics
 
         for attempt in range(args.max_leg_tries):
@@ -173,7 +175,7 @@ def main() -> None:
                 not during
                 or (
                     statistics.median(during) >= args.quiet_eff
-                    and min(during) >= args.quiet_eff - 0.08
+                    and statistics.mean(during) >= args.quiet_eff - 0.02
                 )
             )
             if quiet or not args.wait_quiet or attempt == args.max_leg_tries - 1:
@@ -194,7 +196,7 @@ def main() -> None:
             not during
             or (
                 statistics.median(during) >= args.quiet_eff
-                and min(during) >= args.quiet_eff - 0.08
+                and statistics.mean(during) >= args.quiet_eff - 0.02
             )
         )
 
