@@ -1247,6 +1247,280 @@ FROM documents GROUP BY 1, 2 ORDER BY lang, split
 
 
 # --------------------------------------------------------------------------
+# §2.10 benchmark decontamination: the published n-gram-overlap rule (GPT-3
+# appendix C / the Pile) — a training doc sharing any word 5-gram with the
+# held-out eval slice is contaminated.  Eval side is tiny by construction →
+# broadcast semi-join against the exploded training grams; integer tallies.
+# --------------------------------------------------------------------------
+
+
+def q37_decontaminate(spark, sf_dir):
+    from crawler_spark.operators.curation import decontaminate_stats
+
+    return decontaminate_stats(t(spark, sf_dir, "documents"), n=5, eval_mod=97)
+
+
+SQL_Q37 = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), g AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 5
+              THEN list_distinct(list_transform(range(1, len(w) - 3),
+                   i -> md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])))
+              ELSE [] END AS gr
+  FROM toks
+), ev AS (
+  SELECT DISTINCT u.h FROM g, UNNEST(gr) AS u(h) WHERE doc_id % 97 = 0
+), contaminated AS (
+  SELECT DISTINCT doc_id FROM g, UNNEST(gr) AS u(h)
+  WHERE doc_id % 97 <> 0 AND h IN (SELECT h FROM ev)
+)
+SELECT source, COUNT(*) AS n_train,
+       CAST(SUM(CASE WHEN doc_id IN (SELECT doc_id FROM contaminated)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated
+FROM documents WHERE doc_id % 97 <> 0
+GROUP BY source ORDER BY source
+"""
+
+
+# --------------------------------------------------------------------------
+# §2.10 deterministic source mixing: per-source sampling rates applied by
+# md5-hash routing (a pure function of (doc_id, source)), so the sampled
+# corpus is identical across engines, reruns and cluster sizes — the data-
+# mixing step of every corpus recipe, with zero RNG state to coordinate.
+# Rates here derive from the source suffix (src<k> → (k%4+1)/4) so the twin
+# needs no side-channel weight table.
+# --------------------------------------------------------------------------
+
+
+def q38_source_mixing(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    rate_num = (F.substring("source", 4, 8).cast("int") % 4) + 1
+    hval = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.col("doc_id").cast("string"), F.col("source"))), 1, 4
+        ),
+        16,
+        10,
+    ).cast("long")
+    keep = (hval * 4) < (rate_num.cast("long") * 65536)
+    return (
+        d.select("source", "n_chars", keep.alias("keep"), (rate_num * 25).alias("rate_pct"))
+        .groupBy("source", "rate_pct")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_kept"),
+            F.sum(F.when(F.col("keep"), F.col("n_chars")).otherwise(0)).alias("kept_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_Q38 = """
+WITH m AS (
+  SELECT source, n_chars,
+         (CAST(substr(source, 4) AS INT) % 4 + 1) AS rate_num,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || source), 1, 4)) AS BIGINT) AS hval
+  FROM documents)
+SELECT source, rate_num * 25 AS rate_pct, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN hval * 4 < rate_num * 65536 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN hval * 4 < rate_num * 65536 THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+FROM m GROUP BY source, rate_num ORDER BY source
+"""
+
+
+# --------------------------------------------------------------------------
+# §2.10 unigram-frequency quality score: the integer-exact core of a unigram
+# LM perplexity proxy — per doc, the sum of corpus-wide frequencies of its
+# token occurrences plus the rare-token (count ≤ 2) tally; mean_freq is the
+# single division of two exact integers, so the oracle hash is stable.  One
+# combiner-friendly vocab groupBy + one hash join (at 100 TB, prune the
+# vocab table to count ≥ 2 and broadcast it; the miss side IS the rare set).
+# --------------------------------------------------------------------------
+
+
+def q39_unigram_quality(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("term")).filter(
+        F.col("term") != ""
+    )
+    counts = toks.groupBy("term").agg(F.count("*").alias("c"))
+    per = (
+        toks.join(counts, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("c").alias("sum_cfreq"),
+            F.sum(F.when(F.col("c") <= 2, 1).otherwise(0)).alias("n_rare"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "n_tokens",
+        "sum_cfreq",
+        "n_rare",
+        F.round(F.col("sum_cfreq").cast("double") / F.col("n_tokens"), 6).alias("mean_freq"),
+    )
+
+
+SQL_Q39 = """
+WITH toks AS (
+  SELECT doc_id, term FROM documents, UNNEST(string_split(text, ' ')) AS u(term)
+  WHERE term <> ''),
+counts AS (SELECT term, COUNT(*) AS c FROM toks GROUP BY term),
+per AS (
+  SELECT doc_id, COUNT(*) AS n_tokens, CAST(SUM(c) AS BIGINT) AS sum_cfreq,
+         CAST(SUM(CASE WHEN c <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
+  FROM toks JOIN counts USING (term) GROUP BY doc_id)
+SELECT doc_id, n_tokens, sum_cfreq, n_rare,
+       round(CAST(sum_cfreq AS DOUBLE) / n_tokens, 6) AS mean_freq
+FROM per
+"""
+
+
+# --------------------------------------------------------------------------
+# §2.10 ensemble (cross-modal) near-dup: the union of the text tier
+# (MinHash-LSH candidates verified by shingle Jaccard ≥ 0.5) and the
+# embedding tier (multi-band hyperplane-LSH candidates verified by exact
+# cosine ≥ 0.4), tagged by which modality flagged each pair — the "either
+# signal drops it, both signals make it certain" policy of multimodal dedup.
+# Both tiers are the bucketed plans (never all-pairs); the combine is one
+# full-outer equi-join on the pair key.
+# --------------------------------------------------------------------------
+
+
+def q40_ensemble_near_dup(spark, sf_dir):
+    from crawler_spark.operators.dedup_text import (
+        lsh_candidate_pairs,
+        ngram_jaccard_pairs,
+        shingle_table,
+    )
+    from crawler_spark.operators.similarity import embedding_near_dup_pairs_lsh
+
+    d = t(spark, sf_dir, "documents")
+    emb = t(spark, sf_dir, "embeddings")
+    sh = shingle_table(d).localCheckpoint(eager=True)
+    cand = lsh_candidate_pairs(d, k=6, bands=3, shingles=sh)
+    text_pairs = (
+        ngram_jaccard_pairs(d, cand, threshold=0.5, shingles=sh)
+        .select("doc_a", "doc_b")
+        .withColumn("txt", F.lit(1))
+    )
+    dim = len(emb.select("embedding").head()[0])
+    emb_pairs = (
+        embedding_near_dup_pairs_lsh(emb, dim=dim, threshold=0.4, bands=4, r=8)
+        .select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+        .withColumn("emb", F.lit(1))
+    )
+    joined = text_pairs.join(emb_pairs, ["doc_a", "doc_b"], "full_outer")
+    modality = (
+        F.when(F.col("txt").isNotNull() & F.col("emb").isNotNull(), "both")
+        .when(F.col("txt").isNotNull(), "text")
+        .otherwise("embed")
+    )
+    return joined.select("doc_a", "doc_b", modality.alias("modality"))
+
+
+SQL_Q40 = (
+    _MINHASH_CTES
+    + ", dsh AS (SELECT doc_id, list_distinct(shingles) AS sh FROM sh), "
+    + _PLANES_CTE.format(max_p=31, r=8).lstrip()
+    + """,
+text_pairs AS (
+  SELECT p.doc_a, p.doc_b
+  FROM pairs p JOIN dsh x ON p.doc_a = x.doc_id JOIN dsh y ON p.doc_b = y.doc_id
+  WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+        / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) >= 0.5
+), n AS (
+  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e
+), ecand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM sig a JOIN sig b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+), emb_pairs AS (
+  SELECT c.id_a, c.id_b
+  FROM ecand c JOIN n x ON c.id_a = x.vec_id JOIN n y ON c.id_b = y.vec_id
+  WHERE list_sum(list_transform(generate_series(1, 64), i -> x.v[i] * y.v[i])) / (x.nrm * y.nrm) >= 0.4
+)
+SELECT COALESCE(tp.doc_a, ep.id_a) AS doc_a, COALESCE(tp.doc_b, ep.id_b) AS doc_b,
+       CASE WHEN tp.doc_a IS NOT NULL AND ep.id_a IS NOT NULL THEN 'both'
+            WHEN tp.doc_a IS NOT NULL THEN 'text' ELSE 'embed' END AS modality
+FROM text_pairs tp FULL OUTER JOIN emb_pairs ep
+  ON tp.doc_a = ep.id_a AND tp.doc_b = ep.id_b
+"""
+)
+
+
+# --------------------------------------------------------------------------
+# §2.10 duplicate-cluster rollup: exact + verified-near-dup pairs chain into
+# CLUSTERS (A~B, B~C ⇒ {A,B,C}); the keep-list must retain one doc per
+# cluster, so the pipeline needs distributed connected components.  Spark
+# side: iterative min-label propagation (operators/graph.py); oracle:
+# recursive-CTE transitive closure — both integer-exact.
+# --------------------------------------------------------------------------
+
+
+def q41_dup_clusters(spark, sf_dir):
+    from crawler_spark.operators.dedup_text import (
+        lsh_candidate_pairs,
+        ngram_jaccard_pairs,
+        shingle_table,
+    )
+    from crawler_spark.operators.graph import connected_components
+
+    d = t(spark, sf_dir, "documents")
+    keyed = d.select("doc_id", F.md5("text").alias("h"))
+    keepers = keyed.groupBy("h").agg(F.min("doc_id").alias("keeper"))
+    exact_pairs = (
+        keyed.join(keepers, "h")
+        .filter(F.col("doc_id") > F.col("keeper"))
+        .select(F.col("keeper").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    )
+    sh = shingle_table(d).localCheckpoint(eager=True)
+    near = ngram_jaccard_pairs(
+        d, lsh_candidate_pairs(d, k=6, bands=3, shingles=sh), threshold=0.5, shingles=sh
+    ).select("doc_a", "doc_b")
+    edges = exact_pairs.unionByName(near).distinct()
+    labels = connected_components(edges)
+    return (
+        labels.groupBy(F.col("lbl").alias("rep"))
+        .agg(F.count("*").alias("n_members"), F.max("v").alias("max_member"))
+        .orderBy("rep")
+    )
+
+
+SQL_Q41 = (
+    _MINHASH_CTES.replace("WITH ", "WITH RECURSIVE ", 1)
+    + """, dsh AS (
+  SELECT doc_id, list_distinct(shingles) AS sh FROM sh
+), near_pairs AS (
+  SELECT p.doc_a, p.doc_b
+  FROM pairs p JOIN dsh x ON p.doc_a = x.doc_id JOIN dsh y ON p.doc_b = y.doc_id
+  WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+        / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) >= 0.5
+), exact_pairs AS (
+  SELECT keeper AS doc_a, doc_id AS doc_b FROM (
+    SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper FROM documents)
+  WHERE doc_id > keeper
+), all_edges AS (
+  SELECT doc_a, doc_b FROM exact_pairs UNION SELECT doc_a, doc_b FROM near_pairs
+), und AS (
+  SELECT doc_a AS a, doc_b AS b FROM all_edges
+  UNION SELECT doc_b, doc_a FROM all_edges
+), reach(a, b) AS (
+  SELECT a, b FROM und
+  UNION
+  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+), labels AS (
+  SELECT a AS v, LEAST(a, MIN(b)) AS lbl FROM reach GROUP BY a
+)
+SELECT lbl AS rep, COUNT(*) AS n_members, MAX(v) AS max_member
+FROM labels GROUP BY lbl ORDER BY rep
+"""
+)
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -1287,4 +1561,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q34_dedup_keeplist": (q34_dedup_keeplist, SQL_Q34),
     "q35_repetition": (q35_repetition, SQL_Q35),
     "q36_stratified_split": (q36_stratified_split, SQL_Q36),
+    "q37_decontaminate": (q37_decontaminate, SQL_Q37),
+    "q38_source_mixing": (q38_source_mixing, SQL_Q38),
+    "q39_unigram_quality": (q39_unigram_quality, SQL_Q39),
+    "q40_ensemble_near_dup": (q40_ensemble_near_dup, SQL_Q40),
+    "q41_dup_clusters": (q41_dup_clusters, SQL_Q41),
 }
