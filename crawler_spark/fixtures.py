@@ -360,6 +360,10 @@ def generate(
     seed_urls = [page_url(i, host_z) for i in range(n_seeds)]
     for k, word in enumerate(("fox", "moon")[: max(0, n_search_seeds)]):
         seed_urls.append(f"http://{host_of(k % n_hosts)}/search?_kw_={word}&page=0")
+    if n_search_seeds > 0:
+        # tools sub-step seed (SeleniumFetcher.java:193-212): same keyword,
+        # time-range filter clicked — narrows results, rides the pagination
+        seed_urls.append(f"http://{host_of(2 % n_hosts)}/search?_kw_=fox&page=0&_tools_=1m")
     # per-task cookies (Task.cookies analog): seeds of cookie-marked pages
     # carry the sid cookie their pages echo; everyone else crawls cookie-less
     seed_cookies = [

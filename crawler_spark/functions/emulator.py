@@ -30,6 +30,7 @@ __all__ = [
     "SEARCH_PATH_PREFIX",
     "is_emulator_url",
     "search_keyword",
+    "search_tools",
     "emulate_search_html",
 ]
 
@@ -50,9 +51,16 @@ def search_keyword(url: str) -> Optional[str]:
     return parse_params(url).get("_kw_")
 
 
+def search_tools(url: str) -> Optional[str]:
+    """The search-tools sub-step selector: ``_tools_`` query param names the
+    time-range filter the reference's script clicks before reading results
+    (searchToolXpath → timeRangeXpath, SeleniumFetcher.java:193-212)."""
+    return parse_params(url).get("_tools_")
+
+
 def emulate_search_html(url: str) -> Optional[str]:
     """The scripted browser: deterministic search-result markup for a
-    ``/search?_kw_=w&page=p`` URL.
+    ``/search?_kw_=w&page=p[&_tools_=t]`` URL.
 
     Result j of page p links to ``/p/<md5(w:p:j) % TARGET_SPACE>`` (relative
     hrefs — prepare_url resolves them against the search host, F1); the
@@ -60,6 +68,13 @@ def emulate_search_html(url: str) -> Optional[str]:
     machinery (O3), exactly like the reference's scripted scroll/paginate
     loop (SeleniumFetcher.java:223-260).  Returns None for a keyword-less
     URL (the reference's script aborts without ``_kw_``).
+
+    Tools sub-step (SeleniumFetcher.java:193-212): when ``_tools_`` is set
+    the scripted browser "clicks" the time-range filter before reading
+    results — deterministically narrowing page p to the results j whose
+    md5(w:p:j:t) leads with nibble < '8' (≈ half survive, a pure function of
+    the URL).  Like the real browser's persistent state, the filter rides
+    the pagination: the next-page link carries ``_tools_`` forward.
     """
     kw = search_keyword(url)
     if kw is None:
@@ -69,15 +84,24 @@ def emulate_search_html(url: str) -> Optional[str]:
         page = int(params.get("page", "0"))
     except ValueError:
         page = 0
+    tools = search_tools(url)
     items = []
     for j in range(N_RESULTS):
+        if (
+            tools is not None
+            and hashlib.md5(f"{kw}:{page}:{j}:{tools}".encode()).hexdigest()[0] >= "8"
+        ):
+            continue  # outside the clicked time range
         t = int(hashlib.md5(f"{kw}:{page}:{j}".encode()).hexdigest()[:8], 16) % TARGET_SPACE
         items.append(f'<li><a href="/p/{t}">result {j}</a></li>')
     u = java_url_parse(url)
     nxt = f"{u.protocol}://{u.host}{SEARCH_PATH_PREFIX}?_kw_={kw}&page={page + 1}"
+    if tools is not None:
+        nxt += f"&_tools_={tools}"
+    caption_tools = f" tools {tools}" if tools is not None else ""
     return (
         "<html><body>"
-        f'<div class="caption">search: {kw} page {page}</div>'
+        f'<div class="caption">search: {kw} page {page}{caption_tools}</div>'
         f'<ul class="links">{"".join(items)}</ul>'
         f'<div class="pager"><a rel="next" href="{nxt}">next</a></div>'
         "</body></html>"

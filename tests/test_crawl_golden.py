@@ -199,6 +199,46 @@ def test_emulator_search_flow_golden(engine_run, golden):
     assert len(sim_search) > 0
 
 
+def test_search_tools_substep_golden(engine_run, golden):
+    """S4 tools sub-step (SeleniumFetcher.java:193-212): the time-range-
+    filtered search seed reproduces the simulator exactly, its result pages
+    are narrowed relative to the untooled flow for the same keyword, and the
+    filter rides the pagination chain."""
+    eng, _ = engine_run
+    eng_rows = eng.story_results().filter("extractor = 'search'").collect()
+    tooled = {
+        r.url: tuple(map(tuple, r.records)) for r in eng_rows if "_tools_" in r.url
+    }
+    sim_tooled = {
+        r["url"]: tuple(map(tuple, r["records"]))
+        for r in golden.story_results
+        if r["extractor"] == "search" and "_tools_" in r["url"]
+    }
+    assert tooled == sim_tooled
+    assert len(tooled) > 1  # page 0 plus at least one paginated tooled page
+    assert all("_tools_=" in u for u in tooled)
+    # narrowing: per (page), the tooled record PATHS are a strict subset of
+    # the untooled fox flow's (targets depend only on kw:page:j, not host)
+    def paths(recs):
+        return {tuple(c.rsplit("/p/", 1)[-1] for c in row) for row in recs}
+
+    plain = {
+        r.url: tuple(map(tuple, r.records))
+        for r in eng_rows
+        if "_tools_" not in r.url and "_kw_=fox" in r.url
+    }
+    narrowed = 0
+    for u, recs in tooled.items():
+        page = u.split("page=")[1].split("&")[0]
+        match = [p for p in plain if f"page={page}" in p and "_kw_=fox" in p]
+        if match:
+            plain_paths = paths(plain[match[0]])
+            assert paths(recs) <= plain_paths
+            if len(paths(recs)) < len(plain_paths):
+                narrowed += 1
+    assert narrowed > 0
+
+
 def test_302_detected_and_repaired(engine_run, golden):
     """P7: the fixture's 302 pages are flagged with the param-delta repair."""
     eng, _ = engine_run

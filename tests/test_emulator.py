@@ -43,3 +43,22 @@ def test_render_is_deterministic_and_paginates():
 
 def test_keywordless_search_renders_nothing():
     assert emulate_search_html("http://h/search?page=0") is None
+
+
+def test_tools_substep_narrows_and_rides_pagination():
+    """SeleniumFetcher.java:193-212: clicking the time-range tool narrows the
+    result set deterministically; the filter state persists across next-page
+    (the scripted browser keeps the clicked tool, so the pager link must
+    carry ``_tools_`` forward)."""
+    plain = "http://h3.example.com/search?_kw_=fox&page=0"
+    tooled = "http://h3.example.com/search?_kw_=fox&page=0&_tools_=1m"
+    plain_links, _, _, _ = extract_all(emulate_search_html(plain), "search", RULES)
+    tooled_links, nxt, _, _ = extract_all(emulate_search_html(tooled), "search", RULES)
+    assert set(tooled_links) <= set(plain_links)
+    assert 0 < len(tooled_links) < len(plain_links)
+    assert nxt == "http://h3.example.com/search?_kw_=fox&page=1&_tools_=1m"
+    # deterministic: same URL, same narrowed set
+    assert extract_all(emulate_search_html(tooled), "search", RULES)[0] == tooled_links
+    # a different tool value narrows differently (the filter is real input)
+    other = "http://h3.example.com/search?_kw_=fox&page=0&_tools_=1y"
+    assert extract_all(emulate_search_html(other), "search", RULES)[0] != tooled_links
