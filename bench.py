@@ -187,6 +187,11 @@ def main() -> None:
         # (crawler_spark/calibration.py, BASELINE.md "host interference")
         "par_eff4_before": probe_before["par_eff4"],
         "par_eff4_after": probe_after["par_eff4"],
+        # bandwidth-fairness twin (calibration._bw_work): an ALU-fair but
+        # DRAM-saturating co-tenant passes par_eff4 while still slowing
+        # Spark — bw_eff4 makes that window self-identifying too
+        "bw_eff4_before": probe_before["bw_eff4"],
+        "bw_eff4_after": probe_after["bw_eff4"],
         "probe_t1_s": probe_before["t1_s"],
         **crawl,
     }

@@ -24,35 +24,84 @@ def _sha_work(_arg=None) -> None:
         h.update(block)
 
 
-def cpu_probe() -> dict:
-    """Single-process SHA-256 time over 64 MiB plus the 4-process parallel
-    efficiency of the same workload (min-of-k to shrug off scheduler blips).
+def _bw_work(_arg=None) -> None:
+    """Memory-bandwidth-bound kernel: materialize + reduce 128 MiB.
 
-    ``par_eff4`` >= ~0.88 means the physical host was quiet; well under ~0.9
-    means a co-tenant was stealing cores and any multi-core wall-clock taken
-    in that window is untrustworthy (measured: identical engine rounds 130 s
-    vs 230 s forty minutes apart, zero code change)."""
+    SHA-256 is ALU-bound (its 4 MiB block lives in cache), so a co-tenant
+    hammering DRAM passes the SHA probe while still halving a bandwidth-
+    hungry Spark leg — the failure mode that recorded a quiet-gated 0.525
+    pair whose local[1] leg MATCHED the accepted run while local[4] lost
+    31%.  Writing then summing a fresh 16M-element float64 array streams
+    ~256 MiB through DRAM per call (np.ones must materialize real pages;
+    summing a lazy np.zeros would read the shared zero page from cache)."""
+    import numpy as np
+
+    arr = np.ones(1 << 24)
+    for _ in range(4):
+        arr.sum()
+
+
+def cpu_probe() -> dict:
+    """Single-process vs 4-process parallel efficiency of two fixed kernels:
+    SHA-256 over 64 MiB (ALU fairness, ``par_eff4``) and a 256 MiB numpy
+    stream (DRAM bandwidth fairness, ``bw_eff4``); min-of-k per kernel to
+    shrug off scheduler blips.  ``min_eff4`` is the conservative gate value.
+
+    ``par_eff4`` >= ~0.88 means the physical host's CORES were quiet; well
+    under ~0.9 means a co-tenant was stealing cores and any multi-core
+    wall-clock taken in that window is untrustworthy (measured: identical
+    engine rounds 130 s vs 230 s forty minutes apart, zero code change).
+    ``bw_eff4`` catches the complementary thief: a bandwidth-heavy co-tenant
+    that shares cores fairly but saturates DRAM."""
     t1 = float("inf")
     for _ in range(3):
         t0 = time.time()
         _sha_work()
         t1 = min(t1, time.time() - t0)
+    b1 = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        _bw_work()
+        b1 = min(b1, time.time() - t0)
     t4 = float("inf")
+    b4 = float("inf")
     with mp.get_context("fork").Pool(4) as pool:
         for _ in range(2):
             t0 = time.time()
             pool.map(_sha_work, range(4))
             t4 = min(t4, time.time() - t0)
-    return {"t1_s": round(t1, 3), "par_eff4": round(min(t1 / t4, 1.0), 3)}
+        for _ in range(2):
+            t0 = time.time()
+            pool.map(_bw_work, range(4))
+            b4 = min(b4, time.time() - t0)
+    par = round(min(t1 / t4, 1.0), 3)
+    bw = round(min(b1 / b4, 1.0), 3)
+    return {
+        "t1_s": round(t1, 3),
+        "par_eff4": par,
+        "bw_eff4": bw,
+        "min_eff4": min(par, bw),
+    }
 
 
-def wait_quiet(min_eff: float, max_wait_s: float, poll_s: float = 45.0) -> dict:
-    """Block until the 4-way probe efficiency reaches ``min_eff`` (quiet
-    host) or ``max_wait_s`` elapses; returns the last probe either way."""
+def wait_quiet(
+    min_eff: float, max_wait_s: float, poll_s: float = 45.0, min_bw_eff: float = 0.0
+) -> dict:
+    """Block until the 4-way probe efficiencies reach ``min_eff`` (ALU) and
+    ``min_bw_eff`` (DRAM bandwidth; 0 disables — the bandwidth gate only
+    makes sense when nothing else of ours is running, and its quiet-host
+    baseline must be calibrated per box) or ``max_wait_s`` elapses; returns
+    the last probe either way."""
     deadline = time.time() + max_wait_s
     probe = cpu_probe()
-    while probe["par_eff4"] < min_eff and time.time() < deadline:
-        print(f"host busy (par_eff4={probe['par_eff4']}), waiting...", flush=True)
+    while (
+        probe["par_eff4"] < min_eff or probe["bw_eff4"] < min_bw_eff
+    ) and time.time() < deadline:
+        print(
+            f"host busy (par_eff4={probe['par_eff4']} bw_eff4={probe['bw_eff4']}),"
+            " waiting...",
+            flush=True,
+        )
         time.sleep(poll_s)
         probe = cpu_probe()
     return probe

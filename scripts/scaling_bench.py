@@ -137,6 +137,12 @@ def main() -> None:
                     help="gate each leg on a quiet-host probe and retry loud legs")
     ap.add_argument("--quiet-eff", type=float, default=0.88,
                     help="min 4-process probe efficiency counted as quiet")
+    ap.add_argument("--quiet-bw-eff", type=float, default=0.0,
+                    help="min 4-process BANDWIDTH probe efficiency for the "
+                         "pre-leg wait (0 = off; calibrate the quiet-host "
+                         "baseline first — see calibration._bw_work). Only "
+                         "gates between legs: mid-leg the engine itself "
+                         "consumes DRAM, so bw_eff4 would self-trigger.")
     ap.add_argument("--max-wait-s", type=float, default=1800.0)
     ap.add_argument("--max-leg-tries", type=int, default=6)
     args = ap.parse_args()
@@ -163,7 +169,7 @@ def main() -> None:
 
         for attempt in range(args.max_leg_tries):
             pre = (
-                wait_quiet(args.quiet_eff, args.max_wait_s)
+                wait_quiet(args.quiet_eff, args.max_wait_s, min_bw_eff=args.quiet_bw_eff)
                 if args.wait_quiet
                 else cpu_probe()
             )
