@@ -583,6 +583,16 @@ class CrawlEngine:
                 classified.unpersist()
                 continue
 
+            # streaming commit: every table whose input is already final
+            # (the persisted classification) starts writing NOW, overlapping
+            # the rest of the round's driver work (timeout scan, expansion,
+            # dedup) — the payload-verification log is the round's long pole
+            # and would otherwise serialize behind jobs it doesn't depend on.
+            # The manifest still seals the round atomically at the end.
+            rc = snap.RoundCommit(
+                self.ckpt_dir, rnd,
+                max_workers=int(os.environ.get("SPARK_GRAFT_COMMIT_THREADS", "8")),
+            )
             round_epoch = 1704067200.0 + float(rnd) * cfg.round_seconds
             fetch_log = classified.select(
                 F.lit(rnd).alias("round"), "host", "rank", "url", "status", "attempt",
@@ -610,6 +620,36 @@ class CrawlEngine:
                 "generation",
                 F.lit(rnd).alias("round"),
             )
+            fetched = classified.filter(F.col("status") == P.ST_FETCHED)
+            # structdata story results (consumed by the exporter family K1-K5)
+            story_results = fetched.select(
+                F.lit(rnd).alias("round"),
+                "url",
+                "task_url",
+                "extractor",
+                F.coalesce(F.col("landing"), F.lit("no")).alias("landing"),
+                "records",
+            )
+            # per-partition lineage metrics beside the checkpoint (north_rule);
+            # wall_ms stamps time from round start to classification
+            lineage = (
+                classified.groupBy(F.spark_partition_id().alias("partition_id"))
+                .agg(
+                    F.count("*").alias("urls_in"),
+                    F.sum((F.col("status") == P.ST_FETCHED).cast("long")).alias("fetched"),
+                    F.sum(F.col("retry").cast("long")).alias("failed"),
+                    F.sum(F.col("dead_reason").isNotNull().cast("long")).alias("dead"),
+                )
+                .withColumn("round", F.lit(rnd))
+                .withColumn("wall_ms", F.lit(int((time.time() - t0) * 1000)))
+            )
+            # classification-derived tables: inputs are final -> write now
+            rc.write("fetch_log", fetch_log.coalesce(self._wparts(n_selected)))
+            rc.write("lineage", lineage.coalesce(self._wparts(n_selected)))
+            if n_fetched_rows:
+                rc.write("story_results", story_results.coalesce(self._wparts(n_selected)))
+                if self.ingest_payloads:
+                    rc.write("payload_log", self._payload_log(fetched, rnd))
             # T2 round deadline: eligible rows the budget passed over for
             # max_wait_rounds rounds die TIMEOUTED (→ recycle bin)
             timed_out = None
@@ -642,16 +682,6 @@ class CrawlEngine:
             )
             if timed_out is not None:
                 kept = kept.join(timed_out.select("url"), "url", "left_anti")
-            fetched = classified.filter(F.col("status") == P.ST_FETCHED)
-            # structdata story results (consumed by the exporter family K1-K5)
-            story_results = fetched.select(
-                F.lit(rnd).alias("round"),
-                "url",
-                "task_url",
-                "extractor",
-                F.coalesce(F.col("landing"), F.lit("no")).alias("landing"),
-                "records",
-            )
             candidates = self._expand(fetched, rnd)
             admitted = self._admit(candidates, url_seen).persist()
             n_admitted = admitted.count()  # materialize before the concurrent commit writes
@@ -669,41 +699,25 @@ class CrawlEngine:
                 # seeds were just folded, the delta IS already the history)
                 seen_delta = url_seen.unionByName(seen_delta)
             frontier_next = kept.unionByName(admitted.select(*FRONTIER_COLS))
-            # per-partition lineage metrics beside the checkpoint (north_rule)
-            lineage = (
-                classified.groupBy(F.spark_partition_id().alias("partition_id"))
-                .agg(
-                    F.count("*").alias("urls_in"),
-                    F.sum((F.col("status") == P.ST_FETCHED).cast("long")).alias("fetched"),
-                    F.sum(F.col("retry").cast("long")).alias("failed"),
-                    F.sum(F.col("dead_reason").isNotNull().cast("long")).alias("dead"),
-                )
-                .withColumn("round", F.lit(rnd))
-                .withColumn("wall_ms", F.lit(int((time.time() - t0) * 1000)))
-            )
             # size committed files by row volume, not shuffle fan-out.
             # KNOWN-EMPTY deltas are skipped outright: read_deltas tolerates a
             # missing per-round table dir, and every skipped table is a whole
             # Spark write job saved from the round's critical path (dead_letter
             # and payload_log are 0-row on most healthy rounds).
             seen_rows = n_admitted + (seen_est if (folded_seeds or compact_seen) else 0)
-            tables = {
-                "frontier": frontier_next.coalesce(
-                    self._wparts(frontier_est + n_admitted, cached=False)
-                ),
-                "fetch_log": fetch_log.coalesce(self._wparts(n_selected)),
-                "lineage": lineage.coalesce(self._wparts(n_selected)),
-            }
+            rc.write(
+                "frontier",
+                frontier_next.coalesce(self._wparts(frontier_est + n_admitted, cached=False)),
+            )
             if n_admitted or folded_seeds or compact_seen:
-                tables["url_seen"] = seen_delta.coalesce(
-                    self._wparts(seen_rows, cached=not (folded_seeds or compact_seen))
+                rc.write(
+                    "url_seen",
+                    seen_delta.coalesce(
+                        self._wparts(seen_rows, cached=not (folded_seeds or compact_seen))
+                    ),
                 )
             if n_dead_rows + n_timed_out:
-                tables["dead_letter"] = dead_delta.coalesce(self._wparts(n_selected))
-            if n_fetched_rows:
-                tables["story_results"] = story_results.coalesce(self._wparts(n_selected))
-                if self.ingest_payloads:
-                    tables["payload_log"] = self._payload_log(fetched, rnd)
+                rc.write("dead_letter", dead_delta.coalesce(self._wparts(n_selected)))
             if self.trace_tasks:
                 # per-task trace: one event per state change this round —
                 # fetch attempts (status + attempt; death reason in detail),
@@ -723,10 +737,12 @@ class CrawlEngine:
                 if pending_trace is not None:
                     trace = trace.unionByName(pending_trace)
                     pending_trace = None
-                tables["task_trace"] = trace.coalesce(
-                    self._wparts(n_selected + n_admitted, cached=False)
+                rc.write(
+                    "task_trace",
+                    trace.coalesce(self._wparts(n_selected + n_admitted, cached=False)),
                 )
             meta = {"selected": n_selected, "wall_s": time.time() - t0}
+            bloom_written = False
             if bloom_next is not None:
                 meta["bloom_format"] = 2
                 meta["bloom_buckets"] = self.bloom_buckets
@@ -734,19 +750,18 @@ class CrawlEngine:
                     # content changed (new hashes OR'd in / saturation rebuild)
                     # → materialize; otherwise point the manifest at the last
                     # written table and skip the n_buckets-row bitset write
-                    tables["bloom"] = bloom_next
+                    rc.write("bloom", bloom_next)
+                    bloom_written = True
                     meta["bloom_round"] = rnd
                 else:
                     meta["bloom_round"] = self._bloom_round
             t_commit = time.time()
-            snap.commit_round(
-                self.ckpt_dir, rnd, tables, meta=meta,
-                compacted=("url_seen",) if compact_seen else (),
-            )
+            rc.commit(meta=meta, compacted=("url_seen",) if compact_seen else ())
             if os.environ.get("SPARK_GRAFT_DEBUG_TIMING"):
                 print(
-                    f"TIMING round={rnd} pre={t_commit - t0:.1f}s "
-                    f"commit={time.time() - t_commit:.1f}s selected={n_selected}",
+                    f"TIMING round={rnd} submitted_by={t_commit - t0:.1f}s "
+                    f"drain={time.time() - t_commit:.1f}s "
+                    f"wall={time.time() - t0:.1f}s selected={n_selected}",
                     flush=True,
                 )
             summary["rounds_detail"].append(
@@ -760,7 +775,7 @@ class CrawlEngine:
             frontier = snap.read_full(spark, self.ckpt_dir, "frontier", rnd)
             url_seen = snap.read_deltas(spark, self.ckpt_dir, "url_seen", rnd)
             if bloom_next is not None:
-                if "bloom" in tables:
+                if bloom_written:
                     self._bloom = snap.read_full(spark, self.ckpt_dir, "bloom", rnd)
                     self._bloom_round = rnd
                     self._bloom_dirty = False

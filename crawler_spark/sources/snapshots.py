@@ -43,6 +43,77 @@ def _round_dir(ckpt_dir: str, rnd: int) -> str:
     return os.path.join(ckpt_dir, f"round={rnd:05d}")
 
 
+class RoundCommit:
+    """Streaming round commit: submit table writes AS THEY BECOME READY,
+    seal with the manifest at the end (the atomic commit point).
+
+    The round's long pole is usually one table (the payload-verification
+    log: decode+phash+PSNR over every fetched image).  With a monolithic
+    commit that pole serializes BEHIND the rest of the round's driver work
+    (timeout scan, expansion, dedup) even though its input — the persisted
+    classification — is final much earlier.  Submitting each write the
+    moment its input is materialized makes the round wall
+    max(long-pole, remaining-driver-work) instead of the sum — the fixed
+    per-round latency this removes is exactly what erodes N→4N scaling
+    efficiency (BASELINE.md "per-round fixed driver work").
+
+    Atomicity is unchanged: writes land under the round dir, the manifest
+    is still written LAST via tmp+rename, and a crash mid-round leaves a
+    manifest-less torn dir that resume cleans.
+    """
+
+    def __init__(self, ckpt_dir: str, rnd: int, max_workers: int = 8):
+        self.rdir = _round_dir(ckpt_dir, rnd)
+        self.rnd = rnd
+        if os.path.exists(self.rdir):
+            shutil.rmtree(self.rdir)  # torn previous attempt for this round
+        os.makedirs(self.rdir, exist_ok=True)
+        self._ex = ThreadPoolExecutor(max_workers=max(1, max_workers))
+        self._futs: dict[str, object] = {}
+
+    def write(self, name: str, df: DataFrame) -> None:
+        """Submit a table write now (returns immediately; runs on a commit
+        thread as a concurrent Spark job).  The df's inputs must already be
+        materialized (persisted/committed) — a lazy lineage would recompute
+        upstream work on the commit thread."""
+        path = os.path.join(self.rdir, name)
+
+        def _write():
+            t0 = _time.time()
+            df.write.mode("overwrite").parquet(path)
+            if os.environ.get("SPARK_GRAFT_DEBUG_TIMING"):
+                print(f"TIMING   write {name}: {_time.time() - t0:.1f}s", flush=True)
+            return path
+
+        self._futs[name] = self._ex.submit(_write)
+
+    def commit(
+        self,
+        meta: Optional[dict] = None,
+        blobs: Optional[dict[str, bytes]] = None,
+        compacted: tuple[str, ...] = (),
+    ) -> dict:
+        """Wait for every submitted write, then seal the manifest."""
+        manifest: dict = {"round": self.rnd, "tables": {}, "blobs": [], "meta": meta or {}}
+        try:
+            for name, fut in self._futs.items():
+                manifest["tables"][name] = {
+                    "path": fut.result(),
+                    "compacted": name in compacted,
+                }
+        finally:
+            self._ex.shutdown(wait=False)
+        for fname, data in (blobs or {}).items():
+            with open(os.path.join(self.rdir, fname), "wb") as f:
+                f.write(data)
+            manifest["blobs"].append(fname)
+        tmp = os.path.join(self.rdir, MANIFEST + ".tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1)
+        os.replace(tmp, os.path.join(self.rdir, MANIFEST))  # commit
+        return manifest
+
+
 def commit_round(
     ckpt_dir: str,
     rnd: int,
@@ -58,41 +129,17 @@ def commit_round(
     Iceberg rewrite-manifests pattern, keeping both the file-listing fan-in
     and the union-plan width O(rounds-since-compaction) on long crawls.
 
-    Table writes run as CONCURRENT Spark jobs (thread pool): the per-round
-    deltas are independent outputs of the same persisted round state, so
-    overlapping them hides per-job scheduling latency — the batch analog of
-    a multi-sink write.  ``blobs`` are small driver-side sidecar files (e.g.
-    serialized Bloom bits) stored beside the tables under the same atomic
-    manifest.
+    Table writes run as CONCURRENT Spark jobs (RoundCommit thread pool);
+    callers that can hand tables over incrementally should use RoundCommit
+    directly so early tables overlap the rest of the round's driver work.
+    ``blobs`` are small driver-side sidecar files (e.g. serialized Bloom
+    bits) stored beside the tables under the same atomic manifest.
     """
-    rdir = _round_dir(ckpt_dir, rnd)
-    if os.path.exists(rdir):
-        shutil.rmtree(rdir)  # torn previous attempt for this round
-    os.makedirs(rdir, exist_ok=True)
-    manifest: dict = {"round": rnd, "tables": {}, "blobs": [], "meta": meta or {}}
-
-    def _write(item):
-        name, df = item
-        path = os.path.join(rdir, name)
-        t0 = _time.time()
-        df.write.mode("overwrite").parquet(path)
-        if os.environ.get("SPARK_GRAFT_DEBUG_TIMING"):
-            print(f"TIMING   write {name}: {_time.time() - t0:.1f}s", flush=True)
-        return name, path
-
     n_workers = int(os.environ.get("SPARK_GRAFT_COMMIT_THREADS", len(tables)) or 1)
-    with ThreadPoolExecutor(max_workers=max(1, n_workers)) as ex:
-        for name, path in ex.map(_write, tables.items()):
-            manifest["tables"][name] = {"path": path, "compacted": name in compacted}
-    for fname, data in (blobs or {}).items():
-        with open(os.path.join(rdir, fname), "wb") as f:
-            f.write(data)
-        manifest["blobs"].append(fname)
-    tmp = os.path.join(rdir, MANIFEST + ".tmp")
-    with open(tmp, "w") as f:
-        json.dump(manifest, f, indent=1)
-    os.replace(tmp, os.path.join(rdir, MANIFEST))  # commit
-    return manifest
+    rc = RoundCommit(ckpt_dir, rnd, max_workers=n_workers)
+    for name, df in tables.items():
+        rc.write(name, df)
+    return rc.commit(meta=meta, blobs=blobs, compacted=compacted)
 
 
 def committed_rounds(ckpt_dir: str) -> list[int]:
