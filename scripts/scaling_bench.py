@@ -177,18 +177,13 @@ def main() -> None:
             res = run_level(cpus, fixtures, args, zpath, during)
             post = cpu_probe()
             pre["during"] = during
-            quiet = min(pre["par_eff4"], post["par_eff4"]) >= args.quiet_eff and (
-                not during
-                or (
-                    statistics.median(during) >= args.quiet_eff
-                    and statistics.mean(during) >= args.quiet_eff - 0.02
-                )
-            )
+            quiet = leg_quiet(pre, post)
             if quiet or not args.wait_quiet or attempt == args.max_leg_tries - 1:
                 return res, pre, post
             print(
                 f"leg local[{cpus}] bracketed/monitored by busy host "
-                f"(pre={pre['par_eff4']} post={post['par_eff4']} "
+                f"(pre={pre['par_eff4']}/{pre.get('bw_eff4')} "
+                f"post={post['par_eff4']}/{post.get('bw_eff4')} "
                 f"during={during}), retrying",
                 flush=True,
             )
@@ -198,11 +193,23 @@ def main() -> None:
         import statistics
 
         during = pre.get("during") or []
-        return min(pre["par_eff4"], post["par_eff4"]) >= args.quiet_eff and (
-            not during
-            or (
-                statistics.median(during) >= args.quiet_eff
-                and statistics.mean(during) >= args.quiet_eff - 0.02
+        # endpoint probes also gate on DRAM-bandwidth fairness (bw_eff4):
+        # an ALU-fair bandwidth thief passes the SHA gate while slowing the
+        # multi-core leg (the recorded 0.525 artifact).  Mid-leg samples stay
+        # SHA-only — the engine itself consumes DRAM, so a bandwidth probe
+        # through the leg would self-trigger.
+        bw_ok = min(
+            pre.get("bw_eff4", 1.0), post.get("bw_eff4", 1.0)
+        ) >= args.quiet_bw_eff
+        return (
+            bw_ok
+            and min(pre["par_eff4"], post["par_eff4"]) >= args.quiet_eff
+            and (
+                not during
+                or (
+                    statistics.median(during) >= args.quiet_eff
+                    and statistics.mean(during) >= args.quiet_eff - 0.02
+                )
             )
         )
 

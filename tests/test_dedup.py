@@ -92,6 +92,35 @@ def test_commit_round_blobs_and_concurrent_writes(spark, tmpdir_path):
     assert snap.read_blob(tmpdir_path, "missing.bin", 0) is None
 
 
+def test_round_commit_streaming_and_torn_write(spark, tmpdir_path):
+    """RoundCommit: early-submitted writes land under the same atomic
+    manifest; an uncommitted (manifest-less) round dir from a crash between
+    write() and commit() is invisible to readers and cleaned on resume."""
+    from crawler_spark.sources import snapshots as snap
+
+    rc = snap.RoundCommit(tmpdir_path, 0)
+    rc.write("early", spark.range(10).withColumnRenamed("id", "a"))
+    rc.write("late", spark.range(5).withColumnRenamed("id", "b"))
+    manifest = rc.commit(meta={"x": 1}, blobs={"s.bin": b"\x07"})
+    assert set(manifest["tables"]) == {"early", "late"}
+    assert snap.read_full(spark, tmpdir_path, "early", 0).count() == 10
+    assert snap.read_blob(tmpdir_path, "s.bin", 0) == b"\x07"
+    assert snap.committed_rounds(tmpdir_path) == [0]
+
+    # simulate a crash after an early write but before the manifest seal
+    torn = snap.RoundCommit(tmpdir_path, 1)
+    torn.write("early", spark.range(3).withColumnRenamed("id", "a"))
+    torn._ex.shutdown(wait=True)  # writes done, manifest never written
+    assert snap.committed_rounds(tmpdir_path) == [0]  # torn round invisible
+    removed = snap.clean_uncommitted(tmpdir_path)
+    assert len(removed) == 1 and "round=00001" in removed[0]
+    # a fresh attempt for the same round succeeds after cleanup
+    retry = snap.RoundCommit(tmpdir_path, 1)
+    retry.write("early", spark.range(3).withColumnRenamed("id", "a"))
+    retry.commit()
+    assert snap.committed_rounds(tmpdir_path) == [0, 1]
+
+
 def test_engine_ingest_payloads(spark, tmpdir_path):
     """Ingest-time payload pass: every fetched image decode-checked per round."""
     from crawler_spark.fixtures import generate
