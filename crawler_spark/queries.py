@@ -1521,6 +1521,222 @@ FROM labels GROUP BY lbl ORDER BY rep
 
 
 # --------------------------------------------------------------------------
+# §2.10 int8-quantized ANN: the fourth similarity tier next to q19 (exact),
+# q20 (LSH) and q29 (IVF) — symmetric per-vector int8 codes (4× smaller, the
+# memory/bandwidth trick for serving embedding search at corpus scale) with
+# INTEGER dot-product ranking and an in_exact recall flag vs the exact tier.
+# floor(x·scale + 0.5) pins the halfway rule by construction, so the codes
+# are bit-identical across engines and the oracle hash is exact.
+# --------------------------------------------------------------------------
+
+
+def q42_int8_ann(spark, sf_dir):
+    from crawler_spark.operators.similarity import int8_ann_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    return int8_ann_topk(emb, _query_vec(spark, sf_dir), k=10)
+
+
+SQL_Q42 = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+m AS (SELECT vec_id, v, list_max(list_transform(v, y -> abs(y))) AS mx FROM e),
+quant AS (
+  SELECT vec_id,
+         list_transform(v, x -> CAST(floor(x * (CASE WHEN mx > 0 THEN 127.0 / mx ELSE 0.0 END)
+                                            + 0.5) AS BIGINT)) AS qv
+  FROM m),
+qq AS (SELECT qv AS qqv FROM quant WHERE vec_id = 0),
+scored AS (
+  SELECT vec_id,
+         CAST(list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * qqv[i]))
+              AS BIGINT) AS qdot
+  FROM quant, qq),
+q AS (SELECT v AS qe FROM e WHERE vec_id = 0),
+ex AS (
+  SELECT vec_id FROM (
+    SELECT e.vec_id,
+           list_sum(list_transform(generate_series(1, len(e.v)), i -> e.v[i] * qe[i])) /
+           (sqrt(list_sum(list_transform(e.v, x -> x * x))) *
+            sqrt(list_sum(list_transform(qe, x -> x * x)))) AS cos_raw
+    FROM e, q)
+  ORDER BY cos_raw DESC, vec_id LIMIT 10)
+SELECT vec_id, qdot,
+       CASE WHEN vec_id IN (SELECT vec_id FROM ex) THEN 1 ELSE 0 END AS in_exact
+FROM scored ORDER BY qdot DESC, vec_id LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------------
+# §2.10 per-source length percentiles: the dataset-card statistic every
+# corpus release publishes.  Exact linear-interpolation percentiles (Spark
+# `percentile` == DuckDB `quantile_cont`, verified bit-identical on integer
+# inputs); ONE combiner-friendly groupBy — at 100 TB swap in
+# approx_percentile with a pinned accuracy if exactness is negotiable, but
+# the exact form is itself a single shuffle on the (small) source key.
+# --------------------------------------------------------------------------
+
+
+def q43_length_percentiles(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.percentile("n_chars", F.lit(0.25)).alias("p25"),
+            F.percentile("n_chars", F.lit(0.5)).alias("p50"),
+            F.percentile("n_chars", F.lit(0.75)).alias("p75"),
+            F.percentile("n_chars", F.lit(0.95)).alias("p95"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_Q43 = """
+SELECT source, COUNT(*) AS n_docs,
+       quantile_cont(n_chars, 0.25) AS p25,
+       quantile_cont(n_chars, 0.5)  AS p50,
+       quantile_cont(n_chars, 0.75) AS p75,
+       quantile_cont(n_chars, 0.95) AS p95
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
+# --------------------------------------------------------------------------
+# §2.10 end-to-end curation funnel: the per-stage survivor ledger a corpus
+# recipe reports — total → language gate → quality gate (length band) →
+# exact-dedup keeper (min doc_id per md5(text), computed AMONG quality
+# survivors) → deterministic 50% token-budget sample (md5-hash routing).
+# One window shuffle on the text hash + one groupBy; every count integer.
+# Dedup-after-quality ordering matters and is pinned by the oracle twin.
+# --------------------------------------------------------------------------
+
+
+def q44_curation_funnel(spark, sf_dir):
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    s1 = F.col("lang") == "en"
+    s2 = s1 & F.col("n_chars").between(200, 2000)
+    keeper = F.min(F.when(s2, F.col("doc_id"))).over(Window.partitionBy(F.md5("text")))
+    is_first = s2 & (F.col("doc_id") == keeper)
+    hval = F.conv(
+        F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":smpl"))), 1, 4),
+        16,
+        10,
+    ).cast("long")
+    s4 = is_first & (hval < 32768)
+    return (
+        d.select(
+            "source",
+            "n_chars",
+            s1.alias("s1"),
+            s2.alias("s2"),
+            is_first.alias("s3"),
+            s4.alias("s4"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum(F.when(F.col("s1"), 1).otherwise(0)).alias("n_lang"),
+            F.sum(F.when(F.col("s2"), 1).otherwise(0)).alias("n_quality"),
+            F.sum(F.when(F.col("s3"), 1).otherwise(0)).alias("n_unique"),
+            F.sum(F.when(F.col("s4"), 1).otherwise(0)).alias("n_sampled"),
+            F.sum(F.when(F.col("s4"), F.col("n_chars")).otherwise(0)).alias("sampled_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_Q44 = """
+WITH flags AS (
+  SELECT source, n_chars,
+         (lang = 'en') AS s1,
+         (lang = 'en' AND n_chars BETWEEN 200 AND 2000) AS s2,
+         doc_id,
+         MIN(CASE WHEN lang = 'en' AND n_chars BETWEEN 200 AND 2000 THEN doc_id END)
+           OVER (PARTITION BY md5(text)) AS keeper,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':smpl'), 1, 4)) AS BIGINT) AS hval
+  FROM documents),
+staged AS (
+  SELECT source, n_chars, s1, s2,
+         (s2 AND doc_id = keeper) AS s3,
+         (s2 AND doc_id = keeper AND hval < 32768) AS s4
+  FROM flags)
+SELECT source, COUNT(*) AS n_total,
+       CAST(SUM(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS n_lang,
+       CAST(SUM(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+       CAST(SUM(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+       CAST(SUM(CASE WHEN s4 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+       CAST(SUM(CASE WHEN s4 THEN n_chars ELSE 0 END) AS BIGINT) AS sampled_chars
+FROM staged GROUP BY source ORDER BY source
+"""
+
+
+# --------------------------------------------------------------------------
+# §2.10 inter-source vocabulary overlap: pairwise Jaccard of the sources'
+# distinct-token vocabularies — the redundancy matrix used to weight source
+# mixing.  Shape: one distinct on (source, term), one equi-self-join on term
+# (per-term fanout ≤ #sources², and #sources is small by definition; a hot
+# stopword shared by every source costs #sources² rows, not corpus²), then
+# integer set algebra: |A∪B| = |A|+|B|−|A∩B|.  jacc is the single rounded
+# division of two exact integers (oracle-hash-stable per repo convention).
+# --------------------------------------------------------------------------
+
+
+def q45_vocab_overlap(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    v = (
+        d.select("source", F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    sizes = v.groupBy("source").agg(F.count("*").alias("n"))
+    va = v.select(F.col("source").alias("source_a"), "term")
+    vb = v.select(F.col("source").alias("source_b"), "term")
+    inter = (
+        va.join(vb, "term")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(F.broadcast(sizes.withColumnRenamed("source", "source_a")), "source_a")
+        .withColumnRenamed("n", "n_a")
+        .join(F.broadcast(sizes.withColumnRenamed("source", "source_b")), "source_b")
+        .withColumnRenamed("n", "n_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_inter",
+            (F.col("n_a") + F.col("n_b") - F.col("n_inter")).alias("n_union"),
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                6,
+            ).alias("jacc"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+SQL_Q45 = """
+WITH v AS (
+  SELECT DISTINCT source, term
+  FROM documents, UNNEST(string_split(text, ' ')) AS u(term) WHERE term <> ''),
+sizes AS (SELECT source, COUNT(*) AS n FROM v GROUP BY source),
+inter AS (
+  SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_inter
+  FROM v a JOIN v b ON a.term = b.term AND a.source < b.source
+  GROUP BY a.source, b.source)
+SELECT source_a, source_b, n_inter,
+       sa.n + sb.n - n_inter AS n_union,
+       round(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 6) AS jacc
+FROM inter JOIN sizes sa ON sa.source = source_a JOIN sizes sb ON sb.source = source_b
+ORDER BY source_a, source_b
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -1566,4 +1782,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q39_unigram_quality": (q39_unigram_quality, SQL_Q39),
     "q40_ensemble_near_dup": (q40_ensemble_near_dup, SQL_Q40),
     "q41_dup_clusters": (q41_dup_clusters, SQL_Q41),
+    "q42_int8_ann": (q42_int8_ann, SQL_Q42),
+    "q43_length_percentiles": (q43_length_percentiles, SQL_Q43),
+    "q44_curation_funnel": (q44_curation_funnel, SQL_Q44),
+    "q45_vocab_overlap": (q45_vocab_overlap, SQL_Q45),
 }
