@@ -81,3 +81,36 @@ def test_ivf_topk_recall_vs_brute_force(emb):
     ivf = {r.vec_id for r in ivf_ann_topk(emb, q, dim=DIM, k=10, nlist=8, nprobe=2).collect()}
     assert len(ivf) == 10
     assert len(ivf & exact) >= 5  # nprobe=2 of nlist=8 keeps most true neighbors
+
+
+def test_int8_codes_bounded_and_zero_vec_safe(spark, emb):
+    """Quantized codes stay in [-127, 127]; an all-zero vector quantizes to
+    zeros instead of dividing by zero (scale gated to 0)."""
+    from pyspark.sql import functions as F
+
+    from crawler_spark.operators.similarity import int8_quantize_col
+
+    rows = (
+        emb.select(int8_quantize_col(F.col("embedding")).alias("qv")).limit(200).collect()
+    )
+    assert rows
+    for r in rows:
+        assert all(-127 <= v <= 127 for v in r.qv)
+        assert any(abs(v) == 127 for v in r.qv)  # max component pins the scale
+    zero = spark.createDataFrame([(0, [0.0] * DIM)], "vec_id long, embedding array<float>")
+    zq = zero.select(int8_quantize_col(F.col("embedding")).alias("qv")).head()
+    assert list(zq.qv) == [0] * DIM
+
+
+def test_int8_topk_recall_vs_brute_force(emb):
+    """Quantized integer ranking keeps most of the exact top-k (the in_exact
+    flag it ships is the recall numerator), and qdot is integer-typed."""
+    from crawler_spark.operators.similarity import int8_ann_topk
+
+    q_row = emb.filter("vec_id = 0").select("embedding").head()
+    q = [float(x) for x in q_row[0]]
+    out = int8_ann_topk(emb, q, k=10)
+    assert dict(out.dtypes)["qdot"] == "bigint"
+    rows = out.collect()
+    assert len(rows) == 10
+    assert sum(r.in_exact for r in rows) >= 7  # int8 loses little at 64-dim
