@@ -31,12 +31,14 @@ __all__ = [
     "is_emulator_url",
     "search_keyword",
     "search_tools",
+    "next_page_attempts",
     "emulate_search_html",
 ]
 
 SEARCH_PATH_PREFIX = "/search"
 N_RESULTS = 5
 TARGET_SPACE = 1024  # result links land in /p/0../p/1023; unknown pages → NO_CONTENT
+TASK_MAX_RETRY = 3  # fetcher.emulator.taskmaxretrycount=3 (application.properties:22)
 
 
 def is_emulator_url(url: str) -> bool:
@@ -58,7 +60,29 @@ def search_tools(url: str) -> Optional[str]:
     return parse_params(url).get("_tools_")
 
 
-def emulate_search_html(url: str) -> Optional[str]:
+def next_page_attempts(kw: str, page: int) -> int:
+    """Deterministic flakiness of the next-page click reaching ``page``.
+
+    The reference retries the next-page click up to ``taskMaxRetryCount``
+    times with visibility waits between tries (SeleniumFetcher.java:229-258,
+    cap from application.properties:22).  The scripted browser derives the
+    attempts-needed count from md5 so it is a pure function of
+    (keyword, page): usually 0 (nibble < 'a'), sometimes 1-2, and with
+    probability 1/16 the click never lands inside the cap — the reference's
+    exhausted-retry case, where the loop gives up and that results page is
+    never read.
+    """
+    nib = int(hashlib.md5(f"np:{kw}:{page}".encode()).hexdigest()[0], 16)
+    if nib < 10:
+        return 0
+    if nib < 13:
+        return 1
+    if nib < 15:
+        return 2
+    return TASK_MAX_RETRY
+
+
+def emulate_search_html(url: str, scrolled: bool = True) -> Optional[str]:
     """The scripted browser: deterministic search-result markup for a
     ``/search?_kw_=w&page=p[&_tools_=t]`` URL.
 
@@ -75,6 +99,23 @@ def emulate_search_html(url: str) -> Optional[str]:
     md5(w:p:j:t) leads with nibble < '8' (≈ half survive, a pure function of
     the URL).  Like the real browser's persistent state, the filter rides
     the pagination: the next-page link carries ``_tools_`` forward.
+
+    Scroll sub-step (SeleniumFetcher.java:215,227): the reference scrolls to
+    the bottom before reading result anchors on every page — the results
+    list lazy-loads and the next-page control sits below the fold.  The
+    scripted browser models that DOM: with ``scrolled=False`` (a static
+    fetch that never runs the scroll script) only the eager half of the
+    rendered results is present and the pager is absent; the emulator fetch
+    path always scrolls.  S3/S4 routing is therefore load-bearing — an HTTP
+    fetch of a search URL would under-extract.
+
+    Next-page retry (SeleniumFetcher.java:229-258): reaching page ≥ 1 takes
+    ``next_page_attempts(kw, page)`` clicks; when that hits the
+    ``TASK_MAX_RETRY`` cap the reference's retry loop exhausts and the page
+    is never read — modeled by omitting the pager link on the previous page
+    (pagination ends there).  Successful retries are surfaced as a
+    ``data-retries`` attribute on the pager anchor, so the exported markup
+    pins the retry count.
     """
     kw = search_keyword(url)
     if kw is None:
@@ -94,16 +135,25 @@ def emulate_search_html(url: str) -> Optional[str]:
             continue  # outside the clicked time range
         t = int(hashlib.md5(f"{kw}:{page}:{j}".encode()).hexdigest()[:8], 16) % TARGET_SPACE
         items.append(f'<li><a href="/p/{t}">result {j}</a></li>')
+    if not scrolled:
+        # lazy DOM: only the above-the-fold half is loaded, no pager visible
+        items = items[: (len(items) + 1) // 2]
     u = java_url_parse(url)
     nxt = f"{u.protocol}://{u.host}{SEARCH_PATH_PREFIX}?_kw_={kw}&page={page + 1}"
     if tools is not None:
         nxt += f"&_tools_={tools}"
     caption_tools = f" tools {tools}" if tools is not None else ""
+    retries = next_page_attempts(kw, page + 1)
+    pager = (
+        f'<div class="pager"><a rel="next" href="{nxt}" data-retries="{retries}">next</a></div>'
+        if scrolled and retries < TASK_MAX_RETRY
+        else ""
+    )
     return (
         "<html><body>"
         f'<div class="caption">search: {kw} page {page}{caption_tools}</div>'
         f'<ul class="links">{"".join(items)}</ul>'
-        f'<div class="pager"><a rel="next" href="{nxt}">next</a></div>'
+        f"{pager}"
         "</body></html>"
     )
 

@@ -62,3 +62,40 @@ def test_tools_substep_narrows_and_rides_pagination():
     # a different tool value narrows differently (the filter is real input)
     other = "http://h3.example.com/search?_kw_=fox&page=0&_tools_=1y"
     assert extract_all(emulate_search_html(other), "search", RULES)[0] != tooled_links
+
+
+def test_scroll_substep_lazy_dom():
+    """SeleniumFetcher.java:215,227: the reference scrolls to the bottom
+    before reading anchors — the scripted DOM lazy-loads, so an unscrolled
+    (static) read sees only the eager half and no pager.  This makes the
+    S3/S4 routing load-bearing: an HTTP fetch of a search URL under-extracts."""
+    u = "http://h3.example.com/search?_kw_=fox&page=1"
+    full_links, full_next, _, _ = extract_all(emulate_search_html(u), "search", RULES)
+    lazy_links, lazy_next, _, _ = extract_all(
+        emulate_search_html(u, scrolled=False), "search", RULES
+    )
+    assert len(full_links) == 5 and full_next is not None
+    assert lazy_links == full_links[: (len(full_links) + 1) // 2]
+    assert lazy_next is None
+
+
+def test_next_page_retry_loop_and_exhaustion():
+    """SeleniumFetcher.java:229-258 + application.properties:22: the next-page
+    click takes a deterministic number of retries; the pager anchor carries it
+    as data-retries, and when the cap (3) is exhausted the pager is absent —
+    pagination dies exactly where the reference's retry loop gives up."""
+    from crawler_spark.functions.emulator import TASK_MAX_RETRY, next_page_attempts
+
+    # retries within the cap: pager present and annotated
+    h = emulate_search_html("http://h/search?_kw_=fox&page=0")
+    a = next_page_attempts("fox", 1)
+    assert a < TASK_MAX_RETRY
+    assert f'data-retries="{a}"' in h
+    _, nxt, _, _ = extract_all(h, "search", RULES)
+    assert nxt == "http://h/search?_kw_=fox&page=1"
+    # exhausted: md5-nibble of ("a", page 1) >= 15 -> no pager on page 0
+    assert next_page_attempts("a", 1) == TASK_MAX_RETRY
+    h0 = emulate_search_html("http://h/search?_kw_=a&page=0")
+    assert "pager" not in h0 and extract_all(h0, "search", RULES)[1] is None
+    # attempts are a pure function of (kw, page)
+    assert next_page_attempts("fox", 1) == a
