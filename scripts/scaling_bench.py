@@ -55,6 +55,36 @@ def build_pyfiles_zip() -> str:
     return zpath
 
 
+def source_sig(args) -> str:
+    """Hash of the engine source + leg-shaping params.
+
+    An accepted leg is only reusable against the exact same engine and
+    fixture shape: a one-nibble emulator change alters the crawl's selected
+    counts, so legs measured across source edits must never be paired (the
+    identical-results invariant would silently fail — or worse, pass with a
+    bogus ratio)."""
+    import hashlib
+
+    h = hashlib.sha256()
+    pkg = os.path.join(REPO, "crawler_spark")
+    for root, _dirs, files in sorted(os.walk(pkg)):
+        for fn in sorted(files):
+            if fn.endswith(".py"):
+                full = os.path.join(root, fn)
+                h.update(os.path.relpath(full, REPO).encode())
+                with open(full, "rb") as f:
+                    h.update(f.read())
+    with open(os.path.join(REPO, "scripts", "crawl_job.py"), "rb") as f:
+        h.update(f.read())
+    h.update(
+        repr(
+            (args.pages, args.hosts, args.seeds, args.px, args.fmts, args.max_links,
+             args.shards, args.rounds, args.round_seconds, args.burst)
+        ).encode()
+    )
+    return h.hexdigest()
+
+
 def run_level(cpus: int, fixtures: str, args, zpath: str, during: list | None = None) -> dict:
     ckpt = os.path.join(CACHE, f"scale_ckpt_{cpus}")
     if os.path.isdir(ckpt):
@@ -145,6 +175,12 @@ def main() -> None:
                          "consumes DRAM, so bw_eff4 would self-trigger.")
     ap.add_argument("--max-wait-s", type=float, default=1800.0)
     ap.add_argument("--max-leg-tries", type=int, default=6)
+    ap.add_argument("--reuse-legs", action="store_true",
+                    help="reuse a previously ACCEPTED (probe-quiet) leg for "
+                         "the same engine-source+params hash instead of "
+                         "re-measuring it — quiet windows are scarce on this "
+                         "host, so don't re-burn one on a leg that already "
+                         "passed the gate")
     args = ap.parse_args()
 
     from crawler_spark.fixtures import ensure_cached
@@ -155,6 +191,7 @@ def main() -> None:
         max_links=args.max_links, fmts=args.fmts,
     )
     zpath = build_pyfiles_zip()
+    sig = source_sig(args)
 
     def measured_leg(cpus: int) -> tuple[dict, dict, dict]:
         """Run one leg bracketed AND monitored by probes; retry while loud.
@@ -167,6 +204,16 @@ def main() -> None:
         ~15 samples — a few percent of leg wall — do not burn the leg."""
         import statistics
 
+        leg_cache = os.path.join(CACHE, f"scale_leg_{cpus}.accepted.json")
+        if args.reuse_legs and os.path.exists(leg_cache):
+            with open(leg_cache) as f:
+                cached = json.load(f)
+            if cached.get("sig") == sig:
+                print(f"leg local[{cpus}]: reusing accepted leg from {leg_cache}",
+                      flush=True)
+                return cached["res"], cached["pre"], cached["post"]
+            print(f"leg local[{cpus}]: cached leg is for a different "
+                  "engine/params hash, re-measuring", flush=True)
         for attempt in range(args.max_leg_tries):
             pre = (
                 wait_quiet(args.quiet_eff, args.max_wait_s, min_bw_eff=args.quiet_bw_eff)
@@ -178,6 +225,9 @@ def main() -> None:
             post = cpu_probe()
             pre["during"] = during
             quiet = leg_quiet(pre, post)
+            if quiet and args.wait_quiet:
+                with open(leg_cache, "w") as f:
+                    json.dump({"sig": sig, "res": res, "pre": pre, "post": post}, f)
             if quiet or not args.wait_quiet or attempt == args.max_leg_tries - 1:
                 return res, pre, post
             print(
