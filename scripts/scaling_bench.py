@@ -175,6 +175,11 @@ def main() -> None:
                          "consumes DRAM, so bw_eff4 would self-trigger.")
     ap.add_argument("--max-wait-s", type=float, default=1800.0)
     ap.add_argument("--max-leg-tries", type=int, default=6)
+    ap.add_argument("--out", default=None,
+                    help="write the result JSON here instead of the repo's "
+                         "BENCH_SCALING.json — for secondary pairs (e.g. the "
+                         "2→8 saturation curve) that must never clobber the "
+                         "accepted headline pair")
     ap.add_argument("--reuse-legs", action="store_true",
                     help="reuse a previously ACCEPTED (probe-quiet) leg for "
                          "the same engine-source+params hash instead of "
@@ -326,7 +331,7 @@ def main() -> None:
     # exact overwrite destroyed a valid 0.829 measurement once.  Loud runs
     # land in a candidate file beside the cache instead.
     quiet_run = leg_quiet(lo_pre, lo_post) and leg_quiet(hi_pre, hi_post)
-    target = os.path.join(REPO, "BENCH_SCALING.json")
+    target = args.out or os.path.join(REPO, "BENCH_SCALING.json")
     if not quiet_run and os.path.exists(target):
         target = os.path.join(CACHE, "BENCH_SCALING.candidate.json")
         print(f"loud run (min par_eff4 {out['calib_min_par_eff4']}) — "
