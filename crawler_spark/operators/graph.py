@@ -29,7 +29,74 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["connected_components"]
+__all__ = ["connected_components", "pagerank_int"]
+
+
+PR_SCALE = 1_000_000  # rank mass per node, in integer micro-units
+
+
+def pagerank_int(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 5,
+    damping_num: int = 85,
+    damping_den: int = 100,
+) -> DataFrame:
+    """Fixed-iteration PageRank in SCALED-INTEGER arithmetic — the classic
+    frontier-prioritization signal (crawl ordering by link-graph importance,
+    Page et al. '99 / OPIC-style priority crawling), exact across engines.
+
+    Floating-point PageRank cannot have a value-hash-exact oracle twin: SUM
+    over doubles is order-dependent, and Spark's partial aggregation order
+    differs from DuckDB's.  Ranks here are BIGINT micro-units
+    (``PR_SCALE`` per node), each step::
+
+        contrib(u) = r_k(u) div outdeg(u)                 -- integer div
+        r_{k+1}(v) = (1-d)·SCALE + (d_num · Σ contrib(in(v))) div d_den
+
+    Integer sums are associative, so the result is independent of
+    partitioning, parallelism, and engine — the same determinism rule the
+    repo's md5-derived LSH planes follow.  Dangling-node mass is dropped
+    (standard simplification; documented, mirrored by the twin).
+
+    Scale shape: per iteration ONE equi-join (ranks ⋈ out-degree-annotated
+    edges, shuffle on the vertex key) + ONE groupBy-sum with map-side
+    combine; the driver loop is a fixed small constant (``iters``), and each
+    iteration localCheckpoints to cut the lineage stack exactly like
+    ``connected_components``.  Output: (node, rank) for every vertex.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct()
+    e = e.localCheckpoint(eager=True)
+    outdeg = e.groupBy("u").agg(F.count("*").alias("outdeg"))
+    eo = e.join(outdeg, "u").localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    base = (PR_SCALE * (damping_den - damping_num)) // damping_den
+    ranks = nodes.withColumn("rank", F.lit(PR_SCALE).cast("long"))
+    for _ in range(iters):
+        contrib = (
+            eo.join(ranks.withColumnRenamed("node", "u"), "u")
+            .select("v", F.expr("rank div outdeg").alias("c"))
+            .groupBy("v")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.join(contrib.withColumnRenamed("v", "node"), "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(f"({damping_num} * coalesce(s, 0L)) div {damping_den}")
+                ).cast("long").alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks
 
 
 def connected_components(

@@ -1737,6 +1737,66 @@ ORDER BY source_a, source_b
 
 
 # --------------------------------------------------------------------------
+# Frontier-prioritization PageRank (Page et al. '99 / OPIC-style priority
+# crawling): rank the link graph, fetch important nodes first.  Scaled-
+# INTEGER arithmetic (operators/graph.pagerank_int) makes the 5-iteration
+# result bit-exact in any engine — float PageRank has no hash-exact twin
+# (SUM-over-double order differs between Spark and DuckDB).  Graph here: the
+# deterministic part↔supplier bipartite graph of lineitem (disjoint node ids
+# via 2k / 2k+1), both directions so no node is dangling.
+# --------------------------------------------------------------------------
+
+
+def q46_pagerank(spark, sf_dir):
+    from crawler_spark.operators.graph import pagerank_int
+
+    li = t(spark, sf_dir, "lineitem")
+    fwd = li.select(
+        (F.col("l_partkey").cast("long") * 2).alias("src"),
+        (F.col("l_suppkey").cast("long") * 2 + 1).alias("dst"),
+    )
+    bwd = li.select(
+        (F.col("l_suppkey").cast("long") * 2 + 1).alias("src"),
+        (F.col("l_partkey").cast("long") * 2).alias("dst"),
+    )
+    ranks = pagerank_int(fwd.unionByName(bwd), iters=5)
+    kind = F.when(F.col("node") % 2 == 1, "supplier").otherwise("part")
+    return (
+        ranks.select("node", "rank", kind.alias("kind"))
+        .orderBy(F.col("rank").desc(), "node")
+        .limit(100)
+    )
+
+
+def _sql_q46() -> str:
+    head = """
+WITH e AS (
+  SELECT DISTINCT l_partkey * 2 AS u, l_suppkey * 2 + 1 AS v FROM lineitem
+  UNION
+  SELECT DISTINCT l_suppkey * 2 + 1, l_partkey * 2 FROM lineitem),
+od AS (SELECT u, COUNT(*) AS outdeg FROM e GROUP BY u),
+nodes AS (SELECT DISTINCT u AS node FROM e UNION SELECT DISTINCT v FROM e),
+r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes)"""
+    step = """,
+r{k} AS (
+  SELECT n.node,
+         CAST(150000 + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS rank
+  FROM nodes n LEFT JOIN (
+    SELECT e.v AS node, SUM(r.rank // od.outdeg) AS s
+    FROM e JOIN r{p} r ON r.node = e.u JOIN od ON od.u = e.u
+    GROUP BY e.v) c ON c.node = n.node)"""
+    tail = """
+SELECT node, rank,
+       CASE WHEN node % 2 = 1 THEN 'supplier' ELSE 'part' END AS kind
+FROM r5 ORDER BY rank DESC, node LIMIT 100
+"""
+    return head + "".join(step.format(k=k, p=k - 1) for k in range(1, 6)) + tail
+
+
+SQL_Q46 = _sql_q46()
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -1786,4 +1846,5 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q43_length_percentiles": (q43_length_percentiles, SQL_Q43),
     "q44_curation_funnel": (q44_curation_funnel, SQL_Q44),
     "q45_vocab_overlap": (q45_vocab_overlap, SQL_Q45),
+    "q46_pagerank": (q46_pagerank, SQL_Q46),
 }

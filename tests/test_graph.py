@@ -52,3 +52,58 @@ def test_duplicate_and_reversed_edges_are_harmless(spark):
     edges = [(1, 2), (2, 1), (1, 2), (3, 4)]
     got = {r.v: r.lbl for r in connected_components(_edges_df(spark, edges)).collect()}
     assert got == {1: 1, 2: 1, 3: 3, 4: 3}
+
+
+# ---------------------------------------------------------------------------
+# pagerank_int: scaled-integer PageRank (operators/graph.pagerank_int)
+# ---------------------------------------------------------------------------
+
+from crawler_spark.operators.graph import PR_SCALE, pagerank_int
+
+
+def _py_pagerank_int(edges, iters=5, d_num=85, d_den=100):
+    """Reference: same scaled-integer recurrence, plain Python dicts."""
+    e = sorted(set(edges))
+    outdeg = {}
+    for u, _v in e:
+        outdeg[u] = outdeg.get(u, 0) + 1
+    nodes = sorted({u for u, _ in e} | {v for _, v in e})
+    base = (PR_SCALE * (d_den - d_num)) // d_den
+    ranks = {n: PR_SCALE for n in nodes}
+    for _ in range(iters):
+        s = {n: 0 for n in nodes}
+        for u, v in e:
+            s[v] += ranks[u] // outdeg[u]
+        ranks = {n: base + (d_num * s[n]) // d_den for n in nodes}
+    return ranks
+
+
+def test_pagerank_matches_python_reference(spark):
+    rng = random.Random(13)
+    verts = list(range(40))
+    edges = [(rng.choice(verts), rng.choice(verts)) for _ in range(120)]
+    edges = [(a, b) for a, b in edges if a != b]
+    want = _py_pagerank_int(edges)
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r.node: r.rank for r in pagerank_int(df).collect()}
+    assert got == want
+
+
+def test_pagerank_deterministic_across_partitioning(spark):
+    rng = random.Random(29)
+    edges = [(rng.randrange(30), rng.randrange(30)) for _ in range(80)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df1 = spark.createDataFrame(edges, ["src", "dst"]).repartition(1)
+    df2 = spark.createDataFrame(edges, ["src", "dst"]).repartition(16)
+    r1 = {r.node: r.rank for r in pagerank_int(df1, iters=4).collect()}
+    r2 = {r.node: r.rank for r in pagerank_int(df2, iters=4).collect()}
+    assert r1 == r2
+
+
+def test_pagerank_star_hub_ranks_highest(spark):
+    # spokes 1..8 all point at hub 0; hub points back at spoke 1
+    edges = [(i, 0) for i in range(1, 9)] + [(0, 1)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    ranks = {r.node: r.rank for r in pagerank_int(df, iters=5).collect()}
+    assert ranks[0] == max(ranks.values())
+    assert ranks[0] > ranks[2] > 0
