@@ -1,0 +1,66 @@
+"""Token-window document chunking — the map from curated documents to
+training examples (fixed context windows with overlap, the standard
+pack-and-chunk step before tokenizer sharding).
+
+Plan shape (scale story): tokens = ``split`` (JVM), chunk starts =
+``sequence(1, n_tokens, stride)`` exploded — a per-row flatMap with NO
+shuffle; each chunk's text is re-assembled with ``concat_ws(slice(...))``
+and fingerprinted with portable md5.  Output size is input_tokens/stride
+rows; downstream chunk-level exact dedup is one groupBy on the 128-bit
+hash — the same single-shuffle shape as document-level exact dedup
+(operators/dedup_text.exact_dup_groups).
+
+Everything is whole-stage-codegen'd Column algebra; no Python, no UDF.
+
+Reference tie-in: the reference stores whole pages (`Crawlers.java` rawdata
+→ file sinks); chunking is the curation-tier continuation this engine adds
+for LLM-corpus use.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["chunk_documents", "DEFAULT_WINDOW", "DEFAULT_STRIDE"]
+
+DEFAULT_WINDOW = 32  # tokens per chunk
+DEFAULT_STRIDE = 24  # tokens between chunk starts (overlap = window - stride)
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    window: int = DEFAULT_WINDOW,
+    stride: int = DEFAULT_STRIDE,
+) -> DataFrame:
+    """Explode each document into overlapping whitespace-token windows.
+
+    Adds columns (all other input columns pass through):
+
+    * ``chunk_start`` — 1-based token index of the window start
+    * ``chunk_tokens`` — tokens in this window (= ``window`` except the tail)
+    * ``chunk_hash`` — md5 of the window text (portable, dedup-ready)
+
+    A document with ``n`` tokens yields ``ceil(n / stride)`` chunks (starts
+    at 1, 1+stride, …, ≤ n) — every token lands in ≥1 chunk, consecutive
+    chunks overlap by ``window - stride`` tokens.
+    """
+    if not (0 < stride <= window):
+        raise ValueError("require 0 < stride <= window")
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    out = (
+        df.withColumn("_tk", toks)
+        .withColumn("_n", n)
+        .withColumn("chunk_start", F.explode(F.sequence(F.lit(1), F.col("_n"), F.lit(stride))))
+    )
+    remaining = F.col("_n") - F.col("chunk_start") + F.lit(1)
+    chunk_text = F.concat_ws(
+        " ", F.slice(F.col("_tk"), F.col("chunk_start"), F.least(F.lit(window), remaining))
+    )
+    return (
+        out.withColumn("chunk_tokens", F.least(F.lit(window), remaining))
+        .withColumn("chunk_hash", F.md5(chunk_text))
+        .drop("_tk", "_n")
+    )

@@ -1797,6 +1797,164 @@ SQL_Q46 = _sql_q46()
 
 
 # --------------------------------------------------------------------------
+# Curation tier: PII scrub (emails / E.164 phones / IPv4 → typed
+# placeholders, per-type counts).  The synthetic corpus carries no PII, so
+# the query deterministically injects doc_id-derived PII first — the
+# operator under test (functions/pii.py) is the scrub itself, a pure
+# regexp Column pass with zero shuffle.
+# --------------------------------------------------------------------------
+
+
+def q47_pii_scrub(spark, sf_dir):
+    from crawler_spark.functions.pii import pii_counts, scrub_pii
+
+    d = t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    inject = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.when(
+            did % 3 == 0,
+            F.concat(F.lit(" contact u"), did.cast("string"), F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 5 == 0,
+            F.concat(
+                F.lit(" call +14155550"),
+                F.lpad((did % 100).cast("string"), 2, "0"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 7 == 0,
+            F.concat(
+                F.lit(" from 10."),
+                (did % 256).cast("string"),
+                F.lit(".0."),
+                (did % 100).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    p = d.select("doc_id", "source", inject.alias("pii_text"))
+    counts = dict(pii_counts(F.col("pii_text")))
+    sel = p.select(
+        "source",
+        counts["email"].alias("n_email"),
+        counts["phone"].alias("n_phone"),
+        counts["ipv4"].alias("n_ipv4"),
+        (F.length("pii_text") - F.length(scrub_pii(F.col("pii_text")))).alias("delta"),
+    )
+    return (
+        sel.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(
+                ((F.col("n_email") + F.col("n_phone") + F.col("n_ipv4")) > 0).cast("int")
+            ).cast("long").alias("docs_with_pii"),
+            F.sum("n_email").cast("long").alias("n_emails"),
+            F.sum("n_phone").cast("long").alias("n_phones"),
+            F.sum("n_ipv4").cast("long").alias("n_ips"),
+            F.sum("delta").cast("long").alias("chars_removed"),
+        )
+        .orderBy("source")
+    )
+
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\+[0-9]{8,15}"
+_PII_IPV4 = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+
+SQL_Q47 = rf"""
+WITH p AS (
+  SELECT doc_id, source,
+    coalesce(text, '')
+      || CASE WHEN doc_id % 3 = 0 THEN ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+      || CASE WHEN doc_id % 5 = 0 THEN ' call +14155550' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') ELSE '' END
+      || CASE WHEN doc_id % 7 = 0 THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST(doc_id % 100 AS VARCHAR) ELSE '' END
+      AS pii_text
+  FROM documents),
+s1 AS (SELECT source, pii_text,
+         len(regexp_extract_all(pii_text, '{_PII_EMAIL}')) AS n_email,
+         regexp_replace(pii_text, '{_PII_EMAIL}', '[EMAIL]', 'g') AS t1
+       FROM p),
+s2 AS (SELECT source, pii_text, n_email,
+         len(regexp_extract_all(t1, '{_PII_PHONE}')) AS n_phone,
+         regexp_replace(t1, '{_PII_PHONE}', '[PHONE]', 'g') AS t2
+       FROM s1),
+s3 AS (SELECT source, pii_text, n_email, n_phone,
+         len(regexp_extract_all(t2, '{_PII_IPV4}')) AS n_ipv4,
+         regexp_replace(t2, '{_PII_IPV4}', '[IP]', 'g') AS t3
+       FROM s2)
+SELECT source,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(CASE WHEN n_email + n_phone + n_ipv4 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
+  CAST(SUM(n_email) AS BIGINT) AS n_emails,
+  CAST(SUM(n_phone) AS BIGINT) AS n_phones,
+  CAST(SUM(n_ipv4) AS BIGINT) AS n_ips,
+  CAST(SUM(length(pii_text) - length(t3)) AS BIGINT) AS chars_removed
+FROM s3
+GROUP BY source
+ORDER BY source
+"""
+
+
+# --------------------------------------------------------------------------
+# Curation tier: token-window chunking (32-token windows, stride 24) +
+# chunk-level exact dedup — the documents→training-examples map.  The
+# chunker (operators/chunking.py) is a shuffle-free per-row flatMap
+# (sequence+explode); the dedup stat is one groupBy on the md5.
+# --------------------------------------------------------------------------
+
+
+def q48_chunk_dedup(spark, sf_dir):
+    from crawler_spark.operators.chunking import chunk_documents
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.coalesce(F.col("text"), F.lit("")).alias("text")
+    )
+    ch = chunk_documents(d, window=32, stride=24)
+    return (
+        ch.groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count("*").cast("long").alias("n_chunks"),
+            F.countDistinct("chunk_hash").cast("long").alias("n_distinct_chunks"),
+            F.sum("chunk_tokens").cast("long").alias("sum_chunk_tokens"),
+        )
+        .withColumn(
+            "dup_ratio",
+            F.round(
+                (F.col("n_chunks") - F.col("n_distinct_chunks")).cast("double")
+                / F.col("n_chunks"),
+                4,
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_Q48 = """
+WITH toks AS (
+  SELECT doc_id, source,
+         string_split(coalesce(text, ''), ' ') AS tk,
+         len(string_split(coalesce(text, ''), ' ')) AS n
+  FROM documents),
+st AS (SELECT doc_id, source, tk, n, unnest(generate_series(1, n, 24)) AS s FROM toks),
+ch AS (SELECT doc_id, source,
+         md5(array_to_string(list_slice(tk, s, least(s + 31, n)), ' ')) AS chunk_hash,
+         least(32, n - s + 1) AS chunk_tokens
+       FROM st)
+SELECT source,
+  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+  CAST(COUNT(*) AS BIGINT) AS n_chunks,
+  CAST(COUNT(DISTINCT chunk_hash) AS BIGINT) AS n_distinct_chunks,
+  CAST(SUM(chunk_tokens) AS BIGINT) AS sum_chunk_tokens,
+  round(CAST(COUNT(*) - COUNT(DISTINCT chunk_hash) AS DOUBLE) / COUNT(*), 4) AS dup_ratio
+FROM ch
+GROUP BY source
+ORDER BY source
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -1847,4 +2005,6 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q44_curation_funnel": (q44_curation_funnel, SQL_Q44),
     "q45_vocab_overlap": (q45_vocab_overlap, SQL_Q45),
     "q46_pagerank": (q46_pagerank, SQL_Q46),
+    "q47_pii_scrub": (q47_pii_scrub, SQL_Q47),
+    "q48_chunk_dedup": (q48_chunk_dedup, SQL_Q48),
 }

@@ -85,3 +85,100 @@ def test_source_mixing_is_reproducible_and_hash_routed(spark, tmpdir_path):
     assert got == want
     # rates genuinely differ across sources: 25/50/75/100 pct all present
     assert {r.rate_pct for r in r1} == {25, 50, 75, 100}
+
+
+# ---------------------------------------------------------------------------
+# PII scrub (functions/pii.py)
+# ---------------------------------------------------------------------------
+
+
+def test_pii_scrub_and_counts(spark):
+    from pyspark.sql import functions as F
+
+    from crawler_spark.functions.pii import pii_counts, scrub_pii
+
+    rows = [
+        ("a", "mail bob.s+1@sub.example.co.uk now"),
+        ("b", "call +4915112345678 or +1234567"),  # 2nd too short (<8 digits)
+        ("c", "host 10.2.0.4 and 255.255.255.255"),
+        ("d", "mixed u1@ex.com +12345678 1.2.3.4"),
+        ("e", "clean text, nothing here"),
+    ]
+    df = spark.createDataFrame(rows, ["k", "txt"])
+    counts = dict(pii_counts(F.col("txt")))
+    got = {
+        r.k: (r.e, r.p, r.i, r.red)
+        for r in df.select(
+            "k",
+            counts["email"].alias("e"),
+            counts["phone"].alias("p"),
+            counts["ipv4"].alias("i"),
+            scrub_pii(F.col("txt")).alias("red"),
+        ).collect()
+    }
+    assert got["a"] == (1, 0, 0, "mail [EMAIL] now")
+    assert got["b"] == (0, 1, 0, "call [PHONE] or +1234567")
+    assert got["c"] == (0, 0, 2, "host [IP] and [IP]")
+    assert got["d"] == (1, 1, 1, "mixed [EMAIL] [PHONE] [IP]")
+    assert got["e"] == (0, 0, 0, "clean text, nothing here")
+
+
+def test_pii_overlap_attributed_to_email_only(spark):
+    # a phone-like run inside an email local part must count once, as email
+    from pyspark.sql import functions as F
+
+    from crawler_spark.functions.pii import pii_counts
+
+    df = spark.createDataFrame([("x+12345678@ex.com",)], ["txt"])
+    counts = dict(pii_counts(F.col("txt")))
+    r = df.select(
+        counts["email"].alias("e"), counts["phone"].alias("p")
+    ).collect()[0]
+    assert (r.e, r.p) == (1, 0)
+
+
+# ---------------------------------------------------------------------------
+# Token-window chunking (operators/chunking.py)
+# ---------------------------------------------------------------------------
+
+
+def test_chunking_windows_and_tail(spark):
+    import pytest as _pytest
+
+    from crawler_spark.operators.chunking import chunk_documents
+
+    words = [f"w{i}" for i in range(10)]
+    df = spark.createDataFrame([(1, " ".join(words))], ["doc_id", "text"])
+    rows = sorted(
+        chunk_documents(df, window=4, stride=3).collect(),
+        key=lambda r: r.chunk_start,
+    )
+    # starts 1,4,7,10; window 4, overlap 1; tail chunk has 1 token
+    assert [(r.chunk_start, r.chunk_tokens) for r in rows] == [
+        (1, 4), (4, 4), (7, 4), (10, 1),
+    ]
+    # every token covered; consecutive chunks overlap by window - stride
+    import hashlib
+
+    def h(ws):
+        return hashlib.md5(" ".join(ws).encode()).hexdigest()
+
+    assert [r.chunk_hash for r in rows] == [
+        h(words[0:4]), h(words[3:7]), h(words[6:10]), h(words[9:10]),
+    ]
+    with _pytest.raises(ValueError):
+        chunk_documents(df, window=4, stride=5)
+
+
+def test_chunking_single_token_and_exact_fit(spark):
+    from crawler_spark.operators.chunking import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "only"), (2, " ".join(f"t{i}" for i in range(6)))],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r.doc_id, r.chunk_start): r.chunk_tokens
+        for r in chunk_documents(df, window=3, stride=3).collect()
+    }
+    assert got == {(1, 1): 1, (2, 1): 3, (2, 4): 3}
