@@ -297,13 +297,39 @@ class CrawlEngine:
             .withColumn("curl", prepare_url_udf()(F.col("base"), F.col("href")))
             .select(
                 F.col("curl").alias("url"),
-                F.lit(P.PRIORITY_CHILD).cast("long").alias("priority"),
                 F.lit(0).alias("page_idx"),
                 "generation",
                 F.col("curl").alias("task_url"),  # a discovered link starts its own task
                 "cookies",  # …under the discovering story's cookie config
+                F.col("base").alias("src_page"),  # in-degree attribution only
             )
         )
+        if cfg.priority_mode == "indegree":
+            # OPIC-lite: priority = PRIORITY_CHILD - min(indegree, cap), where
+            # indegree = distinct discovering pages this round.  One groupBy on
+            # the same key the dedup below shuffles on; within a (host, wave)
+            # politeness window, heavily-cited children now fetch first.
+            children = (
+                children.groupBy("url")
+                .agg(
+                    F.countDistinct("src_page").alias("_indeg"),
+                    F.min(
+                        F.struct("page_idx", "generation", "task_url", "cookies")
+                    ).alias("b"),
+                )
+                .select(
+                    "url",
+                    (
+                        F.lit(P.PRIORITY_CHILD)
+                        - F.least(F.col("_indeg"), F.lit(P.INDEGREE_PRIORITY_CAP))
+                    ).cast("long").alias("priority"),
+                    "b.page_idx", "b.generation", "b.task_url", "b.cookies",
+                )
+            )
+        else:
+            children = children.drop("src_page").withColumn(
+                "priority", F.lit(P.PRIORITY_CHILD).cast("long")
+            )
         nexts = fetched.filter(
             F.col("next_page_url").isNotNull() & (F.col("page_idx") < cfg.page_down_count)
         ).select(

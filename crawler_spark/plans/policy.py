@@ -40,6 +40,13 @@ from dataclasses import dataclass, field
 
 PRIORITY_CHILD = 1 << 40  # discovered links rank after all seeds in a wave
 
+# OPIC-lite in-degree prioritization (priority_mode="indegree"): a child's
+# priority is PRIORITY_CHILD minus its capped per-round in-degree, so heavily
+# linked-to pages fetch earlier WITHIN the child band.  The cap keeps every
+# child priority >= PRIORITY_CHILD - (1<<20) >> any seed priority, preserving
+# the seeds-before-children invariant the reference ordering relies on.
+INDEGREE_PRIORITY_CAP = 1 << 20
+
 # Retry / loop caps, straight from the reference configs (BASELINE.md)
 MAX_FETCH_RETRIES = 20  # backlog.repush.maxcount
 MAX_ANTI_RETRIES = 6  # worker.runner.anti.retry
@@ -72,6 +79,17 @@ class CrawlConfig:
     # politeness budget for this many consecutive rounds dies TIMEOUTED into
     # the recycle bin (late-data policy).  None disables the deadline.
     max_wait_rounds: int | None = None
+    # "fifo" = reference-parity child ordering (all children share
+    # PRIORITY_CHILD; per-host order is admission wave then URL).
+    # "indegree" = OPIC-lite frontier prioritization: children discovered by
+    # more distinct pages in the round fetch earlier within the child band
+    # (priority = PRIORITY_CHILD - min(indegree, INDEGREE_PRIORITY_CAP)).
+    # Recycle-bin re-drives keep PRIORITY_CHILD in both modes.
+    priority_mode: str = "fifo"
+
+    def __post_init__(self):
+        if self.priority_mode not in ("fifo", "indegree"):
+            raise ValueError(f"unknown priority_mode: {self.priority_mode!r}")
 
     def host_budget(self, crawl_delay_s: float) -> int:
         """Fetches allowed for one host in one round (politeness, T4)."""
@@ -89,6 +107,12 @@ def seed_priority(seed_idx: int) -> int:
 
 def child_priority() -> int:
     return PRIORITY_CHILD
+
+
+def child_priority_indegree(indegree: int) -> int:
+    """OPIC-lite child priority (priority_mode="indegree"): shared scalar so
+    the engine's Column expression and the simulator move together."""
+    return PRIORITY_CHILD - min(indegree, INDEGREE_PRIORITY_CAP)
 
 
 def order_key(wave: int, priority: int, url: str) -> tuple:

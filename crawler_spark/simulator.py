@@ -30,6 +30,7 @@ from crawler_spark.plans.policy import (
     MAX_BIN_GENERATIONS,
     CrawlConfig,
     child_priority,
+    child_priority_indegree,
     classify_fetch,
     is_disallowed,
     order_key,
@@ -163,6 +164,11 @@ def simulate(
                     )
         # --- fetch + classify (S3/P3/J4) ------------------------------------
         admitted = {}  # url -> candidate (priority, page_idx, generation)
+        # priority_mode="indegree": child discoveries collect here first —
+        # (bases that cited the child, min (generation, cookies)) — because a
+        # child's priority depends on ALL of this round's discoveries
+        # (engine's countDistinct(src_page) groupBy)
+        child_disc: dict[str, tuple[set, tuple]] = {}
         n_fetched = n_failed = n_dead = 0
         for host, url, rank in batch:
             e = pending[url]
@@ -226,9 +232,15 @@ def simulate(
                 if landing == "pipeline":
                     for href in links:
                         child = prepare_url(url, href)
-                        cand = (child_priority(), 0, e.generation, child, e.cookies)
-                        if child not in admitted or cand < admitted[child]:
-                            admitted[child] = cand
+                        if cfg.priority_mode == "indegree":
+                            bases, meta = child_disc.get(child, (set(), None))
+                            bases.add(url)
+                            m = (e.generation, e.cookies)
+                            child_disc[child] = (bases, m if meta is None else min(meta, m))
+                        else:
+                            cand = (child_priority(), 0, e.generation, child, e.cookies)
+                            if child not in admitted or cand < admitted[child]:
+                                admitted[child] = cand
                 if next_url is not None and e.page_idx < cfg.page_down_count:
                     cand = (e.priority, e.page_idx + 1, e.generation, e.task_url, e.cookies)
                     if next_url not in admitted or cand < admitted[next_url]:
@@ -242,6 +254,13 @@ def simulate(
                 res.dead.append(
                     {"url": url, "reason": out.dead_reason, "generation": e.generation, "round": rnd}
                 )
+        # indegree mode: fold the round's child discoveries into the shared
+        # candidate min (mirrors the engine's children-groupBy → union →
+        # min(struct) dedup; next-page candidates already sit in `admitted`)
+        for child, (bases, (gen, cookies)) in child_disc.items():
+            cand = (child_priority_indegree(len(bases)), 0, gen, child, cookies)
+            if child not in admitted or cand < admitted[child]:
+                admitted[child] = cand
         n_admitted = 0
         for child in sorted(admitted):
             prio, pidx, gen, task_url, cookies = admitted[child]

@@ -96,6 +96,7 @@ def run(args) -> dict:
         round_seconds=args.round_seconds,
         max_burst_per_host=args.burst,
         max_rounds=args.rounds,
+        priority_mode=args.priority_mode,
     )
     if os.path.isdir(args.ckpt) and not args.resume:
         _safe_clear_ckpt(args.ckpt)
@@ -171,6 +172,8 @@ def main() -> None:
     ap.add_argument("--rounds", type=int, default=6)
     ap.add_argument("--round-seconds", type=float, default=64.0)
     ap.add_argument("--burst", type=int, default=4096)
+    ap.add_argument("--priority-mode", choices=["fifo", "indegree"], default="fifo",
+                    help="child fetch ordering: reference-parity FIFO or OPIC-lite in-degree")
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--no-bloom", action="store_true")
     ap.add_argument("--proxy-pool", default=None,

@@ -398,3 +398,34 @@ def test_bloom_off_identical(spark, fix_dir, tmp_path_factory, golden):
     assert _engine_fetch_tuples(eng) == _sim_fetch_tuples(sim)
     seen = {r.url for r in eng.url_seen().select("url").collect()}
     assert seen == sim.url_seen
+
+
+def test_indegree_priority_golden(spark, fix_dir, tmp_path_factory, golden):
+    """priority_mode="indegree" (OPIC-lite): engine and simulator agree
+    exactly, the knob genuinely reorders fetches vs FIFO, and URL-seen
+    membership is mode-independent (prioritization must not change WHAT is
+    crawled, only WHEN)."""
+    from crawler_spark.plans.engine import CrawlEngine
+
+    cfg = CrawlConfig(max_rounds=12, round_seconds=4.0, priority_mode="indegree")
+    sim = simulate(fix_dir, cfg)
+    ckpt = str(tmp_path_factory.mktemp("ckpt_indeg"))
+    eng = CrawlEngine(spark, fix_dir, ckpt, cfg)
+    eng.run()
+    assert _engine_fetch_tuples(eng) == _sim_fetch_tuples(sim)
+    engine_seen = {r.url for r in eng.url_seen().select("url").collect()}
+    assert engine_seen == sim.url_seen
+
+    # vs the default-config golden: same membership, different order
+    fifo = simulate(fix_dir, CrawlConfig(max_rounds=12, round_seconds=4.0))
+    assert sim.url_seen == fifo.url_seen
+    sim_order = [(e["round"], e["host"], e["rank"], e["url"]) for e in sim.fetch_log]
+    fifo_order = [(e["round"], e["host"], e["rank"], e["url"]) for e in fifo.fetch_log]
+    assert sim_order != fifo_order
+
+
+def test_priority_mode_validated():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        CrawlConfig(priority_mode="pagerank")
