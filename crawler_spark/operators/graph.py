@@ -42,6 +42,7 @@ def pagerank_int(
     iters: int = 5,
     damping_num: int = 85,
     damping_den: int = 100,
+    ckpt_every: int = 8,
 ) -> DataFrame:
     """Fixed-iteration PageRank in SCALED-INTEGER arithmetic — the classic
     frontier-prioritization signal (crawl ordering by link-graph importance,
@@ -61,10 +62,13 @@ def pagerank_int(
     (standard simplification; documented, mirrored by the twin).
 
     Scale shape: per iteration ONE equi-join (ranks ⋈ out-degree-annotated
-    edges, shuffle on the vertex key) + ONE groupBy-sum with map-side
-    combine; the driver loop is a fixed small constant (``iters``), and each
-    iteration localCheckpoints to cut the lineage stack exactly like
-    ``connected_components``.  Output: (node, rank) for every vertex.
+    edges; the rank side is |V| rows so AQE broadcast-joins it under the
+    threshold, else it shuffles on the vertex key) + ONE groupBy-sum with
+    map-side combine; the driver loop is a fixed small constant (``iters``).
+    Lineage is cut with an eager localCheckpoint every ``ckpt_every``
+    iterations rather than every step — checkpointing each step measured
+    ~25% slower at sf0.1 for nothing: bounded plan depth is only a risk for
+    long runs.  Output: (node, rank) for every vertex.
     """
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct()
     e = e.localCheckpoint(eager=True)
@@ -78,24 +82,22 @@ def pagerank_int(
     )
     base = (PR_SCALE * (damping_den - damping_num)) // damping_den
     ranks = nodes.withColumn("rank", F.lit(PR_SCALE).cast("long"))
-    for _ in range(iters):
+    for i in range(iters):
         contrib = (
             eo.join(ranks.withColumnRenamed("node", "u"), "u")
             .select("v", F.expr("rank div outdeg").alias("c"))
             .groupBy("v")
             .agg(F.sum("c").alias("s"))
         )
-        ranks = (
-            nodes.join(contrib.withColumnRenamed("v", "node"), "node", "left")
-            .select(
-                "node",
-                (
-                    F.lit(base)
-                    + F.expr(f"({damping_num} * coalesce(s, 0L)) div {damping_den}")
-                ).cast("long").alias("rank"),
-            )
-            .localCheckpoint(eager=True)
+        ranks = nodes.join(contrib.withColumnRenamed("v", "node"), "node", "left").select(
+            "node",
+            (
+                F.lit(base)
+                + F.expr(f"({damping_num} * coalesce(s, 0L)) div {damping_den}")
+            ).cast("long").alias("rank"),
         )
+        if (i + 1) % ckpt_every == 0 and i + 1 < iters:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks
 
 
