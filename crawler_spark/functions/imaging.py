@@ -39,6 +39,7 @@ __all__ = [
     "encode_bmp",
     "decode_bmp",
     "phash64",
+    "ahash64",
     "psnr",
     "decode_check_map_in_pandas",
     "decode_check_rows",
@@ -240,6 +241,28 @@ def phash64(arr: np.ndarray) -> int:
     bh, bw = h // 8, w // 8
     small = gray[: bh * 8, : bw * 8].reshape(8, bh, 8, bw).mean(axis=(1, 3))
     bits = (small > small.mean()).astype(np.uint64).ravel()
+    val = np.uint64(0)
+    for b in bits:
+        val = (val << np.uint64(1)) | b
+    return int(np.int64(val))
+
+
+def ahash64(arr: np.ndarray) -> int:
+    """Integer-exact 64-bit average hash over an 8×8 grayscale tile.
+
+    bit = 1 iff 64·pixel > Σpixels — pure integer arithmetic, so any engine
+    that compares integers reproduces it bit-for-bit (ties resolve to 0 on
+    both sides; no float luma/mean in the loop, unlike :func:`phash64`).
+    Accepts an (8, 8) array or an (8, 8, C) array whose channels are equal
+    (grayscale stored as RGB); bits pack row-major big-endian into a signed
+    int64, matching phash64's layout.
+    """
+    a = arr[:, :, 0] if arr.ndim == 3 else arr
+    if a.shape != (8, 8):
+        raise ValueError(f"ahash64 needs an 8x8 tile, got {a.shape}")
+    v = a.astype(np.int64)
+    total = int(v.sum())
+    bits = (v.ravel() * 64 > total).astype(np.uint64)
     val = np.uint64(0)
     for b in bits:
         val = (val << np.uint64(1)) | b

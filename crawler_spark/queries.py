@@ -1955,6 +1955,163 @@ ORDER BY source
 
 
 # --------------------------------------------------------------------------
+# §2.10 image near-dup THROUGH the real codec path, oracle-checked: each doc
+# gets a deterministic 8×8 grayscale tile (md5-derived pixels, shared per
+# group key, a few per-doc pixel perturbations), which the Spark side pushes
+# through the engine's actual PNG encoder+decoder (functions/imaging) before
+# hashing with the integer-exact ahash64 — so the lossless-codec roundtrip
+# and the hash layout are both under the driver's value-hash gate, not just
+# pytest.  Near-pairs come from the production banded-Hamming LSH operator
+# (operators/image_dedup, exact for hamming ≤ bands−1 by pigeonhole); the
+# oracle recomputes the hash from the generating formula in pure SQL (packed
+# as two 32-bit halves — BIGINT-safe) and verifies ALL pairs brute-force,
+# which is affordable at oracle scale and exactly matches the LSH result.
+# --------------------------------------------------------------------------
+
+
+def q49_image_ahash_pairs(spark, sf_dir):
+    from crawler_spark.operators import ensure_scan_parallelism
+    from crawler_spark.operators.image_dedup import phash_near_dup_pairs
+
+    d = ensure_scan_parallelism(t(spark, sf_dir, "documents").select("doc_id"))
+
+    def _hash_batches(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        from crawler_spark.functions.imaging import ahash64, decode_png, encode_png
+
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy()
+            out = np.empty(len(ids), dtype=np.int64)
+            for i, raw_id in enumerate(ids):
+                doc_id = int(raw_id)
+                grp, n_pert = doc_id % 16, (doc_id // 16) % 4
+                base = b"".join(
+                    hashlib.md5(f"img:{grp}:{k}".encode()).digest() for k in range(4)
+                )
+                px = np.frombuffer(base, dtype=np.uint8).copy()
+                for j in range(n_pert):
+                    pos = hashlib.md5(f"pert:{doc_id}:{j}".encode()).digest()[0] % 64
+                    px[pos] = 255
+                tile = np.repeat(px.reshape(8, 8, 1), 3, axis=2)
+                out[i] = ahash64(decode_png(encode_png(tile)))
+            yield pd.DataFrame({"image_id": ids, "phash": out})
+
+    images = d.mapInPandas(_hash_batches, "image_id long, phash long")
+    return phash_near_dup_pairs(images, max_hamming=3, bands=4).orderBy("id_a", "id_b")
+
+
+SQL_Q49 = """
+WITH docs AS (
+  SELECT doc_id, doc_id % 16 AS grp, (doc_id // 16) % 4 AS n_pert FROM documents),
+px AS (
+  SELECT d.doc_id, g.p,
+         CAST(('0x' || substr(md5('img:' || CAST(d.grp AS VARCHAR) || ':' ||
+                                  CAST(g.p // 16 AS VARCHAR)),
+                              (g.p % 16) * 2 + 1, 2)) AS INT) AS base_v
+  FROM docs d, (SELECT unnest(range(64)) AS p) g),
+pert AS (
+  SELECT d.doc_id,
+         CAST(('0x' || substr(md5('pert:' || CAST(d.doc_id AS VARCHAR) || ':' ||
+                                  CAST(j.j AS VARCHAR)), 1, 2)) AS INT) % 64 AS pos
+  FROM docs d, (SELECT unnest(range(4)) AS j) j
+  WHERE j.j < d.n_pert),
+pix AS (
+  SELECT px.doc_id, px.p,
+         CASE WHEN EXISTS (SELECT 1 FROM pert
+                           WHERE pert.doc_id = px.doc_id AND pert.pos = px.p)
+              THEN 255 ELSE px.base_v END AS v
+  FROM px),
+bits AS (
+  SELECT doc_id, p,
+         CASE WHEN v * 64 > SUM(v) OVER (PARTITION BY doc_id) THEN 1 ELSE 0 END AS bit
+  FROM pix),
+halves AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN p < 32 THEN bit * (CAST(1 AS BIGINT) << (31 - p))
+                       ELSE 0 END) AS BIGINT) AS hi,
+         CAST(SUM(CASE WHEN p >= 32 THEN bit * (CAST(1 AS BIGINT) << (63 - p))
+                       ELSE 0 END) AS BIGINT) AS lo
+  FROM bits GROUP BY doc_id)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS INT) AS hamming
+FROM halves a JOIN halves b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
+ORDER BY id_a, id_b
+"""
+
+
+# --------------------------------------------------------------------------
+# §2.10 bigram-LM familiarity: the integer-exact core of an n-gram-LM fluency
+# filter (CCNet-style) — per doc, the mean corpus-wide frequency of its word
+# BIGRAMS plus the hapax-bigram tally.  Second-order statistics catch
+# shuffled/templated text that the unigram score (q39) cannot: a document of
+# common words in an order never seen elsewhere scores high on q39 and low
+# here.  Plan: one map-side bigram expansion (transform over the token
+# array, no self-join), one combiner-friendly vocab groupBy, one hash join;
+# at 100 TB prune the bigram table to count ≥ 2 and broadcast — the miss
+# side IS the hapax set, exactly as q39's rare tier.
+# --------------------------------------------------------------------------
+
+
+def q50_bigram_familiarity(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split(F.col("text"), " ").alias("tk"))
+    big = toks.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("tk") >= 2,
+                F.expr(
+                    "transform(sequence(0, size(tk) - 2), i -> concat(tk[i], ' ', tk[i + 1]))"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("bigram"),
+    )
+    counts = big.groupBy("bigram").agg(F.count("*").alias("c"))
+    per = (
+        big.join(counts, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum("c").alias("sum_bfreq"),
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("n_hapax"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "n_bigrams",
+        "sum_bfreq",
+        "n_hapax",
+        F.round(F.col("sum_bfreq").cast("double") / F.col("n_bigrams"), 6).alias(
+            "familiarity"
+        ),
+    ).orderBy("doc_id")
+
+
+SQL_Q50 = """
+WITH tk AS (
+  SELECT doc_id, string_split(text, ' ') AS tkn, len(string_split(text, ' ')) AS n
+  FROM documents),
+idx AS (
+  SELECT doc_id, tkn, unnest(generate_series(1, n - 1)) AS i FROM tk WHERE n >= 2),
+big AS (
+  SELECT doc_id, tkn[i] || ' ' || tkn[i + 1] AS bigram FROM idx),
+counts AS (SELECT bigram, COUNT(*) AS c FROM big GROUP BY bigram),
+per AS (
+  SELECT doc_id, COUNT(*) AS n_bigrams, CAST(SUM(c) AS BIGINT) AS sum_bfreq,
+         CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+  FROM big JOIN counts USING (bigram) GROUP BY doc_id)
+SELECT doc_id, n_bigrams, sum_bfreq, n_hapax,
+       round(CAST(sum_bfreq AS DOUBLE) / n_bigrams, 6) AS familiarity
+FROM per ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -2007,4 +2164,6 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q46_pagerank": (q46_pagerank, SQL_Q46),
     "q47_pii_scrub": (q47_pii_scrub, SQL_Q47),
     "q48_chunk_dedup": (q48_chunk_dedup, SQL_Q48),
+    "q49_image_ahash_pairs": (q49_image_ahash_pairs, SQL_Q49),
+    "q50_bigram_familiarity": (q50_bigram_familiarity, SQL_Q50),
 }

@@ -12,6 +12,7 @@ from crawler_spark.functions.imaging import (
     encode_image,
     encode_png,
     encode_ppm,
+    ahash64,
     phash64,
     psnr,
 )
@@ -86,6 +87,26 @@ def test_phash_deterministic_and_sensitive():
     assert phash64(a) != phash64(b)
     assert isinstance(phash64(a), int)
     assert -(2**63) <= phash64(a) < 2**63
+
+
+def test_ahash64_integer_exact():
+    # known tile: pixel p = p*4 → sum = 8064; bit = 1 iff 256p > 8064 ⇔ p > 31.5
+    tile = (np.arange(64, dtype=np.uint8) * 4).reshape(8, 8)
+    expected_bits = [1 if 256 * p > 8064 else 0 for p in range(64)]
+    val = 0
+    for b in expected_bits:
+        val = (val << 1) | b
+    expected = int(np.int64(np.uint64(val)))
+    assert ahash64(tile) == expected
+    # grayscale-as-RGB uses channel 0 and matches the 2-D form
+    rgb = np.repeat(tile.reshape(8, 8, 1), 3, axis=2)
+    assert ahash64(rgb) == ahash64(tile)
+    # ties (64·v == Σv) resolve to 0: a constant tile hashes to all-zero bits
+    assert ahash64(np.full((8, 8), 77, dtype=np.uint8)) == 0
+    # the hash survives the lossless PNG roundtrip (the q49 contract)
+    assert ahash64(decode_png(encode_png(rgb))) == ahash64(tile)
+    with pytest.raises(ValueError):
+        ahash64(np.zeros((16, 16), dtype=np.uint8))
 
 
 def test_jpeg_stub():
