@@ -1957,7 +1957,9 @@ ORDER BY source
 # --------------------------------------------------------------------------
 # §2.10 image near-dup THROUGH the real codec path, oracle-checked: each doc
 # gets a deterministic 8×8 grayscale tile (md5-derived pixels, shared per
-# group key, a few per-doc pixel perturbations), which the Spark side pushes
+# FIXED-SIZE cluster of 8 consecutive doc_ids — so near-pair volume and LSH
+# bucket sizes stay LINEAR in N at any scale — plus a few per-doc pixel
+# perturbations), which the Spark side pushes
 # through the engine's actual PNG encoder+decoder (functions/imaging) before
 # hashing with the integer-exact ahash64 — so the lossless-codec roundtrip
 # and the hash layout are both under the driver's value-hash gate, not just
@@ -1988,7 +1990,7 @@ def q49_image_ahash_pairs(spark, sf_dir):
             out = np.empty(len(ids), dtype=np.int64)
             for i, raw_id in enumerate(ids):
                 doc_id = int(raw_id)
-                grp, n_pert = doc_id % 16, (doc_id // 16) % 4
+                grp, n_pert = doc_id // 8, doc_id % 4
                 base = b"".join(
                     hashlib.md5(f"img:{grp}:{k}".encode()).digest() for k in range(4)
                 )
@@ -2006,7 +2008,7 @@ def q49_image_ahash_pairs(spark, sf_dir):
 
 SQL_Q49 = """
 WITH docs AS (
-  SELECT doc_id, doc_id % 16 AS grp, (doc_id // 16) % 4 AS n_pert FROM documents),
+  SELECT doc_id, doc_id // 8 AS grp, doc_id % 4 AS n_pert FROM documents),
 px AS (
   SELECT d.doc_id, g.p,
          CAST(('0x' || substr(md5('img:' || CAST(d.grp AS VARCHAR) || ':' ||
