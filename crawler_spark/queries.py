@@ -2114,6 +2114,72 @@ FROM per ORDER BY doc_id
 
 
 # --------------------------------------------------------------------------
+# §2.10 SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+# k-means-cluster the embeddings (the deterministic IVF fit q29 already
+# oracle-twins), then inside each cluster drop every vector that has a
+# LOWER-id member with cosine ≥ τ.  The expensive pairwise step is CLUSTER-
+# LOCAL — one equi-join on cid, never an all-pairs join — which is the whole
+# point of the algorithm: with nlist ≈ √N (sampled fit at scale) the in-
+# cluster work stays ~N^1.5 total and each bucket is a bounded block; a
+# pathological giant cluster escalates to the q24 blocked-matmul kernel.
+# Lowest-id-wins keeps the result independent of partitioning/join order.
+# --------------------------------------------------------------------------
+
+
+def q51_semantic_dedup(spark, sf_dir):
+    from crawler_spark.operators.similarity import cosine_pair, ivf_assign_col, ivf_fit
+
+    emb = t(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").head()[0])
+    cids, cents = ivf_fit(emb, dim=dim, nlist=8, iters=2)
+    e = emb.select("vec_id", "embedding").withColumn(
+        "cid", ivf_assign_col(F.col("embedding"), cids, cents)
+    )
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), "cid")
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), "cid")
+    dup = (
+        a.join(b, "cid")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cosine_pair(F.col("va"), F.col("vb")) >= 0.4)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        e.join(dup.withColumn("is_dup", F.lit(1)), "vec_id", "left")
+        .select(
+            "vec_id",
+            "cid",
+            F.when(F.col("is_dup").isNull(), 1).otherwise(0).alias("keep"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+SQL_Q51 = ("""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c0 AS (SELECT CAST(vec_id AS INT) AS cid, list_transform(v, x -> round(x, 6)) AS cv
+       FROM e WHERE vec_id < 8),"""
+           + _ivf_step("c0", 0) + "," + _ivf_step("c1", 1) + ","
+           + """
+df AS (SELECT e.vec_id, e.v, c.cid,
+              list_sum(list_transform(generate_series(1, 64),
+                       i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))) AS dist
+       FROM e, c2 c),
+af AS (SELECT vec_id, v, cid FROM df
+       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1),
+n AS (SELECT vec_id, cid, v,
+             sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM af),
+dup AS (SELECT DISTINCT b.vec_id
+        FROM n a JOIN n b ON a.cid = b.cid AND a.vec_id < b.vec_id
+        WHERE list_sum(list_transform(generate_series(1, 64),
+                       i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) >= 0.4)
+SELECT n.vec_id, n.cid, CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS keep
+FROM n LEFT JOIN dup d ON n.vec_id = d.vec_id
+ORDER BY n.vec_id
+""")
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -2168,4 +2234,5 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q48_chunk_dedup": (q48_chunk_dedup, SQL_Q48),
     "q49_image_ahash_pairs": (q49_image_ahash_pairs, SQL_Q49),
     "q50_bigram_familiarity": (q50_bigram_familiarity, SQL_Q50),
+    "q51_semantic_dedup": (q51_semantic_dedup, SQL_Q51),
 }
