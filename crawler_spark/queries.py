@@ -2180,6 +2180,297 @@ ORDER BY n.vec_id
 
 
 # --------------------------------------------------------------------------
+# §2.10 image channel statistics + luminance/contrast curation flags through
+# the REAL RGB codec path (LAION-style dark / low-contrast filters).  Each
+# doc's 4x4 RGB tile is synthesized from md5 (deterministic, oracle-
+# recomputable), round-tripped through encode_png -> decode_png — so the
+# statistics only match the oracle if the codec is bit-exact on true
+# 3-channel data (q49 exercised a replicated-gray tile) — then reduced to
+# integer channel sums / sum-of-squares.  All flags are integer
+# inequalities: dark = milli-weighted BT.601 luma sum below the uniform
+# mean, low-contrast = 48^2 * variance below a fixed integer bound.  Plan:
+# map-only Arrow-batched synthesis+decode, no shuffle until the final
+# orderBy — linear in N, the shape a per-image scoring pass needs at 100 TB.
+# --------------------------------------------------------------------------
+
+
+def q52_image_channel_stats(spark, sf_dir):
+    from crawler_spark.operators import ensure_scan_parallelism
+
+    d = ensure_scan_parallelism(t(spark, sf_dir, "documents").select("doc_id"))
+
+    def _stats_batches(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        from crawler_spark.functions.imaging import decode_png, encode_png
+
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy()
+            n = len(ids)
+            cols = {
+                k: np.empty(n, dtype=np.int64)
+                for k in ("sum_r", "sum_g", "sum_b", "sum_sq", "lum_milli")
+            }
+            vmin = np.empty(n, dtype=np.int32)
+            vmax = np.empty(n, dtype=np.int32)
+            for i, raw_id in enumerate(ids):
+                doc_id = int(raw_id)
+                base = b"".join(
+                    hashlib.md5(f"rgb:{doc_id}:{k}".encode()).digest() for k in range(3)
+                )
+                tile = np.frombuffer(base, dtype=np.uint8).reshape(4, 4, 3)
+                px = decode_png(encode_png(tile)).astype(np.int64)
+                s_r, s_g, s_b = (int(px[:, :, c].sum()) for c in range(3))
+                cols["sum_r"][i], cols["sum_g"][i], cols["sum_b"][i] = s_r, s_g, s_b
+                cols["sum_sq"][i] = int((px * px).sum())
+                cols["lum_milli"][i] = 299 * s_r + 587 * s_g + 114 * s_b
+                vmin[i], vmax[i] = int(px.min()), int(px.max())
+            yield pd.DataFrame(
+                {"doc_id": ids, **cols, "v_min": vmin, "v_max": vmax}
+            )
+
+    stats = d.mapInPandas(
+        _stats_batches,
+        "doc_id long, sum_r long, sum_g long, sum_b long, sum_sq long, "
+        "lum_milli long, v_min int, v_max int",
+    )
+    total = F.col("sum_r") + F.col("sum_g") + F.col("sum_b")
+    return stats.select(
+        "doc_id",
+        "sum_r",
+        "sum_g",
+        "sum_b",
+        "sum_sq",
+        "v_min",
+        "v_max",
+        "lum_milli",
+        F.when(F.col("lum_milli") < 2040000, 1).otherwise(0).alias("is_dark"),
+        F.when(48 * F.col("sum_sq") - total * total < 11000000, 1)
+        .otherwise(0)
+        .alias("is_low_contrast"),
+    ).orderBy("doc_id")
+
+
+SQL_Q52 = """
+WITH b AS (
+  SELECT d.doc_id, g.p,
+         CAST(('0x' || substr(md5('rgb:' || CAST(d.doc_id AS VARCHAR) || ':' ||
+                                  CAST(g.p // 16 AS VARCHAR)),
+                              (g.p % 16) * 2 + 1, 2)) AS INT) AS v
+  FROM documents d, (SELECT unnest(range(48)) AS p) g),
+agg AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN p % 3 = 0 THEN v ELSE 0 END) AS BIGINT) AS sum_r,
+         CAST(SUM(CASE WHEN p % 3 = 1 THEN v ELSE 0 END) AS BIGINT) AS sum_g,
+         CAST(SUM(CASE WHEN p % 3 = 2 THEN v ELSE 0 END) AS BIGINT) AS sum_b,
+         CAST(SUM(v * v) AS BIGINT) AS sum_sq,
+         MIN(v) AS v_min, MAX(v) AS v_max
+  FROM b GROUP BY doc_id)
+SELECT doc_id, sum_r, sum_g, sum_b, sum_sq, v_min, v_max,
+       CAST(299 * sum_r + 587 * sum_g + 114 * sum_b AS BIGINT) AS lum_milli,
+       CASE WHEN 299 * sum_r + 587 * sum_g + 114 * sum_b < 2040000
+            THEN 1 ELSE 0 END AS is_dark,
+       CASE WHEN 48 * sum_sq - (sum_r + sum_g + sum_b) * (sum_r + sum_g + sum_b)
+                 < 11000000
+            THEN 1 ELSE 0 END AS is_low_contrast
+FROM agg ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# §2.10 image+caption pair curation over EXACTLY the north-rule input shape
+# (BASELINE.json input_hint: image_id:string, bytes:binary, w, h, fmt,
+# caption, phash).  The Spark side MATERIALIZES that table through the real
+# codecs — per doc a variable-size (4..16 px a side) RGB image is
+# synthesized, encoded with the doc's format (png/ppm/bmp round-robin), and
+# w/h are recovered by DECODING the binary column, so the output only
+# matches the oracle's md5-formula dims if every codec round-trips
+# arbitrary sizes correctly (incl. BMP row padding) — then applies the
+# LAION-style curation filter: min resolution, aspect-ratio bound, caption
+# token budget (CLIP-style 20..77 window).  Plan: map-only Arrow-batched
+# encode/decode + a caption join on doc_id; linear, no all-pairs anywhere.
+# --------------------------------------------------------------------------
+
+
+def q53_image_pair_curation(spark, sf_dir):
+    from crawler_spark.operators import ensure_scan_parallelism
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = ensure_scan_parallelism(docs.select("doc_id"))
+
+    def _pair_batches(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        from crawler_spark.functions.imaging import decode_image, encode_image
+
+        fmts = ("png", "ppm", "bmp")
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy()
+            n = len(ids)
+            ws = np.empty(n, dtype=np.int32)
+            hs = np.empty(n, dtype=np.int32)
+            fmt_col = []
+            for i, raw_id in enumerate(ids):
+                doc_id = int(raw_id)
+                w = 4 + hashlib.md5(f"dim:{doc_id}:w".encode()).digest()[0] % 13
+                h = 4 + hashlib.md5(f"dim:{doc_id}:h".encode()).digest()[0] % 13
+                fmt = fmts[doc_id % 3]
+                nbytes = w * h * 3
+                base = b"".join(
+                    hashlib.md5(f"px:{doc_id}:{k}".encode()).digest()
+                    for k in range((nbytes + 15) // 16)
+                )[:nbytes]
+                arr = np.frombuffer(base, dtype=np.uint8).reshape(h, w, 3)
+                raw = encode_image(arr, fmt)
+                # recover dims from the BINARY column, not the formula: the
+                # oracle twin recomputes them from md5, so a codec that
+                # mangles size/padding fails the value-hash
+                decoded = decode_image(raw, fmt)
+                assert (decoded == arr).all()
+                hs[i], ws[i] = decoded.shape[0], decoded.shape[1]
+                fmt_col.append(fmt)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "image_id": [f"img-{int(x)}" for x in ids],
+                    "w": ws,
+                    "h": hs,
+                    "fmt": fmt_col,
+                }
+            )
+
+    pairs = d.mapInPandas(
+        _pair_batches, "doc_id long, image_id string, w int, h int, fmt string"
+    )
+    cap = docs.select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_cap_tokens")
+    )
+    j = pairs.join(cap, "doc_id")
+    keep_res = (F.col("w") >= 8) & (F.col("h") >= 8)
+    keep_asp = F.greatest("w", "h") <= 3 * F.least("w", "h")
+    keep_cap = (F.col("n_cap_tokens") >= 20) & (F.col("n_cap_tokens") <= 77)
+    return j.select(
+        "image_id",
+        "w",
+        "h",
+        "fmt",
+        "n_cap_tokens",
+        keep_res.cast("int").alias("keep_resolution"),
+        keep_asp.cast("int").alias("keep_aspect"),
+        keep_cap.cast("int").alias("keep_caption"),
+        (keep_res & keep_asp & keep_cap).cast("int").alias("keep"),
+    ).orderBy("image_id")
+
+
+SQL_Q53 = """
+WITH dim AS (
+  SELECT doc_id,
+         'img-' || CAST(doc_id AS VARCHAR) AS image_id,
+         4 + CAST(('0x' || substr(md5('dim:' || CAST(doc_id AS VARCHAR) || ':w'),
+                                  1, 2)) AS INT) % 13 AS w,
+         4 + CAST(('0x' || substr(md5('dim:' || CAST(doc_id AS VARCHAR) || ':h'),
+                                  1, 2)) AS INT) % 13 AS h,
+         CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'ppm' ELSE 'bmp' END AS fmt,
+         len(string_split(text, ' ')) AS n_cap_tokens
+  FROM documents)
+SELECT image_id, w, h, fmt, n_cap_tokens,
+       CASE WHEN w >= 8 AND h >= 8 THEN 1 ELSE 0 END AS keep_resolution,
+       CASE WHEN greatest(w, h) <= 3 * least(w, h) THEN 1 ELSE 0 END AS keep_aspect,
+       CASE WHEN n_cap_tokens BETWEEN 20 AND 77 THEN 1 ELSE 0 END AS keep_caption,
+       CASE WHEN w >= 8 AND h >= 8
+                 AND greatest(w, h) <= 3 * least(w, h)
+                 AND n_cap_tokens BETWEEN 20 AND 77
+            THEN 1 ELSE 0 END AS keep
+FROM dim ORDER BY image_id
+"""
+
+
+# --------------------------------------------------------------------------
+# §2.10 lossy-roundtrip PSNR gate as integer arithmetic — the north rule's
+# per-row invariant is "decoded-pixel allclose, PSNR >= 40 dB for lossy
+# formats".  The container has no JPEG codec (imaging.encode_image stubs
+# it), so the lossy stand-in is documented bit-truncation: each doc is
+# quantized to drop (doc_id % 4) low bits, re-encoded and re-decoded
+# through the REAL PNG path, and the MSE numerator is computed between the
+# two decoded arrays.  PSNR >= 40 dB needs no floating log10:
+# 10*log10(255^2 / (mse_num/n)) >= 40  <=>  10000 * mse_num <= 65025 * n —
+# an exact integer cross-multiplication both engines agree on.  Plan:
+# map-only Arrow-batched quantize+codec round trip; linear in N.
+# --------------------------------------------------------------------------
+
+
+def q54_lossy_psnr_gate(spark, sf_dir):
+    from crawler_spark.operators import ensure_scan_parallelism
+
+    d = ensure_scan_parallelism(t(spark, sf_dir, "documents").select("doc_id"))
+
+    def _psnr_batches(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        from crawler_spark.functions.imaging import decode_png, encode_png
+
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy()
+            n = len(ids)
+            qbits = np.empty(n, dtype=np.int32)
+            mse_num = np.empty(n, dtype=np.int64)
+            for i, raw_id in enumerate(ids):
+                doc_id = int(raw_id)
+                qb = doc_id % 4
+                base = b"".join(
+                    hashlib.md5(f"rgb:{doc_id}:{k}".encode()).digest() for k in range(3)
+                )
+                tile = np.frombuffer(base, dtype=np.uint8).reshape(4, 4, 3)
+                orig = decode_png(encode_png(tile)).astype(np.int64)
+                quant = ((tile >> qb) << qb).astype(np.uint8)
+                lossy = decode_png(encode_png(quant)).astype(np.int64)
+                diff = orig - lossy
+                qbits[i] = qb
+                mse_num[i] = int((diff * diff).sum())
+            yield pd.DataFrame(
+                {"doc_id": ids, "q_bits": qbits, "mse_num": mse_num}
+            )
+
+    stats = d.mapInPandas(_psnr_batches, "doc_id long, q_bits int, mse_num long")
+    return stats.select(
+        "doc_id",
+        "q_bits",
+        "mse_num",
+        F.lit(48).cast("long").alias("n_vals"),
+        F.when(10000 * F.col("mse_num") <= 65025 * 48, 1)
+        .otherwise(0)
+        .alias("psnr_ge_40"),
+    ).orderBy("doc_id")
+
+
+SQL_Q54 = """
+WITH b AS (
+  SELECT d.doc_id, CAST(d.doc_id % 4 AS INT) AS q_bits,
+         CAST(('0x' || substr(md5('rgb:' || CAST(d.doc_id AS VARCHAR) || ':' ||
+                                  CAST(g.p // 16 AS VARCHAR)),
+                              (g.p % 16) * 2 + 1, 2)) AS INT) AS v
+  FROM documents d, (SELECT unnest(range(48)) AS p) g),
+r AS (
+  SELECT doc_id, q_bits,
+         v % (CASE q_bits WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8 END) AS res
+  FROM b)
+SELECT doc_id, q_bits, CAST(SUM(res * res) AS BIGINT) AS mse_num,
+       CAST(48 AS BIGINT) AS n_vals,
+       CASE WHEN 10000 * SUM(res * res) <= 65025 * 48 THEN 1 ELSE 0 END AS psnr_ge_40
+FROM r GROUP BY doc_id, q_bits ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -2235,4 +2526,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q49_image_ahash_pairs": (q49_image_ahash_pairs, SQL_Q49),
     "q50_bigram_familiarity": (q50_bigram_familiarity, SQL_Q50),
     "q51_semantic_dedup": (q51_semantic_dedup, SQL_Q51),
+    "q52_image_channel_stats": (q52_image_channel_stats, SQL_Q52),
+    "q53_image_pair_curation": (q53_image_pair_curation, SQL_Q53),
+    "q54_lossy_psnr_gate": (q54_lossy_psnr_gate, SQL_Q54),
 }
