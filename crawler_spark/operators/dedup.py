@@ -253,3 +253,19 @@ def admit_new_bloom(
     maybe_seen = probed.filter(F.col("probably_seen")).drop("probably_seen")
     confirmed_new = maybe_seen.join(url_seen.select("url"), "url", "left_anti")
     return definite_new.unionByName(confirmed_new)
+
+
+# engine-facing namespace: the fast-path filter is pluggable (north rule says
+# "Bloom/cuckoo"); operators/cuckoo.py exposes the interchangeable CUCKOO_OPS.
+# format_id versions the persisted state in the round manifest — a resume
+# under a different filter kind (or bucketing) rebuilds instead of
+# misreading foreign bytes.
+from types import SimpleNamespace  # noqa: E402  (kept beside its single use)
+
+BLOOM_OPS = SimpleNamespace(
+    name="bloom",
+    format_id=2,
+    build=bloom_build,
+    update=bloom_update,
+    admit=admit_new_bloom,
+)

@@ -81,6 +81,7 @@ class CrawlEngine:
         use_bloom: bool = True,
         bloom_buckets: int = 256,
         bloom_fpp: float = 0.01,
+        seen_filter: str = "bloom",
         ingest_payloads: bool = False,
         compact_every: int = 16,
         proxy_pool: Optional[list] = None,
@@ -93,6 +94,17 @@ class CrawlEngine:
         self.use_bloom = use_bloom
         self.bloom_buckets = bloom_buckets
         self.bloom_fpp = bloom_fpp
+        # pluggable URL-seen fast path (north rule: "Bloom/cuckoo") — both
+        # prune the exact anti-join identically; cuckoo additionally supports
+        # member deletion (recrawl expiry, operators/cuckoo.expire_for_recrawl)
+        if seen_filter == "bloom":
+            self._seen_ops = dd.BLOOM_OPS
+        elif seen_filter == "cuckoo":
+            from crawler_spark.operators.cuckoo import CUCKOO_OPS
+
+            self._seen_ops = CUCKOO_OPS
+        else:
+            raise ValueError(f"seen_filter must be 'bloom' or 'cuckoo', got {seen_filter!r}")
         # fold url_seen's delta history into a full snapshot every K rounds
         # (read_deltas then unions O(K) dirs instead of O(rounds) — the
         # file-listing/plan-width fix for thousand-round crawls); 0 disables
@@ -360,7 +372,7 @@ class CrawlEngine:
     def _admit(self, candidates: DataFrame, url_seen: DataFrame) -> DataFrame:
         cands = dd.with_url_hash(candidates)
         if self.use_bloom and self._bloom is not None:
-            return dd.admit_new_bloom(cands, url_seen, self._bloom, self.bloom_buckets)
+            return self._seen_ops.admit(cands, url_seen, self._bloom, self.bloom_buckets)
         return dd.admit_new_exact(cands, url_seen)
 
     def _bloom_init(self, url_seen: DataFrame, resume_round: Optional[int]) -> None:
@@ -381,7 +393,7 @@ class CrawlEngine:
         if resume_round is not None:
             meta = (snap.read_manifest(self.ckpt_dir, resume_round) or {}).get("meta", {})
             compatible = (
-                meta.get("bloom_format") == 2
+                meta.get("bloom_format") == self._seen_ops.format_id
                 and meta.get("bloom_buckets") == self.bloom_buckets
             )
             if compatible:
@@ -396,15 +408,15 @@ class CrawlEngine:
                     return
                 except Exception:
                     pass  # missing/torn table → rebuild below
-        self._bloom = dd.bloom_build(url_seen, self.bloom_buckets, self.bloom_fpp)
+        self._bloom = self._seen_ops.build(url_seen, self.bloom_buckets, self.bloom_fpp)
 
     def _bloom_next(self, admitted: DataFrame) -> Optional[DataFrame]:
-        """The next round's filter: OR in the admitted delta (lazy — the
+        """The next round's filter: fold in the admitted delta (lazy — the
         commit write is the single materialization; no extra per-round job,
         the fetch loop is latency-critical)."""
         if not (self.use_bloom and self._bloom is not None):
             return None
-        return dd.bloom_update(
+        return self._seen_ops.update(
             self._bloom, admitted.select("url_hash"), self.bloom_buckets, self.bloom_fpp
         )
 
@@ -428,7 +440,7 @@ class CrawlEngine:
         ]
         if not sat:
             return
-        rebuilt = dd.bloom_build(
+        rebuilt = self._seen_ops.build(
             dd.with_bucket(url_seen.select("url_hash"), self.bloom_buckets)
             .filter(F.col("bucket").isin(sat))
             .drop("bucket"),
@@ -770,7 +782,7 @@ class CrawlEngine:
             meta = {"selected": n_selected, "wall_s": time.time() - t0}
             bloom_written = False
             if bloom_next is not None:
-                meta["bloom_format"] = 2
+                meta["bloom_format"] = self._seen_ops.format_id
                 meta["bloom_buckets"] = self.bloom_buckets
                 if n_admitted or self._bloom_dirty or self._bloom_round is None:
                     # content changed (new hashes OR'd in / saturation rebuild)
