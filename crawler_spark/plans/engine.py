@@ -737,6 +737,64 @@ class CrawlEngine:
                 # seeds were just folded, the delta IS already the history)
                 seen_delta = url_seen.unionByName(seen_delta)
             frontier_next = kept.unionByName(admitted.select(*FRONTIER_COLS))
+            # TTL recrawl (cfg.recrawl_ttl_rounds, reference cron-replanning
+            # analog): members whose stamp (admission or last refresh) is
+            # >= ttl rounds old and that are neither pending, re-admitted,
+            # nor fetched this round are resubmitted at PRIORITY_RECRAWL and
+            # re-stamped.  The sweep rides compaction rounds ONLY — the
+            # re-stamp rewrites rows, which the append-only delta history
+            # can't express, but the compact round's full-fold snapshot can.
+            # Membership never changes, so the Bloom/cuckoo fast path needs
+            # no surgery: its entries stay truthful.
+            stale = None
+            n_recrawl = 0
+            if (
+                cfg.recrawl_ttl_rounds
+                and compact_seen
+                and not folded_seeds
+                and rnd >= cfg.recrawl_ttl_rounds
+            ):
+                current = (
+                    kept.select("url")
+                    .unionByName(admitted.select("url"))
+                    .unionByName(classified.select("url"))
+                )
+                stale = (
+                    url_seen.filter(F.col("round") <= rnd - cfg.recrawl_ttl_rounds)
+                    .join(current, "url", "left_anti")
+                    .select("url", "url_hash")
+                    .persist()
+                )
+                n_recrawl = stale.count()
+                if n_recrawl:
+                    resubmit = self._robots_allow(
+                        stale.select("url")
+                        .withColumn("host", F.parse_url(F.col("url"), F.lit("HOST")))
+                        .withColumn("wave", F.lit(rnd + 1))
+                        .withColumn("priority", F.lit(P.PRIORITY_RECRAWL))
+                        .withColumn("page_idx", F.lit(0))
+                        .withColumn("attempt", F.lit(0))
+                        .withColumn("generation", F.lit(0))
+                        .withColumn("task_url", F.col("url"))
+                        .withColumn("cookies", F.lit(""))
+                        .select(*FRONTIER_COLS)
+                    )
+                    seen_delta = seen_delta.join(
+                        stale.select("url"), "url", "left_anti"
+                    ).unionByName(
+                        stale.withColumn("round", F.lit(rnd + 1)).select(
+                            "url", "url_hash", "round"
+                        )
+                    )
+                    frontier_next = frontier_next.unionByName(resubmit)
+                    if self.trace_tasks:
+                        ev = self._trace_events(resubmit, rnd, "recrawl")
+                        pending_trace = (
+                            ev
+                            if pending_trace is None
+                            else pending_trace.unionByName(ev)
+                        )
+                    summary["recrawled"] = summary.get("recrawled", 0) + n_recrawl
             # size committed files by row volume, not shuffle fan-out.
             # KNOWN-EMPTY deltas are skipped outright: read_deltas tolerates a
             # missing per-round table dir, and every skipped table is a whole
@@ -807,6 +865,8 @@ class CrawlEngine:
             )
             classified.unpersist()
             admitted.unpersist()
+            if stale is not None:
+                stale.unpersist()
             if timed_out is not None:
                 timed_out.unpersist()
             # re-read committed state: keeps every round's plan lineage O(1)
@@ -821,7 +881,7 @@ class CrawlEngine:
                 self._bloom_maybe_rebuild(url_seen, rnd)
             summary["selected"] += n_selected
             summary["rounds"] = rnd + 1 - start_round
-            frontier_est += n_admitted
+            frontier_est += n_admitted + n_recrawl
             seen_est += n_admitted
             rnd += 1
         # final tallies from committed state

@@ -47,6 +47,12 @@ PRIORITY_CHILD = 1 << 40  # discovered links rank after all seeds in a wave
 # the seeds-before-children invariant the reference ordering relies on.
 INDEGREE_PRIORITY_CAP = 1 << 20
 
+# TTL recrawl (freshness refresh — the reference re-crawls by re-running
+# plans on a quartz schedule, Crawlers.java planner cron; our deterministic
+# round-based analog): refreshed members rank after ALL new work, seeds and
+# children alike, so recrawl never starves discovery.
+PRIORITY_RECRAWL = 1 << 41
+
 # Retry / loop caps, straight from the reference configs (BASELINE.md)
 MAX_FETCH_RETRIES = 20  # backlog.repush.maxcount
 MAX_ANTI_RETRIES = 6  # worker.runner.anti.retry
@@ -86,10 +92,18 @@ class CrawlConfig:
     # (priority = PRIORITY_CHILD - min(indegree, INDEGREE_PRIORITY_CAP)).
     # Recycle-bin re-drives keep PRIORITY_CHILD in both modes.
     priority_mode: str = "fifo"
+    # TTL recrawl, 0 = off (reference parity: plans re-run on a cron
+    # schedule; here a member whose last admission round is >= this many
+    # rounds old is resubmitted at PRIORITY_RECRAWL and its url_seen round
+    # re-stamped).  Sweeps ride the engine's url_seen compaction rounds so
+    # the re-stamp is a snapshot rewrite, never an append-history conflict.
+    recrawl_ttl_rounds: int = 0
 
     def __post_init__(self):
         if self.priority_mode not in ("fifo", "indegree"):
             raise ValueError(f"unknown priority_mode: {self.priority_mode!r}")
+        if self.recrawl_ttl_rounds < 0:
+            raise ValueError("recrawl_ttl_rounds must be >= 0")
 
     def host_budget(self, crawl_delay_s: float) -> int:
         """Fetches allowed for one host in one round (politeness, T4)."""

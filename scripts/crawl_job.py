@@ -97,6 +97,7 @@ def run(args) -> dict:
         max_burst_per_host=args.burst,
         max_rounds=args.rounds,
         priority_mode=args.priority_mode,
+        recrawl_ttl_rounds=args.recrawl_ttl,
     )
     if os.path.isdir(args.ckpt) and not args.resume:
         _safe_clear_ckpt(args.ckpt)
@@ -175,6 +176,10 @@ def main() -> None:
     ap.add_argument("--burst", type=int, default=4096)
     ap.add_argument("--priority-mode", choices=["fifo", "indegree"], default="fifo",
                     help="child fetch ordering: reference-parity FIFO or OPIC-lite in-degree")
+    ap.add_argument("--recrawl-ttl", type=int, default=0,
+                    help="TTL recrawl in rounds (0 = off): members older than "
+                         "this re-enter the frontier at PRIORITY_RECRAWL on "
+                         "compaction rounds")
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--no-bloom", action="store_true")
     ap.add_argument("--seen-filter", choices=["bloom", "cuckoo"], default="bloom",
