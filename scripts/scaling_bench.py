@@ -79,7 +79,7 @@ def source_sig(args) -> str:
     h.update(
         repr(
             (args.pages, args.hosts, args.seeds, args.px, args.fmts, args.max_links,
-             args.shards, args.rounds, args.round_seconds, args.burst)
+             args.shards, args.rounds, args.round_seconds, args.burst, args.pin)
         ).encode()
     )
     return h.hexdigest()
@@ -90,7 +90,14 @@ def run_level(cpus: int, fixtures: str, args, zpath: str, during: list | None = 
     if os.path.isdir(ckpt):
         shutil.rmtree(ckpt)
     json_out = os.path.join(CACHE, f"scale_{cpus}.json")
-    cmd = [
+    # --pin: hard CPU affinity (taskset) bounds the WHOLE process tree — JVM
+    # service threads, GC, commit threads, Python workers — to exactly `cpus`
+    # vCPUs, the way a cluster executor's cgroup cpuset does.  Without it,
+    # local[N]'s task slots are N but everything else rides the host's idle
+    # cores, inflating small-N throughput and under-reading N→4N efficiency
+    # (measured: 2→8 = 0.589 unpinned vs 0.729 pinned, same window).
+    pin = ["taskset", "-c", f"0-{cpus - 1}"] if args.pin else []
+    cmd = pin + [
         "spark-submit",
         "--master", f"local[{cpus}]",
         "--driver-memory", "24g",
@@ -180,6 +187,9 @@ def main() -> None:
                          "BENCH_SCALING.json — for secondary pairs (e.g. the "
                          "2→8 saturation curve) that must never clobber the "
                          "accepted headline pair")
+    ap.add_argument("--pin", action="store_true",
+                    help="taskset each leg to exactly its core count "
+                         "(cgroup-cpuset executor emulation; see run_level)")
     ap.add_argument("--reuse-legs", action="store_true",
                     help="reuse a previously ACCEPTED (probe-quiet) leg for "
                          "the same engine-source+params hash instead of "
@@ -315,6 +325,7 @@ def main() -> None:
         "fmts": args.fmts,
         "rounds": args.rounds,
         "launcher": "spark-submit --py-files crawler_spark.zip",
+        "pinned": bool(args.pin),
         # host-interference control (see cpu_probe): each leg bracketed by a
         # single- and 4-process SHA probe; par_eff4 well under ~0.9 means a
         # co-tenant on the physical host was stealing cores during that leg
