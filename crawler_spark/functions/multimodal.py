@@ -8,10 +8,12 @@ The Spark-side contract for 100 TB multimodal pipelines:
 * transforms run as ``mapInPandas`` over Arrow batches — schema in/out is
   explicit, partitioning carries (modality, fmt) so one batch decodes one
   codec
-* decode for formats whose codecs exist in-container (PNG/PPM/BMP →
-  crawler_spark.functions.imaging) is REAL; JPEG/audio/video decode is
-  STUBBED behind NotImplementedError with the full plumbing (schema, batch
-  shape, partition discipline) in place and tested.
+* decode is REAL for every format expressible without a codec library:
+  PNG/PPM/BMP images (functions/imaging), PCM WAV audio (functions/audio),
+  YUV4MPEG2-mono video (functions/video).  Only perceptually-compressed
+  codecs (JPEG, mp3/aac, h264/vp9) are STUBBED behind NotImplementedError,
+  with the full plumbing (schema, batch shape, partition discipline) in
+  place and tested.
 
 Feature extraction here is deliberately cheap + deterministic (mean
 channel values, resize by block-mean, frame sampling by stride) — the
@@ -98,10 +100,16 @@ def image_features_map_in_pandas(batches: Iterator["pd.DataFrame"]) -> Iterator[
 
 
 def audio_decode_stub(data: bytes, fmt: str) -> np.ndarray:
-    """Audio decode placeholder — no audio codec libs in this container.
+    """Audio decode: REAL for PCM WAV (functions/audio.py — RIFF needs no
+    codec library); perceptually-compressed formats remain honestly stubbed.
 
-    Contract when enabled: bytes → float32 (n_samples, channels) in [-1, 1].
+    Contract: bytes → float32 (n_samples, channels) in [-1, 1].
     """
+    if fmt == "wav":
+        from crawler_spark.functions.audio import decode_wav
+
+        samples, _sr = decode_wav(data)
+        return samples.astype(np.float32) / 32768.0
     raise NotImplementedError(
         f"audio decode ({fmt}) requires a codec library not present here; "
         "plumbing contract: binary column + (sample_rate, channels) metadata "
@@ -110,8 +118,14 @@ def audio_decode_stub(data: bytes, fmt: str) -> np.ndarray:
 
 
 def video_frame_sample_stub(data: bytes, fmt: str, stride: int = 30) -> list[np.ndarray]:
-    """Video frame-sampling placeholder — same plumbing contract as images:
-    one output row per sampled frame, keyed (video_id, frame_idx)."""
+    """Video frame sampling: REAL for YUV4MPEG2 mono (functions/video.py —
+    raw planar frames need no codec library); compressed video remains
+    honestly stubbed.  One output row per sampled frame, keyed
+    (video_id, frame_idx)."""
+    if fmt == "y4m":
+        from crawler_spark.functions.video import sample_frames
+
+        return [frame for _idx, frame in sample_frames(data, stride)]
     raise NotImplementedError(
         f"video decode ({fmt}) requires a codec library not present here; "
         "enabled implementations must keep the one-row-per-frame contract"

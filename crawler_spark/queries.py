@@ -2471,6 +2471,161 @@ FROM r GROUP BY doc_id, q_bits ORDER BY doc_id
 
 
 # --------------------------------------------------------------------------
+# §2.10 audio frame-energy fingerprint through the REAL PCM-WAV codec path
+# (functions/audio.py): per doc, 256 int16 samples synthesized from md5 are
+# round-tripped through encode_wav -> decode_wav (RIFF chunk walk under the
+# oracle gate — a byte-order or chunk-alignment bug fails the value hash),
+# then reduced to per-64-sample-frame integer energy (sum of squares), peak
+# |amplitude|, and a loudness flag.  This is the audio analog of q49/q52:
+# the energy envelope is the standard first-stage audio dedup / silence
+# filter.  Plan: map-only Arrow-batched synth+codec+reduce, linear in N.
+# --------------------------------------------------------------------------
+
+
+def q55_audio_energy_fingerprint(spark, sf_dir):
+    from crawler_spark.operators import ensure_scan_parallelism
+
+    d = ensure_scan_parallelism(t(spark, sf_dir, "documents").select("doc_id"))
+
+    def _energy_batches(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        from crawler_spark.functions.audio import decode_wav, encode_wav
+
+        for pdf in batches:
+            rows = []
+            for raw_id in pdf["doc_id"].to_numpy():
+                doc_id = int(raw_id)
+                base = b"".join(
+                    hashlib.md5(f"pcm:{doc_id}:{k}".encode()).digest() for k in range(32)
+                )
+                samples = np.frombuffer(base, dtype="<i2").copy()  # 256 samples
+                decoded, sr = decode_wav(encode_wav(samples, sample_rate=16000))
+                assert sr == 16000
+                x = decoded[:, 0].astype(np.int64)
+                for f in range(4):
+                    fr = x[f * 64 : (f + 1) * 64]
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "frame_idx": f,
+                            "energy": int((fr * fr).sum()),
+                            "peak": int(np.abs(fr).max()),
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    frames = d.mapInPandas(
+        _energy_batches, "doc_id long, frame_idx int, energy long, peak long"
+    )
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        "energy",
+        "peak",
+        F.when(F.col("energy") >= 22900000000, 1).otherwise(0).alias("is_loud"),
+    ).orderBy("doc_id", "frame_idx")
+
+
+SQL_Q55 = """
+WITH s AS (
+  SELECT d.doc_id, g.i, g.i // 64 AS frame_idx,
+         CAST(('0x' || substr(md5('pcm:' || CAST(d.doc_id AS VARCHAR) || ':' ||
+                                  CAST(g.i // 8 AS VARCHAR)),
+                              (g.i % 8) * 4 + 1, 2)) AS BIGINT)
+         + 256 * CAST(('0x' || substr(md5('pcm:' || CAST(d.doc_id AS VARCHAR) || ':' ||
+                                          CAST(g.i // 8 AS VARCHAR)),
+                                      (g.i % 8) * 4 + 3, 2)) AS BIGINT) AS u
+  FROM documents d, (SELECT unnest(range(256)) AS i) g),
+v AS (SELECT doc_id, frame_idx,
+             CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS x
+      FROM s)
+SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+       CAST(SUM(x * x) AS BIGINT) AS energy,
+       CAST(MAX(ABS(x)) AS BIGINT) AS peak,
+       CASE WHEN SUM(x * x) >= 22900000000 THEN 1 ELSE 0 END AS is_loud
+FROM v GROUP BY doc_id, frame_idx ORDER BY doc_id, frame_idx
+"""
+
+
+# --------------------------------------------------------------------------
+# §2.10 video frame sampling through the REAL YUV4MPEG2 codec path
+# (functions/video.py): per doc a 6-frame 8x8 mono clip synthesized from md5
+# is round-tripped through encode_y4m -> decode_y4m, stride-2 sampled (the
+# one-row-per-sampled-frame contract), and each sampled frame reduced to
+# integer luma sum / sum-of-squares — the standard shot-boundary /
+# static-clip features.  Plan: map-only Arrow-batched synth+codec+sample.
+# --------------------------------------------------------------------------
+
+
+def q56_video_frame_stats(spark, sf_dir):
+    from crawler_spark.operators import ensure_scan_parallelism
+
+    d = ensure_scan_parallelism(t(spark, sf_dir, "documents").select("doc_id"))
+
+    def _frame_batches(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        from crawler_spark.functions.video import encode_y4m, sample_frames
+
+        for pdf in batches:
+            rows = []
+            for raw_id in pdf["doc_id"].to_numpy():
+                doc_id = int(raw_id)
+                frames = np.stack(
+                    [
+                        np.frombuffer(
+                            b"".join(
+                                hashlib.md5(f"vid:{doc_id}:{f}:{k}".encode()).digest()
+                                for k in range(4)
+                            ),
+                            dtype=np.uint8,
+                        ).reshape(8, 8)
+                        for f in range(6)
+                    ]
+                )
+                for idx, frame in sample_frames(encode_y4m(frames), stride=2):
+                    px = frame.astype(np.int64)
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "frame_idx": idx,
+                            "luma_sum": int(px.sum()),
+                            "luma_sq": int((px * px).sum()),
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    frames = d.mapInPandas(
+        _frame_batches, "doc_id long, frame_idx int, luma_sum long, luma_sq long"
+    )
+    return frames.orderBy("doc_id", "frame_idx")
+
+
+SQL_Q56 = """
+WITH b AS (
+  SELECT d.doc_id, f.f AS frame_idx, g.p,
+         CAST(('0x' || substr(md5('vid:' || CAST(d.doc_id AS VARCHAR) || ':' ||
+                                  CAST(f.f AS VARCHAR) || ':' ||
+                                  CAST(g.p // 16 AS VARCHAR)),
+                              (g.p % 16) * 2 + 1, 2)) AS BIGINT) AS v
+  FROM documents d,
+       (SELECT unnest([0, 2, 4]) AS f) f,
+       (SELECT unnest(range(64)) AS p) g)
+SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+       CAST(SUM(v) AS BIGINT) AS luma_sum,
+       CAST(SUM(v * v) AS BIGINT) AS luma_sq
+FROM b GROUP BY doc_id, frame_idx ORDER BY doc_id, frame_idx
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -2529,4 +2684,6 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q52_image_channel_stats": (q52_image_channel_stats, SQL_Q52),
     "q53_image_pair_curation": (q53_image_pair_curation, SQL_Q53),
     "q54_lossy_psnr_gate": (q54_lossy_psnr_gate, SQL_Q54),
+    "q55_audio_energy_fingerprint": (q55_audio_energy_fingerprint, SQL_Q55),
+    "q56_video_frame_stats": (q56_video_frame_stats, SQL_Q56),
 }

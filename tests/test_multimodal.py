@@ -75,10 +75,74 @@ def test_resize_block_mean_identity_and_downsample():
 
 
 def test_audio_video_stubs_raise_with_contract():
+    """Perceptually-compressed codecs stay honestly stubbed."""
     with pytest.raises(NotImplementedError, match="sample_rate"):
-        audio_decode_stub(b"\x00", "wav")
+        audio_decode_stub(b"\x00", "mp3")
     with pytest.raises(NotImplementedError, match="one-row-per-frame"):
         video_frame_sample_stub(b"\x00", "mp4")
+
+
+def test_audio_wav_roundtrip_exact():
+    """PCM WAV is a REAL codec path now (functions/audio.py): encode/decode
+    round-trips bit-exactly for mono and stereo, and the multimodal
+    audio_decode_stub routes fmt='wav' through it with the documented
+    float32 [-1, 1] contract."""
+    from crawler_spark.functions.audio import decode_wav, encode_wav
+
+    rng = np.random.default_rng(6)
+    for ch in (1, 2):
+        samples = rng.integers(-32768, 32768, (137, ch)).astype(np.int16)
+        decoded, sr = decode_wav(encode_wav(samples, sample_rate=22050))
+        assert sr == 22050
+        assert np.array_equal(decoded, samples)
+    # stub routing: bytes -> float32 in [-1, 1]
+    mono = rng.integers(-32768, 32768, 64).astype(np.int16)
+    f = audio_decode_stub(encode_wav(mono), "wav")
+    assert f.dtype == np.float32 and f.shape == (64, 1)
+    assert np.abs(f).max() <= 1.0
+    assert np.array_equal((f[:, 0] * 32768.0).astype(np.int16), mono)
+
+
+def test_audio_wav_malformed_fails_loudly():
+    from crawler_spark.functions.audio import decode_wav, encode_wav
+
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"\x00garbage")
+    # non-PCM format code rejected
+    good = bytearray(encode_wav(np.zeros(4, np.int16)))
+    good[20] = 3  # fmt tag audio_format field -> IEEE float
+    with pytest.raises(ValueError, match="PCM"):
+        decode_wav(bytes(good))
+
+
+def test_video_y4m_roundtrip_and_sampling():
+    """y4m is a REAL codec path now (functions/video.py): round-trip is
+    bit-exact and sample_frames keeps the one-row-per-sampled-frame,
+    (frame_idx, frame) contract the stub documented."""
+    from crawler_spark.functions.video import decode_y4m, encode_y4m, sample_frames
+
+    rng = np.random.default_rng(7)
+    frames = rng.integers(0, 256, (7, 6, 9), dtype=np.uint8)
+    blob = encode_y4m(frames, fps=30)
+    decoded, fps = decode_y4m(blob)
+    assert fps == 30
+    assert np.array_equal(decoded, frames)
+    sampled = sample_frames(blob, stride=3)
+    assert [i for i, _ in sampled] == [0, 3, 6]
+    for i, fr in sampled:
+        assert np.array_equal(fr, frames[i])
+    # stub routing for fmt='y4m'
+    via_stub = video_frame_sample_stub(blob, "y4m", stride=3)
+    assert len(via_stub) == 3 and np.array_equal(via_stub[1], frames[3])
+
+
+def test_video_y4m_malformed_fails_loudly():
+    from crawler_spark.functions.video import decode_y4m
+
+    with pytest.raises(ValueError, match="YUV4MPEG2"):
+        decode_y4m(b"nope\n")
+    with pytest.raises(ValueError, match="Cmono"):
+        decode_y4m(b"YUV4MPEG2 W2 H2 F25:1 C420jpeg\nFRAME\n\x00\x00\x00\x00")
 
 
 def test_roundtrip_all_codecs_exact():
