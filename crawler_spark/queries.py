@@ -2626,6 +2626,206 @@ FROM b GROUP BY doc_id, frame_idx ORDER BY doc_id, frame_idx
 
 
 # --------------------------------------------------------------------------
+# §2.10 audio near-dup pairs through the REAL WAV codec path: the second
+# stage q55's energy envelope feeds.  Per doc, a 256-sample clip shared per
+# FIXED-SIZE cluster of 8 consecutive doc_ids (q49's linearization — pair
+# volume stays linear in N) plus md5-derived per-doc sample perturbations is
+# round-tripped through encode_wav -> decode_wav, then reduced to the classic
+# energy-DIFFERENCE fingerprint (Haitsma-Kalker / Chromaprint family): 64
+# subframe energies, bit i = e[i] > e[(i+1) mod 64], packed MSB-first into
+# one int64.  Near-pairs come from the SAME production banded-Hamming LSH
+# operator the image tier uses (operators/image_dedup, generic id/hash
+# columns — exact for hamming ≤ bands−1 by pigeonhole), demonstrating the
+# operator is modality-agnostic.  The oracle recomputes the fingerprint from
+# the md5 generating formula in pure SQL (two 32-bit halves, BIGINT-safe)
+# and brute-forces all pairs — affordable at oracle scale, exactly equal to
+# the LSH result.
+# --------------------------------------------------------------------------
+
+
+def q57_audio_fingerprint_pairs(spark, sf_dir):
+    from crawler_spark.operators import ensure_scan_parallelism
+    from crawler_spark.operators.image_dedup import phash_near_dup_pairs
+
+    d = ensure_scan_parallelism(t(spark, sf_dir, "documents").select("doc_id"))
+
+    def _fp_batches(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        from crawler_spark.functions.audio import decode_wav, encode_wav
+
+        shifts = np.uint64(63) - np.arange(64, dtype=np.uint64)
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy()
+            out = np.empty(len(ids), dtype=np.uint64)
+            for i, raw_id in enumerate(ids):
+                doc_id = int(raw_id)
+                grp, n_pert = doc_id // 8, doc_id % 4
+                base = b"".join(
+                    hashlib.md5(f"aud:{grp}:{k}".encode()).digest() for k in range(32)
+                )
+                samples = np.frombuffer(base, dtype="<i2").copy()  # 256 samples
+                for j in range(n_pert):
+                    pos = hashlib.md5(f"apert:{doc_id}:{j}".encode()).digest()[0]
+                    samples[pos] = 32000
+                decoded, _sr = decode_wav(encode_wav(samples, sample_rate=16000))
+                x = decoded[:, 0].astype(np.int64)
+                e = (x.reshape(64, 4) ** 2).sum(axis=1)
+                bits = (e > np.roll(e, -1)).astype(np.uint64)
+                out[i] = np.bitwise_or.reduce(bits << shifts)
+            yield pd.DataFrame({"audio_id": ids, "afp": out.view(np.int64)})
+
+    fps = d.mapInPandas(_fp_batches, "audio_id long, afp long")
+    return phash_near_dup_pairs(
+        fps, max_hamming=3, bands=4, id_col="audio_id", phash_col="afp"
+    ).orderBy("id_a", "id_b")
+
+
+SQL_Q57 = """
+WITH docs AS (
+  SELECT doc_id, doc_id // 8 AS grp, doc_id % 4 AS n_pert FROM documents),
+s AS (
+  SELECT d.doc_id, g.i,
+         CAST(('0x' || substr(md5('aud:' || CAST(d.grp AS VARCHAR) || ':' ||
+                                  CAST(g.i // 8 AS VARCHAR)),
+                              (g.i % 8) * 4 + 1, 2)) AS BIGINT)
+         + 256 * CAST(('0x' || substr(md5('aud:' || CAST(d.grp AS VARCHAR) || ':' ||
+                                          CAST(g.i // 8 AS VARCHAR)),
+                                      (g.i % 8) * 4 + 3, 2)) AS BIGINT) AS u
+  FROM docs d, (SELECT unnest(range(256)) AS i) g),
+pert AS (
+  SELECT d.doc_id,
+         CAST(('0x' || substr(md5('apert:' || CAST(d.doc_id AS VARCHAR) || ':' ||
+                                  CAST(j.j AS VARCHAR)), 1, 2)) AS INT) AS pos
+  FROM docs d, (SELECT unnest(range(4)) AS j) j
+  WHERE j.j < d.n_pert),
+x AS (
+  SELECT s.doc_id, s.i,
+         CASE WHEN EXISTS (SELECT 1 FROM pert
+                           WHERE pert.doc_id = s.doc_id AND pert.pos = s.i)
+              THEN 32000
+              WHEN u >= 32768 THEN u - 65536 ELSE u END AS v
+  FROM s),
+e AS (SELECT doc_id, i // 4 AS sub, CAST(SUM(v * v) AS BIGINT) AS e
+      FROM x GROUP BY doc_id, i // 4),
+bits AS (
+  SELECT a.doc_id, a.sub AS i, CASE WHEN a.e > b.e THEN 1 ELSE 0 END AS bit
+  FROM e a JOIN e b ON a.doc_id = b.doc_id AND b.sub = (a.sub + 1) % 64),
+halves AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN i < 32 THEN bit * (CAST(1 AS BIGINT) << (31 - i))
+                       ELSE 0 END) AS BIGINT) AS hi,
+         CAST(SUM(CASE WHEN i >= 32 THEN bit * (CAST(1 AS BIGINT) << (63 - i))
+                       ELSE 0 END) AS BIGINT) AS lo
+  FROM bits GROUP BY doc_id)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS INT) AS hamming
+FROM halves a JOIN halves b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
+ORDER BY id_a, id_b
+"""
+
+
+# --------------------------------------------------------------------------
+# §2.10 video shot-boundary detection through the REAL y4m codec path: the
+# second stage q56's luma features feed.  Per doc an 8-frame clip with two
+# md5-derived "shots" (frames 0-3 and 4-7 share a base pattern; each frame
+# gets one perturbed pixel, so within-shot luma deltas are bounded by 255)
+# is round-tripped through encode_y4m, stride-1 sampled, and reduced to
+# per-frame luma sums; a lag window per doc then emits |Δluma| and the
+# boundary flag (Δ > 1000) — the standard hard-cut detector.  Plan:
+# map-only Arrow synth+codec+reduce, then ONE window shuffle partitioned by
+# doc_id (frames-per-doc is a small constant, so partitions stay balanced
+# at any N).
+# --------------------------------------------------------------------------
+
+
+def q58_video_shot_boundaries(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from crawler_spark.operators import ensure_scan_parallelism
+
+    d = ensure_scan_parallelism(t(spark, sf_dir, "documents").select("doc_id"))
+
+    def _luma_batches(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        from crawler_spark.functions.video import encode_y4m, sample_frames
+
+        for pdf in batches:
+            rows = []
+            for raw_id in pdf["doc_id"].to_numpy():
+                doc_id = int(raw_id)
+                frames = []
+                for f in range(8):
+                    base = b"".join(
+                        hashlib.md5(f"vshot:{doc_id}:{f // 4}:{k}".encode()).digest()
+                        for k in range(4)
+                    )
+                    px = np.frombuffer(base, dtype=np.uint8).copy()
+                    px[hashlib.md5(f"vpert:{doc_id}:{f}".encode()).digest()[0] % 64] = 255
+                    frames.append(px.reshape(8, 8))
+                for idx, frame in sample_frames(encode_y4m(np.stack(frames)), stride=1):
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "frame_idx": idx,
+                            "luma_sum": int(frame.astype(np.int64).sum()),
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    luma = d.mapInPandas(_luma_batches, "doc_id long, frame_idx int, luma_sum long")
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    return (
+        luma.withColumn("luma_diff", F.abs(F.col("luma_sum") - F.lag("luma_sum").over(w)))
+        .filter(F.col("frame_idx") >= 1)
+        .withColumn("is_boundary", F.when(F.col("luma_diff") > 1000, 1).otherwise(0))
+        .select("doc_id", "frame_idx", "luma_sum", "luma_diff", "is_boundary")
+        .orderBy("doc_id", "frame_idx")
+    )
+
+
+SQL_Q58 = """
+WITH px AS (
+  SELECT d.doc_id, f.f, g.p,
+         CAST(('0x' || substr(md5('vshot:' || CAST(d.doc_id AS VARCHAR) || ':' ||
+                                  CAST(f.f // 4 AS VARCHAR) || ':' ||
+                                  CAST(g.p // 16 AS VARCHAR)),
+                              (g.p % 16) * 2 + 1, 2)) AS INT) AS base_v
+  FROM documents d,
+       (SELECT unnest(range(8)) AS f) f,
+       (SELECT unnest(range(64)) AS p) g),
+pert AS (
+  SELECT d.doc_id, f.f,
+         CAST(('0x' || substr(md5('vpert:' || CAST(d.doc_id AS VARCHAR) || ':' ||
+                                  CAST(f.f AS VARCHAR)), 1, 2)) AS INT) % 64 AS pos
+  FROM documents d, (SELECT unnest(range(8)) AS f) f),
+luma AS (
+  SELECT px.doc_id, px.f AS frame_idx,
+         CAST(SUM(CASE WHEN px.p = pert.pos THEN 255 ELSE px.base_v END) AS BIGINT)
+           AS luma_sum
+  FROM px JOIN pert ON pert.doc_id = px.doc_id AND pert.f = px.f
+  GROUP BY px.doc_id, px.f),
+d2 AS (
+  SELECT doc_id, frame_idx, luma_sum,
+         ABS(luma_sum - lag(luma_sum)
+             OVER (PARTITION BY doc_id ORDER BY frame_idx)) AS luma_diff
+  FROM luma)
+SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx, luma_sum,
+       CAST(luma_diff AS BIGINT) AS luma_diff,
+       CASE WHEN luma_diff > 1000 THEN 1 ELSE 0 END AS is_boundary
+FROM d2 WHERE frame_idx >= 1 ORDER BY doc_id, frame_idx
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -2686,4 +2886,6 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q54_lossy_psnr_gate": (q54_lossy_psnr_gate, SQL_Q54),
     "q55_audio_energy_fingerprint": (q55_audio_energy_fingerprint, SQL_Q55),
     "q56_video_frame_stats": (q56_video_frame_stats, SQL_Q56),
+    "q57_audio_fingerprint_pairs": (q57_audio_fingerprint_pairs, SQL_Q57),
+    "q58_video_shot_boundaries": (q58_video_shot_boundaries, SQL_Q58),
 }
