@@ -2826,6 +2826,136 @@ FROM d2 WHERE frame_idx >= 1 ORDER BY doc_id, frame_idx
 
 
 # --------------------------------------------------------------------------
+# §2.3 addendum: backward AS-OF join (operators/temporal.asof_join) — attach
+# the latest preceding non-purchase event (the user's "state") to every
+# purchase.  The operator is the linear union+window form: ONE sort-shuffle
+# partitioned by user_id, no inequality join, no per-row re-scan — the shape
+# that survives 100 TB event logs where a correlated/range formulation goes
+# quadratic per key.  Deterministic by the lexicographic (us, event_id)
+# as-of predicate.  The oracle mirrors the same construction with DuckDB's
+# last_value(... IGNORE NULLS).
+# --------------------------------------------------------------------------
+
+
+def q59_asof_state_join(spark, sf_dir):
+    from crawler_spark.operators.temporal import asof_join
+
+    e = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "value",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    buys = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "us", "value"
+    )
+    states = e.filter(F.col("event_type") != "purchase").select(
+        "user_id", "event_id", "us", "event_type"
+    )
+    joined = asof_join(
+        buys,
+        states,
+        keys=["user_id"],
+        ts_col="us",
+        seq_col="event_id",
+        value_cols=["event_id", "event_type", "us"],
+    )
+    # Inner as-of semantics for the oracle twin: purchases with no preceding
+    # state are dropped (nullable-BIGINT outputs turn into float64 through
+    # the driver's pandas path and fail the value hash on type alone; the
+    # NULL-when-none contract is pinned by tests/test_temporal.py instead).
+    return (
+        joined.filter(F.col("asof_event_id").isNotNull())
+        .select(
+            F.col("event_id").alias("buy_id"),
+            "user_id",
+            F.col("value").alias("buy_value"),
+            F.col("asof_event_id").alias("state_id"),
+            F.col("asof_event_type").alias("state_type"),
+            (F.col("us") - F.col("asof_us")).alias("gap_us"),
+        )
+        .orderBy("buy_id")
+    )
+
+
+SQL_Q59 = """
+WITH e AS (
+  SELECT user_id, event_id, event_type, value, epoch_us(ts) AS us FROM events),
+u AS (
+  SELECT user_id, event_id, us, value, 1 AS side,
+         CAST(NULL AS BIGINT) AS r_id, CAST(NULL AS VARCHAR) AS r_type,
+         CAST(NULL AS BIGINT) AS r_us
+  FROM e WHERE event_type = 'purchase'
+  UNION ALL
+  SELECT user_id, event_id, us, NULL, 0, event_id, event_type, us
+  FROM e WHERE event_type <> 'purchase'),
+c AS (
+  SELECT *,
+    last_value(r_id IGNORE NULLS) OVER w AS state_id,
+    last_value(r_type IGNORE NULLS) OVER w AS state_type,
+    last_value(r_us IGNORE NULLS) OVER w AS state_us
+  FROM u WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+SELECT event_id AS buy_id, user_id, value AS buy_value,
+       state_id, state_type, CAST(us - state_us AS BIGINT) AS gap_us
+FROM c WHERE side = 1 AND state_id IS NOT NULL ORDER BY buy_id
+"""
+
+
+# --------------------------------------------------------------------------
+# §2.3 addendum: banded RANGE join (operators/temporal.banded_range_join) —
+# every (error, purchase) pair of the same user within ±1 hour.  Spark
+# plans a raw |Δt| ≤ band predicate as a broadcast-nested-loop/cartesian;
+# the operator re-expresses it as an EXACT bucketed equi-join (right rows
+# land in one band-wide bucket, left probes the 3 adjacent buckets), so the
+# shuffle is a plain (user_id, bucket) hash join — the same bucket-density
+# skew contract as the LSH joins, linear at any N.
+# --------------------------------------------------------------------------
+
+
+def q60_error_purchase_range_join(spark, sf_dir):
+    from crawler_spark.operators.temporal import banded_range_join
+
+    BAND_US = 3_600_000_000  # ±1 hour, in microseconds
+    e = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    errs = e.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("event_id").alias("err_id"), "us"
+    )
+    buys = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("buy_id"), F.col("us").alias("bus")
+    )
+    return banded_range_join(
+        errs,
+        buys,
+        keys=["user_id"],
+        left_ts="us",
+        right_ts="bus",
+        band=BAND_US,
+        left_cols=["err_id"],
+        right_cols=["buy_id"],
+    ).orderBy("err_id", "buy_id")
+
+
+SQL_Q60 = """
+WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events)
+SELECT a.user_id, a.event_id AS err_id, b.event_id AS buy_id,
+       CAST(b.us - a.us AS BIGINT) AS delta
+FROM e a JOIN e b
+  ON a.user_id = b.user_id
+ AND a.event_type = 'error' AND b.event_type = 'purchase'
+ AND abs(b.us - a.us) <= 3600000000
+ORDER BY err_id, buy_id
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -2888,4 +3018,6 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q56_video_frame_stats": (q56_video_frame_stats, SQL_Q56),
     "q57_audio_fingerprint_pairs": (q57_audio_fingerprint_pairs, SQL_Q57),
     "q58_video_shot_boundaries": (q58_video_shot_boundaries, SQL_Q58),
+    "q59_asof_state_join": (q59_asof_state_join, SQL_Q59),
+    "q60_error_purchase_range_join": (q60_error_purchase_range_join, SQL_Q60),
 }
