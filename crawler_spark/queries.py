@@ -2956,6 +2956,94 @@ ORDER BY err_id, buy_id
 
 
 # --------------------------------------------------------------------------
+# §2.4 addendum: hypertable-style DENSE rollup — gap-fill + last-observation-
+# carried-forward, the timeseries-DB operator family (time_bucket_gapfill /
+# locf) Spark has no built-in for.  Shape: one partial-agg shuffle over the
+# data (hour × type), then a synthesized dense grid (types × sequence of
+# hour indexes — TIME-dimension sized, independent of data volume) left-joins
+# the sparse rollup and a per-type window carries the last non-empty bucket
+# value forward.  At 100 TB the grid and the window stay tiny (hours ×
+# types), so the only data-volume cost is the initial rollup — the right
+# split.  Hour indexes are integer us-div, value sums go through
+# DECIMAL(18,4) (exact, order-independent), LOCF coalesces to 0.0 so no
+# nullable column reaches the driver's pandas path.
+# --------------------------------------------------------------------------
+
+
+def q61_gapfill_locf_rollup(spark, sf_dir):
+    from pyspark.sql import Window
+
+    HOUR_US = 3_600_000_000
+    e = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(f"unix_micros(cast(ts as timestamp)) div {HOUR_US}").alias("h"),
+        "value",
+    )
+    sparse = e.groupBy("event_type", "h").agg(
+        F.count("*").alias("n_events"), _dsum("value").alias("bucket_value")
+    )
+    # scalar-subquery materialization: the global span is a 1-row aggregate,
+    # collected on the driver (bounded-small, like the registry's centroid
+    # and rule collects) — attaching it via crossJoin would put a
+    # BroadcastNestedLoopJoin node in the plan (constant keys fold), which
+    # the registry-wide no-cartesian/no-BNLJ gate forbids
+    h0, h1 = e.agg(F.min("h"), F.max("h")).first()
+    grid = (
+        e.select("event_type")
+        .distinct()
+        .select("event_type", F.explode(F.sequence(F.lit(h0), F.lit(h1))).alias("h"))
+    )
+    dense = (
+        grid.join(sparse, ["event_type", "h"], "left")
+        .withColumn("n_events", F.coalesce("n_events", F.lit(0)))
+        .withColumn("bucket_value", F.coalesce("bucket_value", F.lit(0.0)))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    locf = F.last(
+        F.when(F.col("n_events") > 0, F.col("bucket_value")), ignorenulls=True
+    ).over(w)
+    return dense.select(
+        "event_type",
+        "h",
+        "n_events",
+        "bucket_value",
+        F.coalesce(locf, F.lit(0.0)).alias("locf_value"),
+    ).orderBy("event_type", "h")
+
+
+SQL_Q61 = """
+WITH e AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS h, value FROM events),
+sparse AS (
+  SELECT event_type, h, COUNT(*) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS bucket_value
+  FROM e GROUP BY event_type, h),
+bounds AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM e),
+grid AS (
+  SELECT t.event_type, g.h
+  FROM (SELECT DISTINCT event_type FROM e) t,
+       (SELECT unnest(range(h0, h1 + 1)) AS h FROM bounds) g),
+dense AS (
+  SELECT g.event_type, g.h,
+         COALESCE(s.n_events, 0) AS n_events,
+         COALESCE(s.bucket_value, 0.0) AS bucket_value
+  FROM grid g LEFT JOIN sparse s
+    ON s.event_type = g.event_type AND s.h = g.h)
+SELECT event_type, h, CAST(n_events AS BIGINT) AS n_events, bucket_value,
+       COALESCE(last_value(CASE WHEN n_events > 0 THEN bucket_value END
+                           IGNORE NULLS)
+                OVER (PARTITION BY event_type ORDER BY h
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                0.0) AS locf_value
+FROM dense ORDER BY event_type, h
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -3020,4 +3108,5 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q58_video_shot_boundaries": (q58_video_shot_boundaries, SQL_Q58),
     "q59_asof_state_join": (q59_asof_state_join, SQL_Q59),
     "q60_error_purchase_range_join": (q60_error_purchase_range_join, SQL_Q60),
+    "q61_gapfill_locf_rollup": (q61_gapfill_locf_rollup, SQL_Q61),
 }
