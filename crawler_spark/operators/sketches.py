@@ -1,0 +1,102 @@
+"""Deterministic sketch aggregates: HyperLogLog distinct counting.
+
+Reference parity: none — the reference never estimates cardinalities (its
+per-story URL sets fit a Redis map).  At 100 TB, exact COUNT(DISTINCT) is a
+full shuffle of every distinct value; the HLL sketch replaces it with a
+fixed ``m``-register state that merges associatively — partial-agg
+(map-side combine) all the way, O(m) final state, mergeable across
+partitions, days, and clusters by register-wise MAX.
+
+This implementation is the Flajolet–Fure–Gandouet–Meunier HLL with an
+**md5-derived hash split** (register = first byte mod m, rank = leading
+zeros of the next 40 bits + 1) so the whole sketch is deterministic and
+engine-portable: a DuckDB oracle can recompute the registers from the same
+formula and match the estimate BIT-EXACTLY (the estimator divides one
+exact scaled-integer harmonic sum into one literal double — a single IEEE
+division, no float accumulation, no libm transcendentals).  The classic
+linear-counting small-range correction needs ``ln`` — whose libm/JVM
+implementations are NOT bit-identical across engines — so this operator
+deliberately reports the raw HLL estimate plus the zero-register count
+``v_zero`` and leaves the correction to callers (`v_zero > 0` flags the
+small-range regime; the demo query's cardinalities sit safely above it).
+
+Rank is computed without loops or UDFs: ``41 − length(bin(w))`` — both
+Spark's and DuckDB's ``bin()`` render integers without leading zeros, so
+``length(bin(w)) = floor(log2(w)) + 1`` exactly, JVM-side.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["ALPHA", "hll_register_table", "hll_distinct"]
+
+# Flajolet et al. bias constants: literals for small m, the paper's
+# 0.7213 / (1 + 1.079 / m) pre-evaluated for m = 256 (a single double
+# literal keeps the oracle twin bit-identical — both engines consume the
+# same constant instead of re-folding the expression).
+ALPHA = {16: 0.673, 32: 0.697, 64: 0.709, 256: 0.7182725932495458}
+
+_WINDOW_BITS = 40  # rank window: md5 hex chars 3..12
+
+
+def hll_register_table(
+    df: DataFrame, value_col: str, group_cols: Sequence[str] = (), m: int = 64
+) -> DataFrame:
+    """(group_cols..., reg, max_rank) — the mergeable HLL state.
+
+    Merging two state tables = union + groupBy(reg).max(max_rank); both
+    this build and the merge are map-side-combinable aggregates.
+    """
+    if m not in ALPHA:
+        raise ValueError(f"m must be one of {sorted(ALPHA)}, got {m}")
+    group_cols = list(group_cols)
+    h = F.md5(F.col(value_col).cast("string"))
+    reg = F.conv(F.substring(h, 1, 2), 16, 10).cast("long") % m
+    w = F.conv(F.substring(h, 3, 10), 16, 10).cast("long")
+    rank = (
+        F.when(w == 0, F.lit(_WINDOW_BITS + 1))
+        .otherwise(F.lit(_WINDOW_BITS + 1) - F.length(F.bin(w)))
+        .cast("int")
+    )
+    return (
+        df.select(*group_cols, reg.alias("reg"), rank.alias("rank"))
+        .groupBy(*group_cols, "reg")
+        .agg(F.max("rank").alias("max_rank"))
+    )
+
+
+def hll_distinct(
+    df: DataFrame, value_col: str, group_cols: Sequence[str] = (), m: int = 64
+) -> DataFrame:
+    """(group_cols..., v_zero, sum_scaled, n_hll) — raw HLL estimate.
+
+    ``sum_scaled`` is the harmonic denominator in exact integer units of
+    2^-(WINDOW_BITS+1): present registers contribute ``2^(41 − max_rank)``,
+    absent ones ``2^41`` each (max 256·2^41 = 2^49 — BIGINT-safe).  The
+    estimate is then ONE double division of two exact numbers:
+    ``alpha·m²·2^41 / sum_scaled`` — bit-portable across engines.
+    """
+    group_cols = list(group_cols)
+    regs = hll_register_table(df, value_col, group_cols, m)
+    scale = 1 << (_WINDOW_BITS + 1)
+    numerator = ALPHA[m] * float(m * m) * float(scale)
+    agg = regs.groupBy(*group_cols).agg(
+        F.count("*").alias("_n_present"),
+        F.sum(F.expr(f"shiftleft(cast(1 as bigint), {_WINDOW_BITS + 1} - max_rank)"))
+        .cast("long")
+        .alias("_s"),
+    )
+    return agg.select(
+        *group_cols,
+        (F.lit(m) - F.col("_n_present")).cast("long").alias("v_zero"),
+        (F.col("_s") + (F.lit(m) - F.col("_n_present")) * F.lit(scale))
+        .cast("long")
+        .alias("sum_scaled"),
+        (F.lit(numerator) / (F.col("_s") + (F.lit(m) - F.col("_n_present")) * F.lit(scale))).alias(
+            "n_hll"
+        ),
+    )

@@ -3044,6 +3044,56 @@ FROM dense ORDER BY event_type, h
 
 
 # --------------------------------------------------------------------------
+# §2.4 addendum: HyperLogLog distinct-count sketch (operators/sketches.py)
+# with a bit-exact oracle twin.  Exact COUNT(DISTINCT) shuffles every
+# distinct value; the HLL state is m=64 registers built by map-side-
+# combinable MAX — the estimator is ONE double division of exact integers
+# (alpha·m²·2^41 / scaled harmonic sum), no float accumulation and no libm
+# ln, so DuckDB reproduces the estimate bit-for-bit from the same md5
+# register formula.  m=256 (6.5% std error); the exact count rides along
+# for the error story — the small-range correction needs ln and is
+# deliberately left to callers (see sketches.py; v_zero flags the regime).
+# --------------------------------------------------------------------------
+
+
+def q62_hll_distinct(spark, sf_dir):
+    from crawler_spark.operators.sketches import hll_distinct
+
+    d = t(spark, sf_dir, "documents").select(
+        F.coalesce("text", F.lit("")).alias("txt")
+    )
+    # scalar-subquery materialization (same pattern as q61's bounds): the
+    # exact count is a 1-row aggregate; attaching it via a keyless join
+    # would plan a BNLJ, which the registry-wide plan gate forbids
+    n_exact = d.agg(F.count_distinct("txt")).first()[0]
+    return hll_distinct(d, "txt", m=256).select(
+        F.lit(int(n_exact)).cast("long").alias("n_exact"),
+        "v_zero",
+        "sum_scaled",
+        "n_hll",
+    )
+
+
+SQL_Q62 = """
+WITH d AS (SELECT coalesce(text, '') AS txt FROM documents),
+h AS (SELECT md5(txt) AS hx FROM d),
+rw AS (SELECT CAST(('0x' || substr(hx, 1, 2)) AS BIGINT) % 256 AS reg,
+              CAST(('0x' || substr(hx, 3, 10)) AS BIGINT) AS w FROM h),
+rk AS (SELECT reg, CASE WHEN w = 0 THEN 41 ELSE 41 - length(bin(w)) END AS rank
+       FROM rw),
+regs AS (SELECT reg, MAX(rank) AS max_rank FROM rk GROUP BY reg),
+agg AS (SELECT COUNT(*) AS n_present,
+               CAST(SUM(CAST(1 AS BIGINT) << (41 - max_rank)) AS BIGINT) AS s
+        FROM regs)
+SELECT (SELECT CAST(COUNT(DISTINCT txt) AS BIGINT) FROM d) AS n_exact,
+       CAST(256 - n_present AS BIGINT) AS v_zero,
+       CAST(s + (256 - n_present) * 2199023255552 AS BIGINT) AS sum_scaled,
+       1.0351398986589102e+17 / (s + (256 - n_present) * 2199023255552) AS n_hll
+FROM agg
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -3109,4 +3159,5 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q59_asof_state_join": (q59_asof_state_join, SQL_Q59),
     "q60_error_purchase_range_join": (q60_error_purchase_range_join, SQL_Q60),
     "q61_gapfill_locf_rollup": (q61_gapfill_locf_rollup, SQL_Q61),
+    "q62_hll_distinct": (q62_hll_distinct, SQL_Q62),
 }

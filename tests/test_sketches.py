@@ -1,0 +1,54 @@
+"""HLL sketch operator (operators/sketches.py): accuracy, mergeability,
+grouped mode, and parameter validation."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawler_spark.operators.sketches import hll_distinct, hll_register_table
+
+
+def test_hll_accuracy_within_error_bound(spark):
+    # 2000 distinct values, m=64 -> relative std error 1.04/sqrt(64) = 13%;
+    # assert within 4 sigma (md5 is fixed, so this is deterministic, not flaky)
+    n = 2000
+    df = spark.range(n).select(F.concat(F.lit("v:"), F.col("id")).alias("v"))
+    row = hll_distinct(df, "v", m=64).first()
+    assert row["v_zero"] == 0  # far above the small-range regime
+    assert abs(row["n_hll"] - n) / n < 4 * 1.04 / 8
+
+
+def test_hll_duplicates_do_not_move_estimate(spark):
+    base = spark.range(500).select(F.concat(F.lit("v:"), F.col("id")).alias("v"))
+    dup = base.union(base).union(base)
+    assert hll_distinct(base, "v").first() == hll_distinct(dup, "v").first()
+
+
+def test_hll_state_merges_by_register_max(spark):
+    # sketch(A) merged with sketch(B) == sketch(A union B) — the property
+    # that makes the state shippable across partitions/days/clusters
+    a = spark.range(0, 800).select(F.concat(F.lit("x:"), F.col("id")).alias("v"))
+    b = spark.range(500, 1300).select(F.concat(F.lit("x:"), F.col("id")).alias("v"))
+    merged = (
+        hll_register_table(a, "v")
+        .union(hll_register_table(b, "v"))
+        .groupBy("reg")
+        .agg(F.max("max_rank").alias("max_rank"))
+    )
+    direct = hll_register_table(a.union(b), "v")
+    assert sorted(merged.collect()) == sorted(direct.collect())
+
+
+def test_hll_grouped_mode(spark):
+    df = spark.range(1000).select(
+        (F.col("id") % 2).alias("g"), F.concat(F.lit("v:"), F.col("id")).alias("v")
+    )
+    rows = {r["g"]: r["n_hll"] for r in hll_distinct(df, "v", ["g"]).collect()}
+    assert set(rows) == {0, 1}
+    for est in rows.values():
+        assert abs(est - 500) / 500 < 4 * 1.04 / 8
+
+
+def test_hll_rejects_unknown_m(spark):
+    df = spark.range(1).select(F.col("id").cast("string").alias("v"))
+    with pytest.raises(ValueError, match="m must be"):
+        hll_distinct(df, "v", m=128)
