@@ -1,4 +1,5 @@
-"""Deterministic sketch aggregates: HyperLogLog distinct counting.
+"""Deterministic sketch aggregates: HyperLogLog distinct counting and
+count-min frequency sketching.
 
 Reference parity: none — the reference never estimates cardinalities (its
 per-story URL sets fit a Redis map).  At 100 TB, exact COUNT(DISTINCT) is a
@@ -23,6 +24,13 @@ small-range regime; the demo query's cardinalities sit safely above it).
 Rank is computed without loops or UDFs: ``41 − length(bin(w))`` — both
 Spark's and DuckDB's ``bin()`` render integers without leading zeros, so
 ``length(bin(w)) = floor(log2(w)) + 1`` exactly, JVM-side.
+
+The count-min sketch (Cormode–Muthukrishnan) is the frequency companion:
+a fixed ``d × w`` counter grid (cell = md5("row:value") mod w), built by
+one groupBy — cell-wise SUM, map-side combinable and mergeable across
+partitions/streams.  Point estimate = MIN over a value's ``d`` cells,
+always an overcount, never an undercount.  Everything is integer, so the
+oracle twin is exact with no float care at all.
 """
 
 from __future__ import annotations
@@ -32,7 +40,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["ALPHA", "hll_register_table", "hll_distinct"]
+__all__ = ["ALPHA", "hll_register_table", "hll_distinct", "cms_table", "cms_lookup"]
 
 # Flajolet et al. bias constants: literals for small m, the paper's
 # 0.7213 / (1 + 1.079 / m) pre-evaluated for m = 256 (a single double
@@ -99,4 +107,49 @@ def hll_distinct(
         (F.lit(numerator) / (F.col("_s") + (F.lit(m) - F.col("_n_present")) * F.lit(scale))).alias(
             "n_hll"
         ),
+    )
+
+
+def _cms_cell(row_col, value_col, w: int):
+    """Cell index for one (hash row, value): first 32 md5 bits of
+    ``"row:value"`` mod ``w`` — deterministic, engine-portable."""
+    h = F.md5(F.concat(row_col.cast("string"), F.lit(":"), F.col(value_col).cast("string")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % w
+
+
+def cms_table(
+    df: DataFrame, value_col: str, d: int = 4, w: int = 1024
+) -> DataFrame:
+    """(row, idx, cnt) — the d×w count-min state (≤ d·w rows total).
+
+    Build = ONE groupBy over d×N exploded cell assignments (cell-wise SUM,
+    map-side combinable).  Merging two sketches = union + groupBy SUM.
+    """
+    rows = df.select(
+        F.col(value_col),
+        F.explode(F.array(*[F.lit(r) for r in range(d)])).alias("row"),
+    )
+    return (
+        rows.select("row", _cms_cell(F.col("row"), value_col, w).alias("idx"))
+        .groupBy("row", "idx")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def cms_lookup(
+    cms: DataFrame, probes: DataFrame, value_col: str, d: int = 4, w: int = 1024
+) -> DataFrame:
+    """Point-estimate each probe value: MIN over its d cells.
+
+    The state is ≤ d·w rows, so the join side is broadcast — a probe scan
+    never shuffles.  Missing cells count 0 (value never seen).
+    """
+    p = probes.select(
+        "*", F.explode(F.array(*[F.lit(r) for r in range(d)])).alias("row")
+    ).withColumn("idx", _cms_cell(F.col("row"), value_col, w))
+    out_cols = [c for c in probes.columns]
+    return (
+        p.join(F.broadcast(cms), ["row", "idx"], "left")
+        .groupBy(*out_cols)
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).cast("long").alias("n_cms"))
     )

@@ -3094,6 +3094,67 @@ FROM agg
 
 
 # --------------------------------------------------------------------------
+# §2.4 addendum: count-min heavy-hitter estimation (operators/sketches.py,
+# Cormode–Muthukrishnan) — the frequency companion to q62's HLL.  The state
+# is a fixed 4×1024 counter grid built by ONE map-side-combinable groupBy
+# over exploded cell assignments; probing the exact top-20 tokens joins
+# their 4 cells against the ≤4096-row broadcast state and takes MIN — an
+# overcount by construction (the query surfaces it as `overcount` ≥ 0).
+# Everything is integer, so the DuckDB twin is exact with no float care.
+# At 100 TB the exact top-k needs a full token shuffle; the sketch path
+# replaces it with O(d·w) state — this query runs both to show the error.
+# --------------------------------------------------------------------------
+
+
+def q63_cms_heavy_hitters(spark, sf_dir):
+    from crawler_spark.operators.sketches import cms_lookup, cms_table
+
+    toks = (
+        t(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.coalesce("text", F.lit("")), " ")).alias("tok"))
+    )
+    cms = cms_table(toks, "tok", d=4, w=1024)
+    exact_top = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("n_exact"))
+        .orderBy(F.col("n_exact").desc(), "tok")
+        .limit(20)
+    )
+    return (
+        cms_lookup(cms, exact_top, "tok", d=4, w=1024)
+        .withColumn("overcount", F.col("n_cms") - F.col("n_exact"))
+        .select("tok", "n_exact", "n_cms", "overcount")
+        .orderBy(F.col("n_exact").desc(), "tok")
+    )
+
+
+SQL_Q63 = """
+WITH toks AS (
+  SELECT unnest(string_split(coalesce(text, ''), ' ')) AS tok FROM documents),
+cells AS (
+  SELECT r.r AS row, tok,
+         CAST(('0x' || substr(md5(CAST(r.r AS VARCHAR) || ':' || tok), 1, 8))
+              AS BIGINT) % 1024 AS idx
+  FROM toks, (SELECT unnest(range(4)) AS r) r),
+cms AS (SELECT row, idx, COUNT(*) AS cnt FROM cells GROUP BY row, idx),
+exact AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_exact FROM toks GROUP BY tok
+  ORDER BY n_exact DESC, tok LIMIT 20),
+probe AS (
+  SELECT e.tok, e.n_exact, r.r AS row,
+         CAST(('0x' || substr(md5(CAST(r.r AS VARCHAR) || ':' || e.tok), 1, 8))
+              AS BIGINT) % 1024 AS idx
+  FROM exact e, (SELECT unnest(range(4)) AS r) r)
+SELECT p.tok, p.n_exact,
+       CAST(MIN(c.cnt) AS BIGINT) AS n_cms,
+       CAST(MIN(c.cnt) - p.n_exact AS BIGINT) AS overcount
+FROM probe p JOIN cms c ON c.row = p.row AND c.idx = p.idx
+GROUP BY p.tok, p.n_exact
+ORDER BY n_exact DESC, tok
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -3160,4 +3221,5 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q60_error_purchase_range_join": (q60_error_purchase_range_join, SQL_Q60),
     "q61_gapfill_locf_rollup": (q61_gapfill_locf_rollup, SQL_Q61),
     "q62_hll_distinct": (q62_hll_distinct, SQL_Q62),
+    "q63_cms_heavy_hitters": (q63_cms_heavy_hitters, SQL_Q63),
 }

@@ -52,3 +52,44 @@ def test_hll_rejects_unknown_m(spark):
     df = spark.range(1).select(F.col("id").cast("string").alias("v"))
     with pytest.raises(ValueError, match="m must be"):
         hll_distinct(df, "v", m=128)
+
+
+def test_cms_never_undercounts_and_is_tight_when_sparse(spark):
+    from crawler_spark.operators.sketches import cms_lookup, cms_table
+
+    df = spark.range(3000).select(
+        F.concat(F.lit("t:"), (F.col("id") % 50)).alias("v")  # 50 values x 60
+    )
+    cms = cms_table(df, "v", d=4, w=1024)
+    exact = df.groupBy("v").agg(F.count("*").alias("n_exact"))
+    out = cms_lookup(cms, exact, "v", d=4, w=1024).collect()
+    assert len(out) == 50
+    for r in out:
+        assert r["n_cms"] >= r["n_exact"]  # CMS guarantee
+    # 50 distinct values in 1024 cells: expected collisions ~ 0 -> exact
+    assert sum(r["n_cms"] - r["n_exact"] for r in out) == 0
+
+
+def test_cms_unseen_value_estimates_zero_ish(spark):
+    from crawler_spark.operators.sketches import cms_lookup, cms_table
+
+    df = spark.range(100).select(F.concat(F.lit("s:"), F.col("id")).alias("v"))
+    cms = cms_table(df, "v", d=4, w=1024)
+    probe = spark.createDataFrame([("never-seen",)], "v string")
+    (row,) = cms_lookup(cms, probe, "v", d=4, w=1024).collect()
+    assert row["n_cms"] == 0  # all 4 cells empty at this sparsity
+
+
+def test_cms_merges_by_cell_sum(spark):
+    from crawler_spark.operators.sketches import cms_table
+
+    a = spark.range(0, 400).select(F.concat(F.lit("m:"), (F.col("id") % 7)).alias("v"))
+    b = spark.range(0, 300).select(F.concat(F.lit("m:"), (F.col("id") % 11)).alias("v"))
+    merged = (
+        cms_table(a, "v")
+        .union(cms_table(b, "v"))
+        .groupBy("row", "idx")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    direct = cms_table(a.union(b), "v")
+    assert sorted(merged.collect()) == sorted(direct.collect())
