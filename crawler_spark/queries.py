@@ -3155,6 +3155,82 @@ ORDER BY n_exact DESC, tok
 
 
 # --------------------------------------------------------------------------
+# §2.10 incremental batch-vs-history near-dup — the PRODUCTION dedup shape:
+# at 100 TB you never re-mine the historical corpus per ingest; you keep its
+# band table (a signature store) and join each day's batch against it
+# one-sidedly.  Here the split is doc_id % 5 (batch = 20%), the band table
+# is built once (same minhash/banding/hot-band-cap lineage as q17, shared
+# shingle checkpoint), candidates come from a batch⋈history bucket join —
+# no self-join, so candidate volume scales with BATCH size, not corpus
+# size — and exact shingle-Jaccard ≥ 0.5 verifies.  Output: per batch doc,
+# how many history near-dups it hit, the earliest (canonical) one, and the
+# best score — exactly what an ingest keep/drop decision consumes.
+# --------------------------------------------------------------------------
+
+
+def q64_incremental_dedup(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from crawler_spark.operators.dedup_text import (
+        lsh_band_table,
+        minhash_signature,
+        ngram_jaccard_pairs,
+        shingle_table,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    sh = shingle_table(d).localCheckpoint(eager=True)
+    bands = lsh_band_table(minhash_signature(d, shingles=sh), k=6, bands=3)
+    w = Window.partitionBy("b", "band_key").orderBy("doc_id")
+    capped = (
+        bands.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 64)
+        .drop("_rn")
+        .localCheckpoint(eager=True)
+    )
+    hist = capped.filter(F.col("doc_id") % 5 != 0)
+    batch = capped.filter(F.col("doc_id") % 5 == 0)
+    cand = (
+        hist.alias("h")
+        .join(batch.alias("n"), ["b", "band_key"])
+        .select(F.col("h.doc_id").alias("doc_a"), F.col("n.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    verified = ngram_jaccard_pairs(d, cand, threshold=0.5, shingles=sh)
+    return (
+        verified.withColumn("jaccard", F.round("jaccard", 6))
+        .groupBy(F.col("doc_b").alias("batch_id"))
+        .agg(
+            F.count("*").alias("n_matches"),
+            F.min("doc_a").alias("first_match"),
+            F.max("jaccard").alias("max_jaccard"),
+        )
+        .orderBy("batch_id")
+    )
+
+
+SQL_Q64 = _MINHASH_CTES + """, cand AS (
+  SELECT DISTINCT h.doc_id AS doc_a, n.doc_id AS doc_b
+  FROM capped h JOIN capped n ON h.band_key = n.band_key AND h.b = n.b
+  WHERE h.doc_id % 5 <> 0 AND n.doc_id % 5 = 0
+), dsh AS (SELECT doc_id, list_distinct(shingles) AS sh FROM sh),
+j AS (
+  SELECT c.doc_a, c.doc_b,
+         round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+               / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))), 6)
+           AS jaccard
+  FROM cand c JOIN dsh x ON c.doc_a = x.doc_id JOIN dsh y ON c.doc_b = y.doc_id
+  WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+        / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) >= 0.5)
+SELECT doc_b AS batch_id,
+       CAST(COUNT(*) AS BIGINT) AS n_matches,
+       CAST(MIN(doc_a) AS BIGINT) AS first_match,
+       MAX(jaccard) AS max_jaccard
+FROM j GROUP BY doc_b ORDER BY batch_id
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -3222,4 +3298,5 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q61_gapfill_locf_rollup": (q61_gapfill_locf_rollup, SQL_Q61),
     "q62_hll_distinct": (q62_hll_distinct, SQL_Q62),
     "q63_cms_heavy_hitters": (q63_cms_heavy_hitters, SQL_Q63),
+    "q64_incremental_dedup": (q64_incremental_dedup, SQL_Q64),
 }
