@@ -3231,6 +3231,63 @@ FROM j GROUP BY doc_b ORDER BY batch_id
 
 
 # --------------------------------------------------------------------------
+# §2.5/§2.10: deterministic training-shard layout — the pipeline's LAST
+# step: a reproducible global shuffle (order by md5(doc_id) — seed-free,
+# engine-portable) followed by round-robin shard assignment, so shard
+# contents are identical on any cluster size / engine / rerun.  The total
+# order comes from the scale-safe global_row_number operator (range
+# shuffle + offsets — never the single-partition WindowExec); per-shard
+# doc/token/byte stats are what a training-data card reports.  The oracle
+# mirrors with ROW_NUMBER() OVER (ORDER BY ...), affordable at oracle
+# scale, and `sum_doc_ids` pins the exact assignment, not just the sizes.
+# --------------------------------------------------------------------------
+
+
+def q65_training_shards(spark, sf_dir):
+    from crawler_spark.operators.ordering import global_row_number
+
+    N_SHARDS = 16
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(F.concat(F.lit("shard:"), F.col("doc_id").cast("string"))).alias("skey"),
+        F.size(F.split(F.coalesce("text", F.lit("")), " ")).alias("n_tokens"),
+        F.length(F.coalesce("text", F.lit(""))).alias("n_chars"),
+    )
+    rn = global_row_number(d, ["skey", "doc_id"], "rn")
+    return (
+        rn.withColumn("shard", (F.col("rn") - 1) % N_SHARDS)
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("doc_id").cast("long").alias("sum_doc_ids"),
+            F.sum("n_tokens").cast("long").alias("sum_tokens"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.min("rn").alias("first_rn"),
+            F.max("rn").alias("last_rn"),
+        )
+        .orderBy("shard")
+    )
+
+
+SQL_Q65 = """
+WITH d AS (
+  SELECT doc_id, md5('shard:' || CAST(doc_id AS VARCHAR)) AS skey,
+         len(string_split(coalesce(text, ''), ' ')) AS n_tokens,
+         length(coalesce(text, '')) AS n_chars
+  FROM documents),
+rn AS (SELECT *, ROW_NUMBER() OVER (ORDER BY skey, doc_id) AS rn FROM d)
+SELECT CAST((rn - 1) % 16 AS BIGINT) AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_doc_ids,
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(MIN(rn) AS BIGINT) AS first_rn,
+       CAST(MAX(rn) AS BIGINT) AS last_rn
+FROM rn GROUP BY (rn - 1) % 16 ORDER BY shard
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -3299,4 +3356,5 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q62_hll_distinct": (q62_hll_distinct, SQL_Q62),
     "q63_cms_heavy_hitters": (q63_cms_heavy_hitters, SQL_Q63),
     "q64_incremental_dedup": (q64_incremental_dedup, SQL_Q64),
+    "q65_training_shards": (q65_training_shards, SQL_Q65),
 }
