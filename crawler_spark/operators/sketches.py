@@ -40,7 +40,14 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["ALPHA", "hll_register_table", "hll_distinct", "cms_table", "cms_lookup"]
+__all__ = [
+    "ALPHA",
+    "hll_register_table",
+    "hll_estimate",
+    "hll_distinct",
+    "cms_table",
+    "cms_lookup",
+]
 
 # Flajolet et al. bias constants: literals for small m, the paper's
 # 0.7213 / (1 + 1.079 / m) pre-evaluated for m = 256 (a single double
@@ -77,10 +84,13 @@ def hll_register_table(
     )
 
 
-def hll_distinct(
-    df: DataFrame, value_col: str, group_cols: Sequence[str] = (), m: int = 64
+def hll_estimate(
+    state: DataFrame, group_cols: Sequence[str] = (), m: int = 64
 ) -> DataFrame:
-    """(group_cols..., v_zero, sum_scaled, n_hll) — raw HLL estimate.
+    """(group_cols..., v_zero, sum_scaled, n_hll) from a register STATE
+    table — possibly the merge of many ``hll_register_table`` outputs
+    (union + groupBy max; the caller may also just pass finer-grained
+    states directly, since MAX is associative).
 
     ``sum_scaled`` is the harmonic denominator in exact integer units of
     2^-(WINDOW_BITS+1): present registers contribute ``2^(41 − max_rank)``,
@@ -88,8 +98,10 @@ def hll_distinct(
     estimate is then ONE double division of two exact numbers:
     ``alpha·m²·2^41 / sum_scaled`` — bit-portable across engines.
     """
+    if m not in ALPHA:
+        raise ValueError(f"m must be one of {sorted(ALPHA)}, got {m}")
     group_cols = list(group_cols)
-    regs = hll_register_table(df, value_col, group_cols, m)
+    regs = state.groupBy(*group_cols, "reg").agg(F.max("max_rank").alias("max_rank"))
     scale = 1 << (_WINDOW_BITS + 1)
     numerator = ALPHA[m] * float(m * m) * float(scale)
     agg = regs.groupBy(*group_cols).agg(
@@ -108,6 +120,18 @@ def hll_distinct(
             "n_hll"
         ),
     )
+
+
+def hll_distinct(
+    df: DataFrame, value_col: str, group_cols: Sequence[str] = (), m: int = 64
+) -> DataFrame:
+    """Convenience: build the register state and estimate it in one call.
+
+    Production splits the two stages — persist ``hll_register_table``
+    per ingest window, answer range queries with ``hll_estimate`` over the
+    unioned states (see q66).
+    """
+    return hll_estimate(hll_register_table(df, value_col, group_cols, m), group_cols, m)
 
 
 def _cms_cell(row_col, value_col, w: int):

@@ -3288,6 +3288,72 @@ FROM rn GROUP BY (rn - 1) % 16 ORDER BY shard
 
 
 # --------------------------------------------------------------------------
+# §2.4 addendum: range-mergeable HLL — the PRODUCTION sketch pattern that
+# q62 builds toward: persist one small register state PER DAY at ingest,
+# answer "distinct active user-hours per event_type over any date range"
+# by MERGING states (register-wise MAX) instead of rescanning raw events.
+# Here the per-(type, day) states are built, then merged across all days
+# and estimated via operators/sketches.hll_estimate; the exact count rides
+# along per type (a broadcast-able equi-join, not a scalar subquery).  The
+# oracle recomputes the same two-level daily→merged max, so the gated
+# equality IS a proof the merge is lossless (MAX associativity through the
+# whole lineage).
+# --------------------------------------------------------------------------
+
+
+def q66_hll_daily_merge(spark, sf_dir):
+    from crawler_spark.operators.sketches import hll_estimate, hll_register_table
+
+    e = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias("day"),
+        F.concat(
+            F.col("user_id").cast("string"),
+            F.lit(":"),
+            F.expr("unix_micros(cast(ts as timestamp)) div 3600000000").cast("string"),
+        ).alias("uh"),
+    )
+    daily = hll_register_table(e, "uh", ["event_type", "day"], m=64)
+    est = hll_estimate(daily.drop("day"), ["event_type"], m=64)
+    exact = e.groupBy("event_type").agg(F.count_distinct("uh").alias("n_exact"))
+    return (
+        exact.join(est, "event_type")
+        .select("event_type", "n_exact", "v_zero", "sum_scaled", "n_hll")
+        .orderBy("event_type")
+    )
+
+
+SQL_Q66 = """
+WITH e AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         CAST(user_id AS VARCHAR) || ':' ||
+         CAST(epoch_us(ts) // 3600000000 AS VARCHAR) AS uh
+  FROM events),
+h AS (SELECT event_type, day, md5(uh) AS hx FROM e),
+rw AS (SELECT event_type, day,
+              CAST(('0x' || substr(hx, 1, 2)) AS BIGINT) % 64 AS reg,
+              CAST(('0x' || substr(hx, 3, 10)) AS BIGINT) AS w FROM h),
+daily AS (SELECT event_type, day, reg,
+                 MAX(CASE WHEN w = 0 THEN 41 ELSE 41 - length(bin(w)) END)
+                   AS max_rank
+          FROM rw GROUP BY event_type, day, reg),
+merged AS (SELECT event_type, reg, MAX(max_rank) AS max_rank
+           FROM daily GROUP BY event_type, reg),
+agg AS (SELECT event_type, COUNT(*) AS n_present,
+               CAST(SUM(CAST(1 AS BIGINT) << (41 - max_rank)) AS BIGINT) AS s
+        FROM merged GROUP BY event_type),
+exact AS (SELECT event_type, CAST(COUNT(DISTINCT uh) AS BIGINT) AS n_exact
+          FROM e GROUP BY event_type)
+SELECT x.event_type, x.n_exact,
+       CAST(64 - a.n_present AS BIGINT) AS v_zero,
+       CAST(s + (64 - a.n_present) * 2199023255552 AS BIGINT) AS sum_scaled,
+       6386104271611363.0 / (s + (64 - a.n_present) * 2199023255552) AS n_hll
+FROM exact x JOIN agg a ON x.event_type = a.event_type
+ORDER BY x.event_type
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -3357,4 +3423,5 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q63_cms_heavy_hitters": (q63_cms_heavy_hitters, SQL_Q63),
     "q64_incremental_dedup": (q64_incremental_dedup, SQL_Q64),
     "q65_training_shards": (q65_training_shards, SQL_Q65),
+    "q66_hll_daily_merge": (q66_hll_daily_merge, SQL_Q66),
 }
