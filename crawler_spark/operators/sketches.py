@@ -58,6 +58,14 @@ ALPHA = {16: 0.673, 32: 0.697, 64: 0.709, 256: 0.7182725932495458}
 _WINDOW_BITS = 40  # rank window: md5 hex chars 3..12
 
 
+def _check_reserved(reserved: Sequence[str], cols: Sequence[str], what: str) -> None:
+    """Scratch/output names must not shadow caller columns — a collision
+    would silently mis-wire the aggregate, so fail loudly up front."""
+    hit = sorted(set(reserved) & set(cols))
+    if hit:
+        raise ValueError(f"{what} {hit} collide with reserved sketch columns; rename them")
+
+
 def hll_register_table(
     df: DataFrame, value_col: str, group_cols: Sequence[str] = (), m: int = 64
 ) -> DataFrame:
@@ -69,6 +77,12 @@ def hll_register_table(
     if m not in ALPHA:
         raise ValueError(f"m must be one of {sorted(ALPHA)}, got {m}")
     group_cols = list(group_cols)
+    _check_reserved(["reg", "rank", "max_rank"], group_cols, "group columns")
+    # NULL values are never part of a distinct count (SQL COUNT(DISTINCT)
+    # semantics): a NULL would hash to a NULL register row whose rank drops
+    # out of the harmonic sum while still bumping _n_present — filter here
+    # so the state is correct whatever the caller feeds in.
+    df = df.filter(F.col(value_col).isNotNull())
     h = F.md5(F.col(value_col).cast("string"))
     reg = F.conv(F.substring(h, 1, 2), 16, 10).cast("long") % m
     w = F.conv(F.substring(h, 3, 10), 16, 10).cast("long")
@@ -101,12 +115,19 @@ def hll_estimate(
     if m not in ALPHA:
         raise ValueError(f"m must be one of {sorted(ALPHA)}, got {m}")
     group_cols = list(group_cols)
+    _check_reserved(["v_zero", "sum_scaled", "n_hll", "_n_present", "_s"], group_cols, "group columns")
     regs = state.groupBy(*group_cols, "reg").agg(F.max("max_rank").alias("max_rank"))
     scale = 1 << (_WINDOW_BITS + 1)
     numerator = ALPHA[m] * float(m * m) * float(scale)
     agg = regs.groupBy(*group_cols).agg(
         F.count("*").alias("_n_present"),
-        F.sum(F.expr(f"shiftleft(cast(1 as bigint), {_WINDOW_BITS + 1} - max_rank)"))
+        # coalesce: an EMPTY state with group_cols=() still yields the one
+        # global-aggregate row (count=0, SUM=NULL) — degrade it to the
+        # all-registers-absent estimate instead of NULLs.
+        F.coalesce(
+            F.sum(F.expr(f"shiftleft(cast(1 as bigint), {_WINDOW_BITS + 1} - max_rank)")),
+            F.lit(0),
+        )
         .cast("long")
         .alias("_s"),
     )
@@ -149,6 +170,7 @@ def cms_table(
     Build = ONE groupBy over d×N exploded cell assignments (cell-wise SUM,
     map-side combinable).  Merging two sketches = union + groupBy SUM.
     """
+    _check_reserved(["row", "idx", "cnt"], [value_col], "value column")
     rows = df.select(
         F.col(value_col),
         F.explode(F.array(*[F.lit(r) for r in range(d)])).alias("row"),
@@ -168,6 +190,7 @@ def cms_lookup(
     The state is ≤ d·w rows, so the join side is broadcast — a probe scan
     never shuffles.  Missing cells count 0 (value never seen).
     """
+    _check_reserved(["row", "idx", "cnt", "n_cms"], probes.columns, "probe columns")
     p = probes.select(
         "*", F.explode(F.array(*[F.lit(r) for r in range(d)])).alias("row")
     ).withColumn("idx", _cms_cell(F.col("row"), value_col, w))

@@ -40,6 +40,18 @@ from pyspark.sql import functions as F
 __all__ = ["asof_join", "banded_range_join"]
 
 
+def _check_reserved(reserved: Sequence[str], *frames: DataFrame) -> None:
+    """Internal scratch columns must not shadow user columns — a collision
+    would produce ambiguous-column errors or silently wrong selects, so fail
+    loudly up front instead."""
+    for df in frames:
+        hit = sorted(set(reserved) & set(df.columns))
+        if hit:
+            raise ValueError(
+                f"input columns {hit} collide with internal scratch names; rename them"
+            )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -59,10 +71,13 @@ def asof_join(
     keys = list(keys)
     value_cols = list(value_cols)
     left_cols = left.columns
+    _check_reserved(["_side", "_rvals", "_asof"], left, right)
     lhs = left.select(
         *left_cols,
         F.lit(1).alias("_side"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in value_cols],
+        F.lit(None)
+        .cast(f"struct<{', '.join(f'{c}: {right.schema[c].dataType.simpleString()}' for c in value_cols)}>")
+        .alias("_rvals"),
     )
     rhs = right.select(
         *[
@@ -70,24 +85,24 @@ def asof_join(
             for c in left_cols
         ],
         F.lit(0).alias("_side"),
-        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+        F.struct(*[F.col(c) for c in value_cols]).alias("_rvals"),
     )
     w = (
         Window.partitionBy(*keys)
         .orderBy(ts_col, seq_col)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    # ONE struct carry (not per-column lasts): a right row with NULLs in
+    # some value columns must still win as a whole — independent carries
+    # could mix values from different right rows (a torn as-of row).
     carried = lhs.unionByName(rhs).select(
         "*",
-        *[
-            F.last(F.when(F.col("_side") == 0, F.col(f"_r_{c}")), ignorenulls=True)
-            .over(w)
-            .alias(f"{prefix}{c}")
-            for c in value_cols
-        ],
+        F.last(F.when(F.col("_side") == 0, F.col("_rvals")), ignorenulls=True)
+        .over(w)
+        .alias("_asof"),
     )
     return carried.filter(F.col("_side") == 1).select(
-        *left_cols, *[f"{prefix}{c}" for c in value_cols]
+        *left_cols, *[F.col(f"_asof.{c}").alias(f"{prefix}{c}") for c in value_cols]
     )
 
 
@@ -112,6 +127,7 @@ def banded_range_join(
     left cols + right cols + ``delta`` (right − left, signed).
     """
     keys = list(keys)
+    _check_reserved(["_b", "_lts", "_rts", "delta"], left, right)
     lb = F.expr(f"{left_ts} div {band}")
     l2 = left.select(
         *keys,

@@ -93,3 +93,33 @@ def test_cms_merges_by_cell_sum(spark):
     )
     direct = cms_table(a.union(b), "v")
     assert sorted(merged.collect()) == sorted(direct.collect())
+
+def test_hll_nulls_are_not_counted(spark):
+    """SQL COUNT(DISTINCT) semantics: NULLs never enter the state (a NULL
+    would otherwise hash to a NULL register row that skews v_zero/_s)."""
+    clean = spark.range(200).select(F.concat(F.lit("n:"), F.col("id")).alias("v"))
+    dirty = clean.union(
+        spark.range(50).select(F.lit(None).cast("string").alias("v"))
+    )
+    assert hll_distinct(clean, "v").first() == hll_distinct(dirty, "v").first()
+
+
+def test_hll_empty_state_degrades_to_all_absent(spark):
+    """Zero input rows -> the one global row must read v_zero=m, not NULLs."""
+    empty = spark.range(0).select(F.col("id").cast("string").alias("v"))
+    (row,) = hll_distinct(empty, "v", m=64).collect()
+    assert row["v_zero"] == 64
+    assert row["sum_scaled"] == 64 * (1 << 41)
+    assert row["n_hll"] is not None and row["n_hll"] < 64
+
+
+def test_sketch_reserved_name_collisions_fail_loudly(spark):
+    from crawler_spark.operators.sketches import cms_lookup, cms_table
+
+    df = spark.range(4).select(F.col("id").cast("string").alias("reg"))
+    with pytest.raises(ValueError, match="reserved"):
+        hll_distinct(df, "reg", group_cols=["reg"])
+    probe = spark.range(1).select(F.col("id").cast("string").alias("v"), F.lit(0).alias("idx"))
+    cms = cms_table(df.withColumnRenamed("reg", "v"), "v")
+    with pytest.raises(ValueError, match="reserved"):
+        cms_lookup(cms, probe, "v")

@@ -108,3 +108,31 @@ def test_banded_range_join_plan_is_equi_join(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+def test_asof_join_no_torn_rows_with_null_value_cols(spark):
+    """A right row holding NULL in one value column must still win AS A
+    WHOLE: per-column carries could mix columns from different right rows
+    (ADVICE r3).  The struct carry pins latest-right-row semantics."""
+    left = spark.createDataFrame([("a", 100, 1, "l")], "key string, ts long, id long, p string")
+    right = spark.createDataFrame(
+        [("a", 10, 2, "old_x", "old_y"), ("a", 50, 3, None, "new_y")],
+        "key string, ts long, id long, x string, y string",
+    )
+    (row,) = asof_join(
+        left, right, keys=["key"], ts_col="ts", seq_col="id", value_cols=["x", "y"]
+    ).collect()
+    # latest right row is (50, 3): its NULL x must NOT be backfilled by old_x
+    assert (row["asof_x"], row["asof_y"]) == (None, "new_y")
+
+
+def test_temporal_reserved_name_collisions_fail_loudly(spark):
+    left = spark.createDataFrame([("a", 1, 1, "v")], "key string, ts long, id long, _side string")
+    right = spark.createDataFrame([("a", 1, 2, "s")], "key string, ts long, id long, state string")
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left, right, keys=["key"], ts_col="ts", seq_col="id", value_cols=["state"])
+    l2 = spark.createDataFrame([("a", 1, 1)], "key string, ts long, _b long")
+    with pytest.raises(ValueError, match="collide"):
+        banded_range_join(
+            l2, right, keys=["key"], left_ts="ts", right_ts="ts",
+            band=5, left_cols=["_b"], right_cols=["state"],
+        )
