@@ -28,7 +28,9 @@ import re
 
 import pytest
 
-from crawler_spark.queries import REGISTRY
+from crawler_spark.queries import AUX_REGISTRY, REGISTRY
+
+ALL_QUERIES = {**REGISTRY, **AUX_REGISTRY}
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -43,9 +45,9 @@ def _executed_plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
-@pytest.mark.parametrize("name", sorted(REGISTRY))
+@pytest.mark.parametrize("name", sorted(ALL_QUERIES))
 def test_no_allpairs_join_nodes(spark, name):
-    fn, _sql = REGISTRY[name]
+    fn, _sql = ALL_QUERIES[name]
     plan = _executed_plan(fn(spark, SF_DIR))
     for node in FORBIDDEN_NODES:
         assert node not in plan, f"{name}: {node} in executed plan:\n{plan[:4000]}"
@@ -64,7 +66,7 @@ PUSHDOWN_QUERIES = {
 
 @pytest.mark.parametrize("name", sorted(PUSHDOWN_QUERIES))
 def test_filters_pushed_to_scan(spark, name):
-    fn, _sql = REGISTRY[name]
+    fn, _sql = ALL_QUERIES[name]
     df = fn(spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
@@ -75,7 +77,7 @@ def test_filters_pushed_to_scan(spark, name):
 def test_column_pruning_on_wide_table(spark):
     """q13 touches only (doc_id lang-bearing) columns of documents; the scan's
     ReadSchema must not include the heavy text/bytes columns it doesn't use."""
-    fn, _sql = REGISTRY["q13_lang_stats"]
+    fn, _sql = ALL_QUERIES["q13_lang_stats"]
     df = fn(spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
