@@ -353,27 +353,60 @@ def embedding_near_dup_pairs_lsh(
 # ---------------------------------------------------------------------------
 
 
+# Above this many centroids the Catalyst expression argmin (nlist·dim folds
+# PER ROW in one expression tree) is replaced by an Arrow-batched numpy
+# assignment — matmul-shaped work belongs in vectorized batches, not in a
+# per-row expression interpreter.  Small nlist stays JVM-side/codegen.
+_IVF_EXPR_MAX_NLIST = 8
+
+
 def ivf_assign_col(vec_col: Column, cids: list[int], cents: list[list[float]]) -> Column:
     """cid of the nearest centroid (squared-L2; ties → lowest cid).
 
-    Centroids arrive as an inline literal array — assignment is a pure map
+    Centroids arrive as an inline literal (small-nlist expression path) or a
+    task-broadcast numpy array (pandas-UDF path) — assignment is a pure map
     (zero shuffle), the same broadcast-the-centers pattern MLlib KMeans uses.
-    Literal size is nlist·dim floats; fine up to ~10⁵ entries (nlist≈√N with
+    State size is nlist·dim floats; fine up to ~10⁵ entries (nlist≈√N with
     sampled training keeps it there even at 100 TB — e.g. 4096×256).  ``cents``
     MUST be sorted by cid so first-match-of-min == lowest-cid tie-break.
+
+    Both paths are BIT-IDENTICAL: the numpy path accumulates the squared
+    distance dimension-sequentially (one IEEE float64 add per dim, same
+    order as the expression fold and the DuckDB twin's list_sum), and
+    ``argmin`` takes the first minimum — lowest cid, since cents is sorted.
     """
-    C = F.array(*[F.array(*[F.lit(float(x)) for x in cv]) for cv in cents])
-    ids = F.array(*[F.lit(int(c)) for c in cids])
-    v = F.transform(vec_col, lambda x: x.cast("double"))
-    dists = F.transform(
-        C,
-        lambda cv: F.aggregate(
-            F.zip_with(v, cv, lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
-    )
-    return F.element_at(ids, F.array_position(dists, F.array_min(dists)).cast("int"))
+    if len(cids) <= _IVF_EXPR_MAX_NLIST:
+        C = F.array(*[F.array(*[F.lit(float(x)) for x in cv]) for cv in cents])
+        ids = F.array(*[F.lit(int(c)) for c in cids])
+        v = F.transform(vec_col, lambda x: x.cast("double"))
+        dists = F.transform(
+            C,
+            lambda cv: F.aggregate(
+                F.zip_with(v, cv, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+        return F.element_at(ids, F.array_position(dists, F.array_min(dists)).cast("int"))
+
+    cent_arr = np.asarray(cents, dtype=np.float64)  # (k, d)
+    # int32, matching the expression path's IntegerType (centroid ids are
+    # init vec_ids, bounded by nlist <= ~1e5)
+    id_arr = np.asarray([int(c) for c in cids], dtype=np.int32)
+
+    def _assign(s):
+        import pandas as pd
+
+        x = np.array([np.asarray(v, dtype=np.float64) for v in s], dtype=np.float64)
+        if x.size == 0:
+            return pd.Series(np.empty(0, dtype=np.int32))
+        acc = np.zeros((x.shape[0], cent_arr.shape[0]), dtype=np.float64)
+        for d in range(cent_arr.shape[1]):  # dim-sequential: fold-order exact
+            diff = x[:, d, None] - cent_arr[None, :, d]
+            acc += diff * diff
+        return pd.Series(id_arr[acc.argmin(axis=1)])
+
+    return F.pandas_udf(_assign, "int")(vec_col)
 
 
 def ivf_fit(

@@ -2116,29 +2116,47 @@ FROM per ORDER BY doc_id
 # --------------------------------------------------------------------------
 # §2.10 SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
 # k-means-cluster the embeddings (the deterministic IVF fit q29 already
-# oracle-twins), then inside each cluster drop every vector that has a
-# LOWER-id member with cosine ≥ τ.  The expensive pairwise step is CLUSTER-
-# LOCAL — one equi-join on cid, never an all-pairs join — which is the whole
-# point of the algorithm: with nlist ≈ √N (sampled fit at scale) the in-
-# cluster work stays ~N^1.5 total and each bucket is a bounded block; a
-# pathological giant cluster escalates to the q24 blocked-matmul kernel.
+# oracle-twins) with nlist = ceil(sqrt(N)), then inside each cluster drop
+# every vector that has a LOWER-id member with cosine ≥ τ in its pairing
+# block.  The pairwise step is equi-join on (cid, block) — never all-pairs —
+# and blocks are FIXED-SIZE (64 members by cluster-local vec_id rank), so
+# total pair volume is ≤ N·63/2 whatever the cluster-size skew.
 # Lowest-id-wins keeps the result independent of partitioning/join order.
 # --------------------------------------------------------------------------
 
 
+_SEMDEDUP_BLOCK = 64  # pairing-block size: caps per-block pairs at C(C-1)/2
+
+
 def q51_semantic_dedup(spark, sf_dir):
+    """SemDeDup with BOUNDED pair volume: nlist = ceil(sqrt(N)) (the scale
+    rule the operator documents, instead of round 3's pinned nlist=8) and a
+    deterministic block cap — cluster members are ranked by vec_id and
+    pairs are generated only inside fixed-size blocks of 64, so total pair
+    count is <= N*63/2 REGARDLESS of cluster skew (q49's fixed-size-cluster
+    linearization, applied inside clusters).  Cross-block in-cluster dups
+    are deliberately not compared — a candidate-capped SemDeDup keeps a
+    superset, the safe direction for dedup — and the oracle twin mirrors
+    the identical blocking, so the gate stays exact."""
+    import math
+
+    from pyspark.sql import Window
+
     from crawler_spark.operators.similarity import cosine_pair, ivf_assign_col, ivf_fit
 
     emb = t(spark, sf_dir, "embeddings")
     dim = len(emb.select("embedding").head()[0])
-    cids, cents = ivf_fit(emb, dim=dim, nlist=8, iters=2)
+    nlist = int(math.ceil(math.sqrt(emb.count())))
+    cids, cents = ivf_fit(emb, dim=dim, nlist=nlist, iters=2)
     e = emb.select("vec_id", "embedding").withColumn(
         "cid", ivf_assign_col(F.col("embedding"), cids, cents)
     )
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), "cid")
-    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), "cid")
+    rn = F.row_number().over(Window.partitionBy("cid").orderBy("vec_id"))
+    eb = e.withColumn("blk", ((rn - 1) / _SEMDEDUP_BLOCK).cast("long"))
+    a = eb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), "cid", "blk")
+    b = eb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), "cid", "blk")
     dup = (
-        a.join(b, "cid")
+        a.join(b, ["cid", "blk"])
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(cosine_pair(F.col("va"), F.col("vb")) >= 0.4)
         .select(F.col("id_b").alias("vec_id"))
@@ -2158,7 +2176,7 @@ def q51_semantic_dedup(spark, sf_dir):
 SQL_Q51 = ("""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 c0 AS (SELECT CAST(vec_id AS INT) AS cid, list_transform(v, x -> round(x, 6)) AS cv
-       FROM e WHERE vec_id < 8),"""
+       FROM e WHERE vec_id < (SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) FROM e)),"""
            + _ivf_step("c0", 0) + "," + _ivf_step("c1", 1) + ","
            + """
 df AS (SELECT e.vec_id, e.v, c.cid,
@@ -2167,10 +2185,13 @@ df AS (SELECT e.vec_id, e.v, c.cid,
        FROM e, c2 c),
 af AS (SELECT vec_id, v, cid FROM df
        QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1),
-n AS (SELECT vec_id, cid, v,
-             sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM af),
+blk AS (SELECT vec_id, v, cid,
+               (row_number() OVER (PARTITION BY cid ORDER BY vec_id) - 1) // 64 AS blk
+        FROM af),
+n AS (SELECT vec_id, cid, blk, v,
+             sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM blk),
 dup AS (SELECT DISTINCT b.vec_id
-        FROM n a JOIN n b ON a.cid = b.cid AND a.vec_id < b.vec_id
+        FROM n a JOIN n b ON a.cid = b.cid AND a.blk = b.blk AND a.vec_id < b.vec_id
         WHERE list_sum(list_transform(generate_series(1, 64),
                        i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) >= 0.4)
 SELECT n.vec_id, n.cid, CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS keep
