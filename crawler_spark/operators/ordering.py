@@ -33,21 +33,25 @@ def global_row_number(
 ) -> DataFrame:
     """1-based dense global row number over ``order_cols`` order.
 
-    The range-partitioned input is PERSISTED before the count pass:
-    RangePartitioner's boundary sampling is seeded by the RDD id, which
-    changes per execution, so two independent executions of the same plan
-    can land rows in different partitions — the offsets would then be wrong
-    (measured: silent gaps/overlaps in the numbering).  Materializing once
-    pins the partitioning for both passes; the cache is the honest cost of
-    a stable distributed index (LRU-evicted once downstream consumers are
-    done — same lifetime discipline as the LSH band-table persist).
+    The range-partitioned input is MATERIALIZED (eager localCheckpoint)
+    before the count pass: RangePartitioner's boundary sampling is seeded
+    by the RDD id, which changes per execution, so two independent
+    executions of the same plan can land rows in different partitions — the
+    offsets would then be wrong (measured: silent gaps/overlaps in the
+    numbering).  Checkpointing once pins the partitioning for both passes.
+    localCheckpoint (not ``persist``) on purpose: a persisted plan is held
+    by the cache manager until someone calls unpersist — in a long-lived
+    driver session the blocks accumulate — while checkpoint blocks are
+    released by the ContextCleaner as soon as the numbered output's
+    references drop (the same lifetime discipline as the LSH band-table
+    checkpoints).
     """
     spark = df.sparkSession
     n_parts = num_partitions or spark.sparkContext.defaultParallelism
     sdf = (
         df.repartitionByRange(n_parts, *order_cols)
         .sortWithinPartitions(*order_cols)
-        .persist()
+        .localCheckpoint(eager=True)
     )
 
     counts = (

@@ -950,6 +950,136 @@ class CrawlEngine:
         ev = F.struct(F.col("round"), seq.alias("seq"), F.col("state"), F.col("attempt"))
         return tr.groupBy("url").agg(F.array_sort(F.collect_list(ev)).alias("path"))
 
+    # ------------------------------------------------- plan-status readback
+    # The reference's only REST/monitoring surface is
+    # PlannerCurrentController.java:16-79 (GET /plans/current, /storys/left,
+    # /storys/doing, /storys/doing/statistics, /storys/doing/detail) backed
+    # by SavePointPlanner.java:189-266 over live Redis state.  This engine's
+    # state between rounds is the committed snapshot, so the readback is a
+    # pure function of it: story key = task_url (the reference's story name),
+    # url→story mapping = the task_trace multimap (STORY_TRACE analog),
+    # pending membership = the latest committed frontier.  Requires
+    # trace_tasks=True (the default), like the reference requires the trace
+    # multimap to exist.
+
+    _SUBMIT_STATES = ("submitted", "resubmitted", "recrawl")
+
+    def story_status(self) -> DataFrame:
+        """Per-story ledger: (task_url, n_tasks, n_pending, n_attempted,
+        n_fetched, n_dead, story_state) with story_state ∈ left|doing|done —
+        'left' = submitted but never attempted (PLAN_STORY_RUNNING analog),
+        'doing' = attempts exist and tasks still pending
+        (STORY_FILE_QUEYE_DOING analog), 'done' = nothing pending."""
+        last = snap.latest_round(self.ckpt_dir)
+        schema = (
+            "task_url string, n_tasks long, n_pending long, n_attempted long, "
+            "n_fetched long, n_dead long, story_state string"
+        )
+        if last is None:  # nothing committed yet — no stories to report
+            return self.spark.createDataFrame([], schema)
+        tr = self.task_trace()
+        pending = (
+            snap.read_full(self.spark, self.ckpt_dir, "frontier", last)
+            .groupBy("task_url")
+            .agg(F.count("*").alias("n_pending"))
+        )
+        is_submit = F.col("state").isin(*self._SUBMIT_STATES)
+        acts = tr.groupBy("task_url").agg(
+            F.countDistinct("url").alias("n_tasks"),
+            F.sum((~is_submit).cast("long")).alias("n_attempted"),
+            F.sum((F.col("state") == P.ST_FETCHED).cast("long")).alias("n_fetched"),
+            F.sum((~is_submit & F.col("detail").isNotNull()).cast("long")).alias(
+                "n_dead"
+            ),
+        )
+        # every frontier row was submitted through the trace, so acts covers
+        # all stories; stories absent from the frontier have 0 pending
+        joined = acts.join(pending, "task_url", "left").na.fill(0, ["n_pending"])
+        state = (
+            F.when(F.col("n_pending") == 0, "done")
+            .when(F.col("n_attempted") == 0, "left")
+            .otherwise("doing")
+        )
+        return joined.select(
+            "task_url", "n_tasks", "n_pending", "n_attempted", "n_fetched",
+            "n_dead", state.alias("story_state"),
+        )
+
+    def plan_status(self) -> dict:
+        """GET /plans/current parity: {plan_name: has_done}.  The plan is
+        done when no story is left or doing (== the committed frontier is
+        empty), matching planHasDone's 'no history AND done queue drained'."""
+        name = os.path.basename(self.ckpt_dir.rstrip("/")) or "plan"
+        if snap.latest_round(self.ckpt_dir) is None:
+            return {name: False}  # planned but never executed — not done
+        n_open = (
+            self.story_status()
+            .filter(F.col("story_state") != "done")
+            .limit(1)
+            .count()
+        )
+        return {name: n_open == 0}
+
+    def stories_left(self) -> dict:
+        """GET /plans/current/{plan}/storys/left parity: {count, data}."""
+        rows = (
+            self.story_status()
+            .filter(F.col("story_state") == "left")
+            .select("task_url")
+            .orderBy("task_url")
+            .collect()
+        )
+        return {"count": len(rows), "data": [r.task_url for r in rows]}
+
+    def stories_doing(self, statistics: bool = False) -> dict:
+        """GET .../storys/doing (and /statistics) parity: {count, data}.
+
+        With ``statistics=True``, data maps each doing story to its integer
+        ledger (the reference endpoint returns the bare list twice; the
+        statistics here are the counts an operator actually watches)."""
+        rows = (
+            self.story_status()
+            .filter(F.col("story_state") == "doing")
+            .orderBy("task_url")
+            .collect()
+        )
+        if not statistics:
+            return {"count": len(rows), "data": [r.task_url for r in rows]}
+        return {
+            "count": len(rows),
+            "data": {
+                r.task_url: {
+                    "n_tasks": r.n_tasks,
+                    "n_pending": r.n_pending,
+                    "n_attempted": r.n_attempted,
+                    "n_fetched": r.n_fetched,
+                    "n_dead": r.n_dead,
+                }
+                for r in rows
+            },
+        }
+
+    def story_tasks(self, task_url: str) -> dict:
+        """GET .../storys/doing/detail parity for one story: {url: [(state,
+        round, attempt), ...]} — each task's ordered event history
+        (getTasksOfStory, SavePointPlanner.java:248-266; the reference pairs
+        (fromUrl, status) per trace entry)."""
+        tr = self.task_trace().filter(F.col("task_url") == task_url)
+        seq = (
+            F.when(F.col("state") == "submitted", F.lit(0))
+            .when(F.col("state").isin("resubmitted", "recrawl"), F.lit(1))
+            .otherwise(F.lit(2))
+        )
+        ev = F.struct(F.col("round"), seq.alias("seq"), F.col("state"), F.col("attempt"))
+        rows = (
+            tr.groupBy("url")
+            .agg(F.array_sort(F.collect_list(ev)).alias("path"))
+            .collect()
+        )
+        return {
+            r.url: [(e.state, e.round, e.attempt) for e in r.path] for r in rows
+        }
+
     def verify_payloads(self) -> DataFrame:
         """Post-hoc payload invariants for every fetched URL.
 

@@ -429,3 +429,55 @@ def test_priority_mode_validated():
 
     with _pytest.raises(ValueError):
         CrawlConfig(priority_mode="pagerank")
+
+def test_plan_status_readback_across_interrupt_and_resume(
+    spark, fix_dir, tmp_path_factory
+):
+    """PlannerCurrentController parity (plans/current, storys/left|doing|
+    statistics|detail) computed from committed state: mid-crawl the plan is
+    not done and the ledger is consistent with the fetch log; after resuming
+    to completion every story is done and the plan flips to done."""
+    from pyspark.sql import functions as F
+
+    from crawler_spark.plans.engine import CrawlEngine
+
+    ckpt = str(tmp_path_factory.mktemp("ckpt_status"))
+    eng1 = CrawlEngine(spark, fix_dir, ckpt, CrawlConfig(max_rounds=2))
+    eng1.run()
+
+    # --- interrupted: plan not done, ledger internally consistent
+    (plan_name, done), = eng1.plan_status().items()
+    assert not done
+    ledger = {r.task_url: r for r in eng1.story_status().collect()}
+    assert ledger and all(
+        r.story_state in ("left", "doing", "done") for r in ledger.values()
+    )
+    n_fetch_events = eng1.fetch_log().filter(F.col("status") == ST_FETCHED).count()
+    assert sum(r.n_fetched for r in ledger.values()) == n_fetch_events
+    pending_now = eng1.story_status().agg(F.sum("n_pending")).first()[0]
+    assert pending_now > 0  # interrupted mid-crawl: work remains
+    doing = eng1.stories_doing(statistics=True)
+    assert doing["count"] == sum(
+        1 for r in ledger.values() if r.story_state == "doing"
+    )
+    for stats in doing["data"].values():
+        assert stats["n_pending"] > 0 and stats["n_attempted"] > 0
+
+    # --- task detail: every story's tasks start with a submission event
+    some_story = next(iter(sorted(ledger)))
+    tasks = eng1.story_tasks(some_story)
+    assert tasks
+    for events in tasks.values():
+        assert events[0][0] in ("submitted", "resubmitted", "recrawl")
+
+    # --- resume to completion: everything drains (this fixture needs ~38
+    # rounds to retire the last recycle-bin generations; with only CFG's 12
+    # the plan correctly stays not-done)
+    eng2 = CrawlEngine(spark, fix_dir, ckpt, CrawlConfig(max_rounds=40))
+    eng2.run(resume=True)
+    assert eng2.plan_status() == {plan_name: True}
+    assert eng2.stories_left() == {"count": 0, "data": []}
+    assert eng2.stories_doing() == {"count": 0, "data": []}
+    final = eng2.story_status()
+    assert final.filter(F.col("story_state") != "done").count() == 0
+    assert final.agg(F.sum("n_pending")).first()[0] == 0
