@@ -37,7 +37,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from crawler_spark.functions.imaging import encode_image, phash64
+from crawler_spark.functions.imaging import LOSSY_FMTS, decode_image, encode_image, phash64
 
 _ADJ = ["quick", "lazy", "bright", "dark", "tiny", "huge", "odd"]
 _NOUN = ["fox", "dog", "sun", "moon", "tree", "rock", "bird", "fish", "cat", "ant", "bee"]
@@ -176,7 +176,13 @@ def make_image(
     fmt = (fmts or _FMTS)[i % len(fmts or _FMTS)]
     rng = np.random.default_rng(i)
     arr = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
-    return encode_image(arr, fmt), w, h, fmt, caption_of(i), phash64(arr)
+    data = encode_image(arr, fmt)
+    if fmt in LOSSY_FMTS:
+        # lossy codec: the table's phash is of the DECODED pixels (what an
+        # ingest pipeline actually hashes), so the exact phash invariant
+        # holds; the PSNR>=40dB gate covers pixel fidelity separately
+        arr = decode_image(data, fmt)
+    return data, w, h, fmt, caption_of(i), phash64(arr)
 
 
 def _image_table(lo: int, hi: int, px: list[int] | None, fmts: list[str] | None = None) -> pa.Table:

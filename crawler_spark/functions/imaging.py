@@ -12,10 +12,12 @@ format specs with stdlib ``zlib`` + ``struct`` + numpy:
 * PNG — 8-bit RGB, minimal writer (filter 0) + full 5-filter reader.
 * PPM — binary P6.
 * BMP — 24-bit uncompressed BI_RGB, bottom-up.
+* JPEG — baseline sequential DCT (ITU-T T.81) encoder + decoder, written
+  from the public spec; the north rule's REAL lossy path (see the JPEG
+  section below for scope).
 
-All three are lossless ⇒ the decoded-pixel check is exact (PSNR = ∞ ≥ 40dB).
-JPEG is the specified lossy path; without a codec in this container it is
-stubbed behind NotImplementedError with the PSNR≥40dB gate ready.
+PNG/PPM/BMP are lossless ⇒ the decoded-pixel check is exact (PSNR = ∞ ≥
+40dB); JPEG rows go through the PSNR ≥ 40 dB gate at the default quality.
 
 Everything is numpy-vectorized per image; Spark-side use is via
 ``mapInPandas``/pandas UDFs over binary columns (Arrow batches).
@@ -202,25 +204,469 @@ def decode_bmp(data: bytes) -> np.ndarray:
     return arr[::-1] if flipped else arr
 
 
+# ---------------------------------------------------------------------------
+# JPEG — ITU-T T.81 baseline sequential DCT, JFIF container, written from the
+# public spec (no codec library in this container).  Scope:
+#
+# * encoder: 8-bit RGB → YCbCr (BT.601 full-range, JFIF §7), 4:4:4 sampling,
+#   Annex-K quantization tables scaled by the IJG quality formula, 8×8 FDCT,
+#   and SPEC-VALID single-length Huffman tables generated programmatically
+#   (every DC size symbol at 4 bits, every AC run/size symbol at 8 bits —
+#   canonical codes 0..n-1, so no code is all-ones).  Simplicity over ratio:
+#   the tables are written into DHT like any optimized set, decoders consume
+#   them through the normal Annex-C reconstruction, and correctness is
+#   unaffected — only compression ratio is (irrelevant to the PSNR gate).
+# * decoder: baseline sequential scans, arbitrary DQT/DHT from the stream,
+#   sampling factors up to 2×2 (pixel-replication upsample), restart
+#   intervals (DRI/RSTn), byte-stuffing, non-multiple-of-8 dimensions.
+#
+# Lossiness comes from YCbCr rounding + coefficient quantization; at the
+# default quality the round trip clears the north rule's PSNR ≥ 40 dB gate
+# (pinned by tests) while remaining genuinely lossy.
+# ---------------------------------------------------------------------------
+
+# zigzag: natural (row-major) index of each zigzag position, generated from
+# the diagonal-walk definition to avoid 64-entry transcription errors
+_ZZ: list[int] = []
+for _d in range(15):
+    _ys = [y for y in range(8) if 0 <= _d - y < 8]
+    for _y in (_ys if _d % 2 else reversed(_ys)):
+        _ZZ.append(_y * 8 + (_d - _y))
+_ZZ_ARR = np.array(_ZZ)
+
+# Annex K.1/K.2 base quantization tables (natural order)
+_QLUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64).reshape(8, 8)
+_QCHROMA = np.array(
+    [17, 18, 24, 47, 99, 99, 99, 99,
+     18, 21, 26, 66, 99, 99, 99, 99,
+     24, 26, 56, 99, 99, 99, 99, 99,
+     47, 66, 99, 99, 99, 99, 99, 99] + [99] * 32,
+    dtype=np.int64,
+).reshape(8, 8)
+
+# orthonormal 8-point DCT-II matrix: FDCT S = M @ b @ M.T, IDCT b = M.T @ S @ M
+_DCT_M = np.array(
+    [
+        [
+            (np.sqrt(0.5) if u == 0 else 1.0) * 0.5 * np.cos((2 * x + 1) * u * np.pi / 16)
+            for x in range(8)
+        ]
+        for u in range(8)
+    ],
+    dtype=np.float64,
+)
+
+# default chosen by measurement: uniform md5-noise tiles (the hardest
+# content for a DCT codec — the fixtures' actual payloads) round-trip at
+# worst ≈ 41.7 dB at q=98 (q=97 → 39.9, q=100 → ~50), so 98 is the lowest
+# quality that clears the north rule's PSNR ≥ 40 dB lossy gate with margin
+# while staying genuinely lossy
+JPEG_DEFAULT_QUALITY = 98
+LOSSY_FMTS = frozenset({"jpeg"})
+
+
+def _scaled_quant(base: np.ndarray, quality: int) -> np.ndarray:
+    """IJG quality scaling: 1..100 → per-entry divisor in 1..255."""
+    if not 1 <= quality <= 100:
+        raise ValueError("quality must be 1..100")
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((base * scale + 50) // 100, 1, 255).astype(np.int64)
+
+
+def _flat_huffman(symbols: list[int], length: int) -> tuple[bytes, bytes, dict]:
+    """(bits[16], huffval, {sym: (code, len)}) — all symbols at one length.
+
+    Valid per Annex C (canonical codes 0..n-1 of equal length; requires
+    n ≤ 2^length − 1, which also guarantees no all-ones code)."""
+    if len(symbols) > (1 << length) - 1:
+        raise ValueError("too many symbols for flat table")
+    bits = bytearray(16)
+    bits[length - 1] = len(symbols)
+    enc = {s: (i, length) for i, s in enumerate(symbols)}
+    return bytes(bits), bytes(symbols), enc
+
+
+_DC_SYMS = list(range(12))
+_AC_SYMS = [0x00, 0xF0] + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+_DC_BITS, _DC_VALS, _DC_ENC = _flat_huffman(_DC_SYMS, 4)
+_AC_BITS, _AC_VALS, _AC_ENC = _flat_huffman(_AC_SYMS, 8)
+
+
+def _rgb_to_ycc(arr: np.ndarray) -> list[np.ndarray]:
+    a = arr.astype(np.float64)
+    r, g, b = a[:, :, 0], a[:, :, 1], a[:, :, 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168735892 * r - 0.331264108 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418687589 * g - 0.081312411 * b + 128.0
+    return [np.clip(np.round(p), 0, 255).astype(np.int64) for p in (y, cb, cr)]
+
+
+def _ycc_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
+    cb = cb - 128.0
+    cr = cr - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136286 * cb - 0.714136286 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        if length == 0:
+            return
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            byte = (self.acc >> (self.n - 8)) & 0xFF
+            self.n -= 8
+            self.buf.append(byte)
+            if byte == 0xFF:  # byte stuffing (T.81 §B.1.1.5)
+                self.buf.append(0x00)
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> None:
+        pad = (8 - self.n % 8) % 8
+        self.write((1 << pad) - 1, pad)  # 1-bits pad, per convention
+
+    def restart(self, n: int) -> None:
+        """Byte-align and emit RSTn (T.81 §E.1.4) — markers bypass stuffing."""
+        self.flush()
+        self.buf += bytes([0xFF, 0xD0 + (n & 7)])
+
+
+def _encode_block(bw: _BitWriter, zz: np.ndarray, pred: int, dc_enc: dict, ac_enc: dict) -> int:
+    dc = int(zz[0])
+    diff = dc - pred
+    size = abs(diff).bit_length()
+    bw.write(*dc_enc[size])
+    if size:
+        bw.write(diff if diff > 0 else diff + (1 << size) - 1, size)
+    run = 0
+    nz = np.nonzero(zz[1:])[0]
+    last = int(nz[-1]) + 1 if len(nz) else 0
+    for k in range(1, last + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            bw.write(*ac_enc[0xF0])
+            run -= 16
+        size = abs(v).bit_length()
+        bw.write(*ac_enc[(run << 4) | size])
+        bw.write(v if v > 0 else v + (1 << size) - 1, size)
+        run = 0
+    if last < 63:
+        bw.write(*ac_enc[0x00])  # EOB
+    return dc
+
+
+def _seg(marker: int, payload: bytes) -> bytes:
+    return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+
+def _dct_quant_blocks(plane: np.ndarray, ph: int, pw: int, qt: np.ndarray) -> np.ndarray:
+    """Edge-pad a plane to (ph, pw), FDCT + quantize every 8×8 block."""
+    h, w = plane.shape
+    padded = np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge").astype(np.float64)
+    blocks = padded.reshape(ph // 8, 8, pw // 8, 8).transpose(0, 2, 1, 3) - 128.0
+    s = np.einsum("ux,byxz,vz->byuv", _DCT_M, blocks, _DCT_M)
+    return np.round(s / qt.astype(np.float64)).astype(np.int64)
+
+
+def encode_jpeg(
+    arr: np.ndarray,
+    quality: int = JPEG_DEFAULT_QUALITY,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """(h, w, 3) uint8 RGB → baseline JFIF bytes (see module section).
+
+    ``subsampling``: '444' (one block per component per MCU) or '420' (chroma
+    block-mean-reduced 2×2; MCU = 4 Y + Cb + Cr — T.81 §A.2.3 interleaving).
+    ``restart_interval`` > 0 writes DRI and emits RSTn every that many MCUs
+    (T.81 §E.1.4), resetting DC predictors — the structure real encoders use
+    for error resilience, and what makes a scan splittable mid-stream.
+    """
+    h, w, c = arr.shape
+    assert c == 3 and arr.dtype == np.uint8
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
+    planes = _rgb_to_ycc(arr)
+    ysamp = (2, 2) if subsampling == "420" else (1, 1)
+    if subsampling == "420":
+        # chroma reduced by 2×2 integer block mean (pad odd edges first)
+        ch, cw = -(-h // 2), -(-w // 2)
+        reduced = []
+        for p in planes[1:]:
+            pp = np.pad(p, ((0, 2 * ch - h), (0, 2 * cw - w)), mode="edge")
+            quad = pp.reshape(ch, 2, cw, 2).sum(axis=(1, 3))
+            reduced.append((quad + 2) // 4)
+        planes = [planes[0]] + reduced
+    qts = [_scaled_quant(_QLUMA, quality), _scaled_quant(_QCHROMA, quality)]
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += _seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for tq, qt in enumerate(qts):
+        out += _seg(0xFFDB, bytes([tq]) + bytes(int(x) for x in qt.ravel()[_ZZ_ARR]))
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    samp = [ysamp, (1, 1), (1, 1)]
+    for ci, (cid, tq) in enumerate(((1, 0), (2, 1), (3, 1))):
+        sof += bytes([cid, (samp[ci][0] << 4) | samp[ci][1], tq])
+    out += _seg(0xFFC0, sof)
+    out += _seg(0xFFC4, b"\x00" + _DC_BITS + _DC_VALS)  # DC class 0, id 0
+    out += _seg(0xFFC4, b"\x10" + _AC_BITS + _AC_VALS)  # AC class 1, id 0
+    if restart_interval:
+        out += _seg(0xFFDD, struct.pack(">H", restart_interval))
+    sos = b"\x03" + b"".join(bytes([cid, 0x00]) for cid in (1, 2, 3)) + b"\x00\x3f\x00"
+    out += _seg(0xFFDA, sos)
+    # FDCT + quantize every 8×8 block of every component at its own resolution
+    hs, vs = ysamp  # samp entries are (H, V) per T.81 SOF layout
+    mcuy = -(-h // (8 * vs))
+    mcux = -(-w // (8 * hs))
+    coefs = []
+    for comp, plane in enumerate(planes):
+        chs, cvs = samp[comp]
+        coefs.append(
+            _dct_quant_blocks(plane, mcuy * cvs * 8, mcux * chs * 8, qts[min(comp, 1)])
+        )
+    bw = _BitWriter()
+    preds = [0, 0, 0]
+    since_rst = 0
+    rst_n = 0
+    for by in range(mcuy):
+        for bx in range(mcux):
+            if restart_interval and since_rst == restart_interval:
+                bw.restart(rst_n)
+                rst_n = (rst_n + 1) & 7
+                preds = [0, 0, 0]
+                since_rst = 0
+            for comp in range(3):
+                chs, cvs = samp[comp]
+                for v in range(cvs):
+                    for u in range(chs):
+                        zz = coefs[comp][by * cvs + v, bx * chs + u].ravel()[_ZZ_ARR]
+                        preds[comp] = _encode_block(bw, zz, preds[comp], _DC_ENC, _AC_ENC)
+            since_rst += 1
+    bw.flush()
+    out += bw.buf
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def read_bit(self) -> int:
+        if self.n == 0:
+            b = self.data[self.pos]
+            if b == 0xFF:
+                nxt = self.data[self.pos + 1]
+                if nxt != 0x00:  # a real marker: per T.81 the scan is over —
+                    return 0  # feed zeros (only reachable on truncated data)
+                self.pos += 1
+            self.pos += 1
+            self.acc = b
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def receive(self, length: int) -> int:
+        v = 0
+        for _ in range(length):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def sync_restart(self) -> None:
+        """Byte-align and consume an RSTn marker (T.81 §E.2.4)."""
+        self.n = 0
+        while self.data[self.pos] == 0xFF and 0xD0 <= self.data[self.pos + 1] <= 0xD7:
+            self.pos += 2
+            return
+        raise ValueError("expected RST marker")
+
+
+def _huff_decode_table(bits: bytes, vals: bytes) -> dict:
+    """Annex-C canonical reconstruction: {(length, code): symbol}."""
+    table = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            table[(ln, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _huff_read(br: _BitReader, table: dict) -> int:
+    code = 0
+    for ln in range(1, 17):
+        code = (code << 1) | br.read_bit()
+        if (ln, code) in table:
+            return table[(ln, code)]
+    raise ValueError("invalid Huffman code")
+
+
+def _extend(v: int, t: int) -> int:
+    return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Baseline sequential JFIF → (h, w, 3) uint8 RGB (see module section)."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    pos = 2
+    qts: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    frame = None
+    dri = 0
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("marker expected")
+        marker = data[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (seg_len,) = struct.unpack_from(">H", data, pos + 2)
+        payload = data[pos + 4 : pos + 2 + seg_len]
+        pos += 2 + seg_len
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            p = 0
+            while p < len(payload):
+                pq, tq = payload[p] >> 4, payload[p] & 0xF
+                if pq != 0:
+                    raise ValueError("only 8-bit DQT supported (baseline)")
+                zzvals = np.frombuffer(payload, np.uint8, 64, p + 1).astype(np.int64)
+                nat = np.zeros(64, dtype=np.int64)
+                nat[_ZZ_ARR] = zzvals
+                qts[tq] = nat.reshape(8, 8)
+                p += 65
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(payload):
+                tc, th = payload[p] >> 4, payload[p] & 0xF
+                bits = payload[p + 1 : p + 17]
+                n = sum(bits)
+                vals = payload[p + 17 : p + 17 + n]
+                huff[(tc, th)] = _huff_decode_table(bits, vals)
+                p += 17 + n
+        elif marker == 0xC0:  # SOF0 (baseline)
+            prec, h, w, ncomp = struct.unpack_from(">BHHB", payload, 0)
+            if prec != 8:
+                raise ValueError("only 8-bit precision supported")
+            comps = []
+            for i in range(ncomp):
+                cid, hv, tq = payload[6 + 3 * i : 9 + 3 * i]
+                comps.append({"cid": cid, "hs": hv >> 4, "vs": hv & 0xF, "tq": tq})
+            frame = {"h": h, "w": w, "comps": comps}
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise ValueError("only baseline sequential (SOF0) supported")
+        elif marker == 0xDD:  # DRI
+            (dri,) = struct.unpack_from(">H", payload, 0)
+        elif marker == 0xDA:  # SOS — entropy data follows the segment
+            if frame is None:
+                raise ValueError("SOS before SOF0")
+            ns = payload[0]
+            scan = []
+            for i in range(ns):
+                cs, tt = payload[1 + 2 * i], payload[2 + 2 * i]
+                comp = next(c for c in frame["comps"] if c["cid"] == cs)
+                scan.append((comp, tt >> 4, tt & 0xF))
+            return _decode_scan(data, pos, frame, scan, qts, huff, dri)
+    raise ValueError("no scan found")
+
+
+def _decode_scan(data, pos, frame, scan, qts, huff, dri) -> np.ndarray:
+    h, w = frame["h"], frame["w"]
+    hmax = max(c["hs"] for c, _t, _a in scan)
+    vmax = max(c["vs"] for c, _t, _a in scan)
+    if hmax > 2 or vmax > 2:
+        raise ValueError("sampling factors above 2 not supported")
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    planes = [
+        np.zeros((mcuy * c["vs"] * 8, mcux * c["hs"] * 8), dtype=np.float64)
+        for c, _t, _a in scan
+    ]
+    br = _BitReader(data, pos)
+    preds = [0] * len(scan)
+    since_rst = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if dri and since_rst == dri:
+                br.sync_restart()
+                preds = [0] * len(scan)
+                since_rst = 0
+            for ci, (comp, td, ta) in enumerate(scan):
+                qt = qts[comp["tq"]].ravel()[_ZZ_ARR]  # natural→zigzag divisors
+                for v in range(comp["vs"]):
+                    for u in range(comp["hs"]):
+                        zz = np.zeros(64, dtype=np.int64)
+                        t = _huff_read(br, huff[(0, td)])
+                        preds[ci] += _extend(br.receive(t), t)
+                        zz[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            rs = _huff_read(br, huff[(1, ta)])
+                            if rs == 0x00:  # EOB
+                                break
+                            if rs == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            k += rs >> 4
+                            size = rs & 0xF
+                            zz[k] = _extend(br.receive(size), size)
+                            k += 1
+                        nat = np.zeros(64, dtype=np.float64)
+                        nat[_ZZ_ARR] = (zz * qt).astype(np.float64)
+                        blk = _DCT_M.T @ nat.reshape(8, 8) @ _DCT_M + 128.0
+                        y0 = (my * comp["vs"] + v) * 8
+                        x0 = (mx * comp["hs"] + u) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = blk
+            since_rst += 1
+    full = []
+    for ci, (comp, _t, _a) in enumerate(scan):
+        p = planes[ci]
+        ry, rx = vmax // comp["vs"], hmax // comp["hs"]
+        if ry > 1 or rx > 1:  # pixel-replication upsample (spec-allowed)
+            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
+        full.append(np.clip(np.round(p[:h, :w]), 0, 255))
+    if len(full) == 1:  # grayscale scan
+        return np.repeat(full[0][:, :, None], 3, axis=2).astype(np.uint8)
+    return _ycc_to_rgb(full[0], full[1], full[2])
+
+
 _CODECS = {
     "png": (encode_png, decode_png),
     "ppm": (encode_ppm, decode_ppm),
     "bmp": (encode_bmp, decode_bmp),
+    "jpeg": (encode_jpeg, decode_jpeg),
 }
 
 
 def encode_image(arr: np.ndarray, fmt: str) -> bytes:
-    if fmt == "jpeg":
-        raise NotImplementedError(
-            "JPEG (lossy path) needs a codec not present in this container; "
-            "the PSNR>=40dB gate in decode_check_map_in_pandas is format-agnostic."
-        )
     return _CODECS[fmt][0](arr)
 
 
 def decode_image(data: bytes, fmt: str) -> np.ndarray:
-    if fmt == "jpeg":
-        raise NotImplementedError("JPEG decode stub — see encode_image")
     return _CODECS[fmt][1](data)
 
 
@@ -296,8 +742,11 @@ def decode_check_rows(image_ids, raws, fmts, ws, hs, phashes) -> "pd.DataFrame":
     """Vector core of the payload invariant check: decode, shape, phash, and
     PSNR of the re-encode roundtrip per row; a corrupt row yields False flags,
     never an exception (poisoned rows must not kill a stage).  Rows whose
-    codec is stubbed (jpeg) yield NULL flags — "skipped", distinct from both
-    pass and fail."""
+    codec is stubbed yield NULL flags — "skipped", distinct from both pass
+    and fail (all four input_hint formats now have real codecs; the branch
+    guards any future stubbed format).  For lossy rows the stored ``phash``
+    is computed post-decode at ingest (fixtures.make_image), so the exact
+    phash comparison holds for jpeg exactly as for the lossless codecs."""
     import pandas as pd
 
     out = {"image_id": [], "decode_ok": [], "shape_ok": [], "phash_ok": [], "psnr_db": []}

@@ -8,12 +8,12 @@ The Spark-side contract for 100 TB multimodal pipelines:
 * transforms run as ``mapInPandas`` over Arrow batches — schema in/out is
   explicit, partitioning carries (modality, fmt) so one batch decodes one
   codec
-* decode is REAL for every format expressible without a codec library:
-  PNG/PPM/BMP images (functions/imaging), PCM WAV audio (functions/audio),
-  YUV4MPEG2-mono video (functions/video).  Only perceptually-compressed
-  codecs (JPEG, mp3/aac, h264/vp9) are STUBBED behind NotImplementedError,
-  with the full plumbing (schema, batch shape, partition discipline) in
-  place and tested.
+* decode is REAL for every input_hint image format — PNG/PPM/BMP and
+  baseline JPEG (functions/imaging, written from ITU-T T.81) — plus PCM WAV
+  audio (functions/audio) and YUV4MPEG2-mono video (functions/video).  Only
+  perceptually-compressed audio/video codecs (mp3/aac, h264/vp9) remain
+  STUBBED behind NotImplementedError, with the full plumbing (schema, batch
+  shape, partition discipline) in place and tested.
 
 Feature extraction here is deliberately cheap + deterministic (mean
 channel values, resize by block-mean, frame sampling by stride) — the
@@ -57,9 +57,10 @@ def resize_block_mean(arr: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
 def image_features_map_in_pandas(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
     """mapInPandas body: (image_id, bytes, fmt) → IMAGE_FEATURE_SCHEMA rows.
 
-    Decode → channel means, 64-bit phash, 8×8 RGB thumbnail.  JPEG rows
-    surface fmt='jpeg' with NULL features (stub path) instead of failing the
-    batch — at scale a poisoned row must never kill a 100-partition stage.
+    Decode → channel means, 64-bit phash, 8×8 RGB thumbnail.  Corrupt rows
+    (or any future stubbed codec) surface with NULL features instead of
+    failing the batch — at scale a poisoned row must never kill a
+    100-partition stage.
     """
     import pandas as pd
 
@@ -92,7 +93,7 @@ def image_features_map_in_pandas(batches: Iterator["pd.DataFrame"]) -> Iterator[
                     thumb8=resize_block_mean(arr, 8, 8).tobytes(),
                 )
             except NotImplementedError:
-                pass  # stubbed codec (jpeg/audio/video): metadata-only row
+                pass  # stubbed codec: metadata-only row
             except Exception:
                 pass  # corrupt payload: NULL features, row survives
             rows.append(rec)

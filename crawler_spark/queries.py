@@ -2415,8 +2415,11 @@ FROM dim ORDER BY image_id
 # --------------------------------------------------------------------------
 # §2.10 lossy-roundtrip PSNR gate as integer arithmetic — the north rule's
 # per-row invariant is "decoded-pixel allclose, PSNR >= 40 dB for lossy
-# formats".  The container has no JPEG codec (imaging.encode_image stubs
-# it), so the lossy stand-in is documented bit-truncation: each doc is
+# formats".  The REAL lossy path is the from-spec baseline-JPEG codec
+# (functions/imaging.encode_jpeg/decode_jpeg; its PSNR>=40dB roundtrip is
+# pinned by tests/test_imaging.py) — but DCT quantization error is not
+# expressible in ANSI SQL, so the exact-twin registry entry keeps the
+# documented bit-truncation lossy model: each doc is
 # quantized to drop (doc_id % 4) low bits, re-encoded and re-decoded
 # through the REAL PNG path, and the MSE numerator is computed between the
 # two decoded arrays.  PSNR >= 40 dB needs no floating log10:

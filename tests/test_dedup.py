@@ -150,6 +150,46 @@ def test_engine_ingest_payloads(spark, tmpdir_path):
     assert plog.select("image_id").distinct().count() == fetched_imgs
 
 
+def test_engine_ingest_jpeg_payloads_clear_lossy_gate(spark, tmpdir_path):
+    """North-rule lossy invariant end to end: a crawl over a fixture whose
+    payload mix includes REAL baseline-JPEG rows must verify every fetched
+    payload — exact phash (stored post-decode for lossy fmts) and finite
+    roundtrip PSNR, with the engine's >=40dB gate green."""
+    from crawler_spark.fixtures import generate
+    from crawler_spark.plans.engine import CrawlEngine
+    from crawler_spark.plans.policy import CrawlConfig
+    from crawler_spark.sources import snapshots as snap
+
+    fix = os.path.join(tmpdir_path, "fixj")
+    generate(fix, n_pages=72, n_hosts=3, seed=11, image_shards=2, fmts=["png", "jpeg"])
+    ckpt = os.path.join(tmpdir_path, "ckptj")
+    eng = CrawlEngine(spark, fix, ckpt, CrawlConfig(max_rounds=3), ingest_payloads=True)
+    summary = eng.run()
+    assert summary["payload_checked"] > 0
+    assert summary["payload_ok"] is True
+    last = snap.latest_round(ckpt)
+    plog = snap.read_deltas(spark, ckpt, "payload_log", last)
+    images = spark.read.parquet(os.path.join(fix, "images.parquet"))
+    by_fmt = {
+        r.fmt: r
+        for r in plog.join(images.select("image_id", "fmt"), "image_id")
+        .groupBy("fmt")
+        .agg(
+            F.count("*").alias("n"),
+            F.min(F.col("decode_ok").cast("int")).alias("all_decode"),
+            F.min(F.col("phash_ok").cast("int")).alias("all_phash"),
+            F.min("psnr_db").alias("min_psnr"),
+        )
+        .collect()
+    }
+    assert set(by_fmt) == {"png", "jpeg"}
+    for fmt, r in by_fmt.items():
+        assert r.n > 0 and r.all_decode == 1 and r.all_phash == 1
+    assert by_fmt["png"].min_psnr == float("inf")  # lossless
+    jp = by_fmt["jpeg"].min_psnr
+    assert jp != float("inf") and jp >= 40.0  # genuinely lossy, gate clear
+
+
 def test_sharded_images_match_single_file(tmpdir_path):
     """image_shards>1 writes the same rows as the single-file layout."""
     import pyarrow.parquet as pq

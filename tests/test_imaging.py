@@ -109,11 +109,120 @@ def test_ahash64_integer_exact():
         ahash64(np.zeros((16, 16), dtype=np.uint8))
 
 
-def test_jpeg_stub():
-    with pytest.raises(NotImplementedError):
-        encode_image(_img(0), "jpeg")
-    with pytest.raises(NotImplementedError):
-        decode_image(b"\xff\xd8", "jpeg")
+@pytest.mark.parametrize("hw", [(16, 16), (24, 32), (17, 13), (8, 8)])
+def test_jpeg_roundtrip_lossy_psnr_gate(hw):
+    """The north rule's lossy invariant, end to end on the hardest content:
+    uniform-noise tiles (exactly what the fixtures carry).  At the default
+    quality the roundtrip must clear PSNR >= 40 dB while staying genuinely
+    lossy (bit-identical output would mean the codec isn't a DCT codec)."""
+    h, w = hw
+    arr = _img(h * 100 + w, h, w)
+    data = encode_image(arr, "jpeg")
+    assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+    back = decode_image(data, "jpeg")
+    assert back.shape == arr.shape
+    assert not np.array_equal(back, arr)  # genuinely lossy
+    assert psnr(arr, back) >= 40.0
+
+
+def test_jpeg_smooth_content_near_exact():
+    # a horizontal ramp has almost no AC energy: quantization loses nothing
+    x = np.linspace(0, 255, 64).astype(np.uint8)
+    smooth = np.stack([np.tile(x, (64, 1))] * 3, axis=-1)
+    back = decode_image(encode_image(smooth, "jpeg"), "jpeg")
+    assert psnr(smooth, back) > 55.0
+
+
+def test_jpeg_quality_monotone():
+    from crawler_spark.functions.imaging import decode_jpeg, encode_jpeg
+
+    arr = _img(9, 32, 32)
+    p = [psnr(arr, decode_jpeg(encode_jpeg(arr, q))) for q in (50, 80, 95, 100)]
+    assert p == sorted(p)  # higher quality → higher fidelity
+    assert len(encode_jpeg(arr, 50)) < len(encode_jpeg(arr, 100))
+
+
+@pytest.mark.parametrize("hw", [(16, 16), (17, 13), (32, 24), (9, 9)])
+@pytest.mark.parametrize("ri", [0, 1, 3])
+def test_jpeg_420_and_restart_decode_paths(hw, ri):
+    """Exercise the decoder's 2x2-upsample and RSTn paths with real streams
+    (our own 4:2:0 + restart-interval encoder emits them)."""
+    from crawler_spark.functions.imaging import decode_jpeg, encode_jpeg
+
+    arr = _img(hw[0] * 10 + hw[1], *hw)
+    d420 = decode_jpeg(encode_jpeg(arr, 95, subsampling="420", restart_interval=ri))
+    assert d420.shape == arr.shape
+    # luma survives chroma decimation: Y-plane PSNR stays high even on noise
+    luma = lambda a: 0.299 * a[..., 0] + 0.587 * a[..., 1] + 0.114 * a[..., 2]
+    ly, lb = luma(arr.astype(np.float64)), luma(d420.astype(np.float64))
+    mse = np.mean((ly - lb) ** 2)
+    assert 10 * np.log10(255.0**2 / max(mse, 1e-12)) > 30.0
+
+
+def test_jpeg_restart_interval_is_bitstream_only():
+    # RSTn segmentation must not change decoded pixels (pure resilience)
+    from crawler_spark.functions.imaging import decode_jpeg, encode_jpeg
+
+    arr = _img(5, 24, 24)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(arr, 98)),
+        decode_jpeg(encode_jpeg(arr, 98, restart_interval=2)),
+    )
+
+
+def test_jpeg_grayscale_single_component_scan():
+    """Hand-build a 1-component (luma-only) stream: the decoder must take the
+    grayscale branch and replicate Y into all three RGB channels."""
+    import struct
+
+    from crawler_spark.functions.imaging import (
+        _AC_BITS,
+        _AC_ENC,
+        _AC_VALS,
+        _DC_BITS,
+        _DC_ENC,
+        _DC_VALS,
+        _ZZ_ARR,
+        _BitWriter,
+        _dct_quant_blocks,
+        _encode_block,
+        _scaled_quant,
+        _seg,
+        _QLUMA,
+        decode_jpeg,
+    )
+
+    gray = _img(11, 16, 16)[:, :, 0].astype(np.int64)
+    qt = _scaled_quant(_QLUMA, 98)
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xFFDB, bytes([0]) + bytes(int(x) for x in qt.ravel()[_ZZ_ARR]))
+    out += _seg(0xFFC0, struct.pack(">BHHB", 8, 16, 16, 1) + bytes([1, 0x11, 0]))
+    out += _seg(0xFFC4, b"\x00" + _DC_BITS + _DC_VALS)
+    out += _seg(0xFFC4, b"\x10" + _AC_BITS + _AC_VALS)
+    out += _seg(0xFFDA, b"\x01" + bytes([1, 0x00]) + b"\x00\x3f\x00")
+    coefs = _dct_quant_blocks(gray, 16, 16, qt)
+    bw = _BitWriter()
+    pred = 0
+    for by in range(2):
+        for bx in range(2):
+            pred = _encode_block(bw, coefs[by, bx].ravel()[_ZZ_ARR], pred, _DC_ENC, _AC_ENC)
+    bw.flush()
+    out += bw.buf + b"\xff\xd9"
+    rgb = decode_jpeg(bytes(out))
+    assert rgb.shape == (16, 16, 3)
+    assert np.array_equal(rgb[:, :, 0], rgb[:, :, 1]) and np.array_equal(
+        rgb[:, :, 1], rgb[:, :, 2]
+    )
+    assert psnr(np.repeat(gray[:, :, None], 3, axis=2).astype(np.uint8), rgb) >= 40.0
+
+
+def test_jpeg_rejects_malformed():
+    from crawler_spark.functions.imaging import decode_jpeg
+
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\x00\x01not a jpeg")
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\xff\xd8\xff\xc2\x00\x05\x08\x00\x01")  # progressive SOF2
 
 
 def test_psnr_known_value():
@@ -124,21 +233,53 @@ def test_psnr_known_value():
     assert abs(psnr(a, b) - 10 * np.log10(255.0**2 / mse)) < 1e-9
 
 
-def test_stubbed_codec_rows_are_skipped_not_passed():
-    """A jpeg (stub codec) row must yield NULL flags — never a silent pass
-    (round-1 counted any jpeg row, even a corrupt one, as verified)."""
+def test_corrupt_jpeg_rows_fail_and_stubbed_rows_skip(monkeypatch):
+    """Three distinct outcomes must stay distinguishable in decode_check_rows:
+    a corrupt row FAILS (False flags), a stubbed-codec row is SKIPPED (NULL
+    flags — a missing codec must never masquerade as a pass), and a good row
+    passes.  JPEG is a real codec now, so the stub path is pinned with a
+    synthetic format."""
+    from crawler_spark.functions import imaging
     from crawler_spark.functions.imaging import decode_check_rows
 
+    def _stub_decode(data):
+        raise NotImplementedError("synthetic stub codec")
+
+    monkeypatch.setitem(imaging._CODECS, "fake", (None, _stub_decode))
     arr = _img(1, 4, 4)
     out = decode_check_rows(
-        ["a", "b"],
-        [b"\xff\xd8\x00bad", encode_image(arr, "ppm")],
-        ["jpeg", "ppm"],
-        [4, 4],
-        [4, 4],
-        [0, phash64(arr)],
+        ["a", "b", "c"],
+        [b"\xff\xd8\x00bad", encode_image(arr, "ppm"), b"\x00"],
+        ["jpeg", "ppm", "fake"],
+        [4, 4, 4],
+        [4, 4, 4],
+        [0, phash64(arr), 0],
     )
     jrow = out[out["image_id"] == "a"].iloc[0]
-    assert jrow["decode_ok"] is None and jrow["shape_ok"] is None and jrow["phash_ok"] is None
+    assert jrow["decode_ok"] is False  # corrupt jpeg = FAIL, not skip
     prow = out[out["image_id"] == "b"].iloc[0]
     assert bool(prow["decode_ok"]) and bool(prow["shape_ok"]) and bool(prow["phash_ok"])
+    srow = out[out["image_id"] == "c"].iloc[0]
+    assert srow["decode_ok"] is None and srow["shape_ok"] is None and srow["phash_ok"] is None
+
+
+def test_jpeg_rows_clear_payload_invariants_end_to_end():
+    """input_hint shape with fmt='jpeg': decode_ok, shape_ok, exact phash_ok
+    (fixtures store the post-decode phash for lossy rows), and the re-encode
+    roundtrip PSNR — the north rule's per-row lossy gate — all green."""
+    from crawler_spark.fixtures import make_image
+    from crawler_spark.functions.imaging import decode_check_rows
+
+    ids, raws, fmts, ws, hs, phs = [], [], [], [], [], []
+    for i in range(6):
+        data, w, h, fmt, _cap, ph = make_image(i, px=[16, 24], fmts=["jpeg"])
+        ids.append(f"img{i}")
+        raws.append(data)
+        fmts.append(fmt)
+        ws.append(w)
+        hs.append(h)
+        phs.append(ph)
+    out = decode_check_rows(ids, raws, fmts, ws, hs, phs)
+    assert bool(out["decode_ok"].all()) and bool(out["shape_ok"].all())
+    assert bool(out["phash_ok"].all())
+    assert (out["psnr_db"] >= 40.0).all()

@@ -45,14 +45,17 @@ def test_image_features_real_decode(spark):
         assert np.array_equal(thumb, resize_block_mean(arr, 8, 8))
 
 
-def test_image_features_poisoned_and_stub_rows_survive(spark):
-    """Corrupt bytes and stubbed codecs yield NULL-feature rows, not errors."""
+def test_image_features_poisoned_rows_survive_and_jpeg_decodes(spark):
+    """Corrupt bytes yield NULL-feature rows, not errors; a real JPEG row now
+    decodes to full features (the codec is no longer stubbed)."""
     rng = np.random.default_rng(4)
     good = encode_image(rng.integers(0, 256, (16, 16, 3), dtype=np.uint8), "png")
+    jarr = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
     rows = [
         ("ok", bytearray(good), "png"),
         ("bad", bytearray(b"\x00garbage"), "png"),
-        ("jpg", bytearray(b"\xff\xd8\xff"), "jpeg"),  # stubbed codec
+        ("jpg_trunc", bytearray(b"\xff\xd8\xff"), "jpeg"),  # corrupt (truncated)
+        ("jpg_ok", bytearray(encode_image(jarr, "jpeg")), "jpeg"),
     ]
     out = {
         r.image_id: r
@@ -60,10 +63,11 @@ def test_image_features_poisoned_and_stub_rows_survive(spark):
         .mapInPandas(image_features_map_in_pandas, IMAGE_FEATURE_SCHEMA)
         .collect()
     }
-    assert len(out) == 3
+    assert len(out) == 4
     assert out["ok"].phash is not None
     assert out["bad"].phash is None and out["bad"].w is None
-    assert out["jpg"].phash is None  # stub path: metadata-only row
+    assert out["jpg_trunc"].phash is None  # poisoned row: metadata-only
+    assert out["jpg_ok"].phash is not None and (out["jpg_ok"].w, out["jpg_ok"].h) == (16, 16)
 
 
 def test_resize_block_mean_identity_and_downsample():
