@@ -3131,6 +3131,14 @@ FROM agg
 
 
 def q63_cms_heavy_hitters(spark, sf_dir):
+    """Count-min heavy hitters with an exact-count audit column.
+
+    Production cost is the sketch path alone: cms_table is one map-side-
+    combined 4x1024 integer grid + a broadcast probe.  The exact_top
+    groupBy exists only so the demo (and the oracle twin) can exhibit the
+    overcount bound per hitter — at 100 TB you'd keep the sketch and drop
+    the exact branch (or sample it), so most of this query's measured time
+    is audit, not operator."""
     from crawler_spark.operators.sketches import cms_lookup, cms_table
 
     toks = (
