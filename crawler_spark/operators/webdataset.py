@@ -10,22 +10,28 @@ sequential tar streamer with zero index structures.  Nothing beyond stdlib
 
 Scale design (100 TB of payload bytes):
 
-* **One payload shuffle, total.**  Shard assignment is a deterministic hash
-  of the sample key — ``md5('wds:' || key) mod n_shards`` (md5-derived
-  randomness per the repo convention: engine-portable, seed-free, so shard
-  contents are identical on any cluster size / engine / rerun) — NOT a
-  global row-number.  A row-number layout (q65's exactly-balanced variant)
-  needs a range shuffle *and* a grouping shuffle of the heavy binary cells;
-  hash sharding moves each payload byte across the wire exactly once.
-  Shard sizes are binomially balanced — at ≥10⁴ samples/shard the spread is
-  <2% (documented, not hidden).
-* **Streaming writer, no per-shard buffering.**  Rows arrive sorted by
-  (shard, skey); the writer rolls to a new tar when the shard id changes,
-  so executor memory holds ONE sample at a time — shard size (samples) and
-  sample size (bytes) never bound the heap.  ``n_shards`` should be chosen
-  so a shard ≈ 0.1-1 GiB (the published WebDataset guidance) — at 100 TB
-  that is O(10⁵) shards, far above any practical executor count, so every
-  task streams a handful of whole shards.
+* **One payload shuffle at most — zero on the direct path.**  Shard
+  assignment is a deterministic hash of the sample key —
+  ``md5('wds:' || key) mod n_shards`` (md5-derived randomness per the repo
+  convention: engine-portable, seed-free, so shard contents are identical on
+  any cluster size / engine / rerun) — NOT a global row-number.  A
+  row-number layout (q65's exactly-balanced variant) needs a range shuffle
+  *and* a grouping shuffle of the heavy binary cells; hash sharding moves
+  each payload byte across the wire exactly once (``write_webdataset``) or,
+  when the payloads already live in columnar files every executor can read
+  (``export_image_captions``), ZERO times: Spark shuffles only
+  (key, path, caption) strings and each shard task streams its bytes
+  straight from storage with pyarrow — the same direct-read pattern as
+  ``plans.engine._payload_check``.  Shard sizes are binomially balanced —
+  at ≥10⁴ samples/shard the spread is <2% (documented, not hidden).
+* **Streaming writer.**  Tars are written straight to their ``.tmp`` file
+  through an md5-folding wrapper (``tarfile`` stream mode ``w|`` — no
+  seeks, no in-memory tar image).  The shuffle path holds ONE Arrow batch +
+  one in-progress sample; the direct path holds one shard's payload dict
+  (shards are sized 0.1-1 GiB by the published WebDataset guidance, so that
+  is the task's working set by construction).  At 100 TB that is O(10⁵)
+  shards, far above any practical executor count, so every task streams a
+  handful of whole shards.
 * **Byte-deterministic tars.**  Entry metadata is pinned (mtime=0,
   uid/gid=0, empty uname/gname, USTAR format) and within-shard order is the
   total order (skey, key) — two runs over the same input produce
@@ -45,15 +51,101 @@ of the LLM-pipeline tier the build brief adds on top.
 
 from __future__ import annotations
 
+import hashlib
+import io
 import json
 import os
+import tarfile
+import uuid
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["shard_assignments", "write_webdataset", "read_webdataset_dir"]
+__all__ = [
+    "shard_assignments",
+    "write_webdataset",
+    "export_image_captions",
+    "read_webdataset_dir",
+]
 
 _MANIFEST = "_manifest.json"
+
+
+class _Md5File:
+    """File wrapper folding an md5 + byte count into sequential writes, so
+    the shard digest costs no second pass and no buffering."""
+
+    def __init__(self, f):
+        self._f = f
+        self.md5 = hashlib.md5()
+        self.n = 0
+
+    def write(self, b):
+        self._f.write(b)
+        self.md5.update(b)
+        self.n += len(b)
+        return len(b)
+
+    def close(self):
+        self._f.close()
+
+
+class _ShardTarWriter:
+    """Streams tar shards to disk one at a time (roll on shard change).
+
+    ``tarfile`` stream mode (``w|``) never seeks, so the tar goes straight
+    to the ``.tmp`` file — memory holds only the entry being added.  Each
+    finished shard is atomically renamed into place and reported as a
+    (shard, n_samples, bytes, md5) stat tuple.
+    """
+
+    def __init__(self, out_dir: str, prefix: str):
+        self.out_dir = out_dir
+        self.prefix = prefix
+        self.shard = None
+        self._tar = None
+        self._fh = None
+        self._tmp = None
+        self._n = 0
+        self._keys = None
+        self.stats: list[tuple] = []
+
+    def start(self, shard: int) -> None:
+        self.finish()
+        self.shard = int(shard)
+        final = os.path.join(self.out_dir, f"{self.prefix}-{self.shard:06d}.tar")
+        self._tmp = final + f".tmp-{uuid.uuid4().hex[:8]}"
+        self._fh = _Md5File(open(self._tmp, "wb"))
+        self._tar = tarfile.open(fileobj=self._fh, mode="w|",
+                                 format=tarfile.USTAR_FORMAT)
+        self._n = 0
+        self._keys = set()
+
+    def add_sample(self, key: str, parts: list[tuple[str, bytes]]) -> None:
+        if key in self._keys:
+            raise ValueError(f"duplicate sample key {key!r} in shard {self.shard}")
+        self._keys.add(key)
+        for ext, payload in parts:
+            info = tarfile.TarInfo(name=f"{key}.{ext}")
+            info.size = len(payload)
+            info.mtime = 0
+            info.uid = info.gid = 0
+            info.uname = info.gname = ""
+            self._tar.addfile(info, io.BytesIO(payload))
+        self._n += 1
+
+    def finish(self):
+        if self._tar is None:
+            return None
+        self._tar.close()
+        self._fh.close()
+        final = os.path.join(self.out_dir, f"{self.prefix}-{self.shard:06d}.tar")
+        os.replace(self._tmp, final)
+        stat = (self.shard, self._n, self._fh.n, self._fh.md5.hexdigest())
+        self.stats.append(stat)
+        self.shard = self._tar = self._fh = self._tmp = self._keys = None
+        self._n = 0
+        return stat
 
 
 def shard_assignments(
@@ -79,6 +171,23 @@ def shard_assignments(
     )
 
 
+def _seal_manifest(out_dir: str, prefix: str, n_shards: int,
+                   parts: list[str], stats: list[dict]) -> dict:
+    manifest = {
+        "format": "webdataset",
+        "prefix": prefix,
+        "n_shards": int(n_shards),
+        "parts": parts,
+        "n_samples": int(sum(s["n_samples"] for s in stats)),
+        "shards": stats,
+    }
+    tmp = os.path.join(out_dir, _MANIFEST + ".tmp")
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    os.replace(tmp, os.path.join(out_dir, _MANIFEST))
+    return manifest
+
+
 def write_webdataset(
     df: DataFrame, out_dir: str, key_col: str, parts: dict[str, str],
     n_shards: int, prefix: str = "shard",
@@ -91,6 +200,11 @@ def write_webdataset(
     parts are skipped (a sample may lack an optional part).  Sample keys
     must be unique — duplicate keys inside one tar would shadow each other
     in every WebDataset reader, so the writer raises on collision.
+
+    This is the general path: sample bytes live in ``df`` columns and cross
+    the wire exactly once (the shard repartition).  When payloads already
+    sit in executor-readable columnar files, prefer
+    :func:`export_image_captions`, which shuffles no payload bytes at all.
     """
     from pyspark.sql.types import BinaryType
 
@@ -113,78 +227,31 @@ def write_webdataset(
     os.makedirs(out_dir, exist_ok=True)
 
     def _write(it):
-        import hashlib
-        import io
-        import tarfile
-        import uuid
-
         import pandas as pd
 
-        # one open tar at a time: rows arrive grouped by shard id
-        state = {"shard": None, "tar": None, "buf": None, "n": 0, "keys": None}
-        stats: list[tuple] = []
-
-        def close_current():
-            if state["tar"] is None:
-                return None
-            state["tar"].close()
-            data = state["buf"].getvalue()
-            final = os.path.join(out_dir, f"{prefix}-{state['shard']:06d}.tar")
-            tmp = final + f".tmp-{uuid.uuid4().hex[:8]}"
-            with open(tmp, "wb") as f:
-                f.write(data)
-            os.replace(tmp, final)
-            stat = (state["shard"], state["n"], len(data),
-                    hashlib.md5(data).hexdigest())
-            state.update(shard=None, tar=None, buf=None, n=0, keys=None)
-            return stat
-
-        def add(tar, name, payload: bytes):
-            info = tarfile.TarInfo(name=name)
-            info.size = len(payload)
-            info.mtime = 0
-            info.uid = info.gid = 0
-            info.uname = info.gname = ""
-            tar.addfile(info, io.BytesIO(payload))
-
-        # Arrow-batched pass (mapInPandas, never rows.rdd row pickling);
-        # writer state persists across the partition's batches, so memory
-        # holds one Arrow batch + one in-progress sample, not a shard.
+        # rows arrive grouped by shard id; writer state persists across the
+        # partition's Arrow batches, so memory holds one batch + the sample
+        # being added — never a whole shard.
+        w = _ShardTarWriter(out_dir, prefix)
         for pdf in it:
             shards = pdf["shard"].to_numpy()
             keys = pdf["_key"].to_numpy()
             part_cols = {ext: pdf[f"_p_{ext}"].to_numpy() for ext in exts}
             for i in range(len(pdf)):
-                if int(shards[i]) != state["shard"]:
-                    stat = close_current()
-                    if stat is not None:
-                        stats.append(stat)
-                    state["shard"] = int(shards[i])
-                    state["buf"] = io.BytesIO()
-                    state["tar"] = tarfile.open(
-                        fileobj=state["buf"], mode="w",
-                        format=tarfile.USTAR_FORMAT,
-                    )
-                    state["keys"] = set()
-                key = keys[i]
-                if key in state["keys"]:
-                    raise ValueError(
-                        f"duplicate sample key {key!r} in shard {state['shard']}"
-                    )
-                state["keys"].add(key)
+                if int(shards[i]) != w.shard:
+                    w.start(int(shards[i]))
+                sample = []
                 for ext in exts:
                     v = part_cols[ext][i]
                     if v is None:
                         continue
                     payload = (bytes(v) if isinstance(v, (bytes, bytearray))
                                else str(v).encode())
-                    add(state["tar"], f"{key}.{ext}", payload)
-                state["n"] += 1
-        stat = close_current()
-        if stat is not None:
-            stats.append(stat)
+                    sample.append((ext, payload))
+                w.add_sample(keys[i], sample)
+        w.finish()
         yield pd.DataFrame(
-            stats, columns=["shard", "n_samples", "bytes", "md5"]
+            w.stats, columns=["shard", "n_samples", "bytes", "md5"]
         )
 
     # mapInPandas (not foreachPartition) so each task reports its shard
@@ -197,19 +264,91 @@ def write_webdataset(
         ).collect()),
         key=lambda s: s["shard"],
     )
-    manifest = {
-        "format": "webdataset",
-        "prefix": prefix,
-        "n_shards": int(n_shards),
-        "parts": exts,
-        "n_samples": int(sum(s["n_samples"] for s in stats)),
-        "shards": stats,
-    }
-    tmp = os.path.join(out_dir, _MANIFEST + ".tmp")
-    with open(tmp, "w", encoding="utf-8") as f:
-        json.dump(manifest, f, indent=1, sort_keys=True)
-    os.replace(tmp, os.path.join(out_dir, _MANIFEST))
-    return manifest
+    return _seal_manifest(out_dir, prefix, n_shards, exts, stats)
+
+
+def export_image_captions(
+    samples: DataFrame, out_dir: str, n_shards: int, prefix: str = "shard",
+    key_col: str = "image_id", path_col: str = "path",
+) -> dict:
+    """Direct-read WebDataset export of the north-rule image+caption shape.
+
+    ``samples`` carries (image_id, path, caption, w, h, fmt, phash) — path
+    is the payload parquet file holding the row's ``bytes`` (the engine's
+    ``images_index`` join).  Spark shuffles ONLY these narrow strings,
+    grouped per shard; each shard task then pyarrow-reads the bytes of its
+    ids straight from the referenced files (``plans.engine._payload_check``
+    pattern), so payload bytes go storage → Python → tar with no JVM hop
+    and no byte shuffle — the export's network cost at 100 TB is zero
+    beyond the id/caption strings.
+
+    Each sample becomes ``<key>.<fmt>`` (raw stored bytes — the training
+    consumer gets the original codec stream), ``<key>.txt`` (caption,
+    utf-8) and ``<key>.json`` (sorted-key metadata: fmt/h/phash/w).
+    Within-shard order is (skey, key) as in :func:`write_webdataset`, so
+    re-runs are byte-identical regardless of the payload files' layout; the
+    task's working set is one shard's payload dict (shards are 0.1-1 GiB by
+    WebDataset sizing guidance).
+    """
+    meta_cols = ["caption", "w", "h", "fmt", "phash"]
+    sdf = shard_assignments(samples, key_col, n_shards)
+    rows = sdf.select(
+        "shard", "skey", F.col(key_col).cast("string").alias("_key"),
+        F.col(path_col).alias("_path"), *meta_cols,
+    ).repartition(int(n_shards), "shard")
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def _write_group(pdf):
+        import re
+
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        pdf = pdf.sort_values(["skey", "_key"], kind="mergesort")
+        # gather this shard's payload bytes, one pyarrow read per file
+        blob: dict[str, bytes] = {}
+        for path, grp in pdf.groupby("_path", sort=False):
+            local = re.sub("^file:/*", "/", str(path))
+            want = pa.array(grp["_key"].unique())
+            tbl = pq.read_table(local, columns=[key_col, "bytes"],
+                                use_threads=False)
+            tbl = tbl.filter(pc.is_in(tbl[key_col], value_set=want))
+            blob.update(zip(tbl[key_col].to_pylist(), tbl["bytes"].to_pylist()))
+        missing = set(pdf["_key"]) - set(blob)
+        if missing:
+            raise ValueError(f"payload rows missing for ids {sorted(missing)[:3]}")
+
+        w = _ShardTarWriter(out_dir, prefix)
+        w.start(int(pdf["shard"].iloc[0]))
+        cols = [pdf[c].to_numpy()
+                for c in ("_key", "caption", "w", "h", "fmt", "phash")]
+        for key, caption, iw, ih, fmt, phash in zip(*cols):
+            meta = json.dumps(
+                {"fmt": str(fmt), "h": int(ih), "phash": int(phash),
+                 "w": int(iw)},
+                sort_keys=True, separators=(",", ":"),
+            ).encode()
+            w.add_sample(key, [
+                (str(fmt), bytes(blob[key])),
+                ("txt", str(caption).encode()),
+                ("json", meta),
+            ])
+        w.finish()
+        return pd.DataFrame(w.stats,
+                            columns=["shard", "n_samples", "bytes", "md5"])
+
+    stats = sorted(
+        (r.asDict() for r in rows.groupBy("shard").applyInPandas(
+            _write_group, schema="shard int, n_samples long, bytes long, md5 string"
+        ).collect()),
+        key=lambda s: s["shard"],
+    )
+    parts = sorted({r["fmt"] for r in
+                    samples.select("fmt").distinct().collect()}) + ["txt", "json"]
+    return _seal_manifest(out_dir, prefix, n_shards, parts, stats)
 
 
 def read_webdataset_dir(out_dir: str) -> list[dict]:
@@ -218,8 +357,6 @@ def read_webdataset_dir(out_dir: str) -> list[dict]:
     Refuses an unsealed export (no manifest) — the consumer-side half of the
     manifest-last contract.
     """
-    import tarfile
-
     mpath = os.path.join(out_dir, _MANIFEST)
     if not os.path.exists(mpath):
         raise FileNotFoundError(f"unsealed webdataset export (no {_MANIFEST})")

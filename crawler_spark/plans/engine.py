@@ -1092,3 +1092,36 @@ class CrawlEngine:
         )
         ids = fetched_urls.join(self.pages.select("url", "image_id"), "url").select("image_id").distinct()
         return self._payload_check(ids)
+
+    def export_webdataset(self, out_dir: str, n_shards: Optional[int] = None,
+                          prefix: str = "shard") -> dict:
+        """Export every crawled image+caption pair as WebDataset tar shards.
+
+        The crawl → training-data handoff: fetched URLs resolve to image_ids
+        (frontier side, strings only), captions/metadata come from a
+        bytes-pruned scan of the payload table, and the shard tasks read the
+        payload bytes directly from the parquet files
+        (operators.webdataset.export_image_captions) — the bytes never
+        transit the JVM, matching the engine's payload discipline end to
+        end.  Deterministic: same crawl ⇒ byte-identical shards.
+        """
+        from crawler_spark.operators.webdataset import export_image_captions
+
+        fetched_urls = (
+            self.fetch_log().filter(F.col("status") == P.ST_FETCHED)
+            .select("url").distinct()
+        )
+        ids = (
+            fetched_urls.join(self.pages.select("url", "image_id"), "url")
+            .select("image_id").distinct()
+        )
+        samples = (
+            ids.join(self.images.select(
+                "image_id", "caption", "w", "h", "fmt", "phash"), "image_id")
+            .join(self.images_index, "image_id")
+        )
+        if n_shards is None:
+            # ~4k samples/shard keeps shards in the 0.1-1 GiB guidance band
+            # for O(100 KB) payloads; cheap count — strings only.
+            n_shards = max(2, -(-samples.count() // 4096))
+        return export_image_captions(samples, out_dir, n_shards, prefix=prefix)

@@ -114,6 +114,83 @@ def test_shard_assignment_duckdb_twin(spark):
     assert got == want
 
 
+@pytest.fixture(scope="module")
+def crawl_export(spark, tmp_path_factory):
+    """Small mixed-codec crawl + its WebDataset export (module-shared)."""
+    from crawler_spark.fixtures import generate
+    from crawler_spark.plans.engine import CrawlEngine
+    from crawler_spark.plans.policy import CrawlConfig
+
+    fix = str(tmp_path_factory.mktemp("wds_fix"))
+    generate(fix, n_pages=96, n_hosts=4, seed=7, image_shards=3,
+             fmts=["png", "jpeg", "bmp"])
+    eng = CrawlEngine(spark, fix, str(tmp_path_factory.mktemp("wds_ckpt")),
+                      CrawlConfig(max_rounds=8))
+    eng.run()
+    out = str(tmp_path_factory.mktemp("wds_out"))
+    manifest = eng.export_webdataset(out, n_shards=4)
+    return eng, out, manifest
+
+
+def test_engine_export_roundtrip(crawl_export, spark):
+    """Crawl → WebDataset handoff: every fetched image+caption pair lands in
+    the shards with the ORIGINAL stored bytes (stronger than PSNR) and the
+    table's caption; json metadata carries w/h/fmt/phash."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+    from crawler_spark.plans.policy import ST_FETCHED
+
+    eng, out, manifest = crawl_export
+    fetched = {
+        r.image_id for r in
+        eng.fetch_log().filter(F.col("status") == ST_FETCHED)
+        .select("url").distinct()
+        .join(eng.pages.select("url", "image_id"), "url")
+        .select("image_id").distinct().collect()
+    }
+    samples = {s["key"]: s for s in read_webdataset_dir(out)}
+    assert set(samples) == fetched
+    assert manifest["n_samples"] == len(fetched)
+    table = {r.image_id: r for r in eng.images.collect()}
+    for key, smp in samples.items():
+        row = table[key]
+        assert smp[row.fmt] == bytes(row.bytes)
+        assert smp["txt"].decode() == row.caption
+        meta = _json.loads(smp["json"])
+        assert meta == {"fmt": row.fmt, "h": row.h, "phash": row.phash,
+                        "w": row.w}
+
+
+def test_engine_export_rerun_byte_identical(crawl_export, tmp_path_factory):
+    """Same crawl ⇒ byte-identical shards (md5s match shard-for-shard)."""
+    eng, _, manifest = crawl_export
+    out2 = str(tmp_path_factory.mktemp("wds_out2"))
+    m2 = eng.export_webdataset(out2, n_shards=4)
+    assert m2 == manifest
+
+
+def test_engine_export_plan_sheds_bytes(crawl_export):
+    """The JVM side of the export never scans the payload column: the only
+    reads are bytes-pruned (ReadSchema without `bytes`)."""
+    from pyspark.sql import functions as F
+    from crawler_spark.operators.webdataset import shard_assignments
+
+    eng, _, _ = crawl_export
+    samples = (
+        eng.fetch_log().select("url").distinct()
+        .join(eng.pages.select("url", "image_id"), "url")
+        .select("image_id").distinct()
+        .join(eng.images.select("image_id", "caption", "w", "h", "fmt",
+                                "phash"), "image_id")
+        .join(eng.images_index, "image_id")
+    )
+    plan = shard_assignments(samples, "image_id", 4)._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "ReadSchema" in line:
+            assert "bytes" not in line, line
+
+
 def test_image_caption_pairs_survive_tar(spark, tmpdir_path):
     """North-rule payload shape: PNG bytes + caption, pixel-exact readback."""
     np = pytest.importorskip("numpy")
