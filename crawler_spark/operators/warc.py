@@ -1,0 +1,296 @@
+"""WARC archival source + sink (WARC/1.1, ISO 28500).
+
+The crawl world's interchange format — what Common Crawl publishes and what
+every archival toolchain (wget, Heritrix, warcio, the IIPC tooling) reads.
+Format per the public spec (iipc/warc-specifications, "WARC/1.1 annotated"):
+a WARC file is a sequence of records; each record is
+
+    WARC/1.1<CRLF>
+    <named-field>: <value><CRLF> ...          (WARC-Type, WARC-Record-ID,
+    Content-Length: <n><CRLF>                  WARC-Date, WARC-Target-URI,
+    <CRLF>                                     Content-Type, digests...)
+    <n block bytes><CRLF><CRLF>
+
+and a ``.warc.gz`` stores each record as its OWN gzip member so readers can
+split/seek at member boundaries (the spec's annex D convention; multi-member
+decoding is what ``zlib`` exposes directly).  Everything here is stdlib —
+no warc library exists in this sandbox, and none is needed.
+
+Determinism (repo convention — re-runs byte-identical, golden-testable):
+
+* ``WARC-Record-ID`` is ``<urn:uuid:...>`` whose 128 bits are the md5 of
+  (type, target-uri, date) — syntactically a valid urn:uuid, semantically a
+  content address, so the same crawl always archives to the same bytes
+  (a random uuid4, as most writers use, would defeat the repo's
+  byte-determinism discipline).
+* gzip members are written with ``mtime=0`` and fixed compression level.
+* File assignment is the md5 shard hash (``webdataset.shard_assignments``)
+  and within-file order is (skey, url) — layout-independent.
+
+Scale design: the sink is the webdataset sink's shape — ONE shuffle of the
+archive rows grouped per output file, streaming writer (one record in memory
+at a time), write-then-rename, driver seals a ``_manifest.json`` last (the
+manifest is this repo's sealing convention; WARC tools ignore the extra
+file).  The source parallelizes per WARC file — Spark distributes only path
+strings and each task streams records straight from storage (the engine's
+direct-read discipline); WARC files are written 0.1-1 GiB in practice, so
+file count ≫ executor count at 100 TB.
+
+Reference: the crawler has no archival sink (its exporters write per-task
+text files); WARC is part of the crawl-tier surface this repo adds.
+"""
+
+from __future__ import annotations
+
+import base64
+import hashlib
+import json
+import os
+import uuid
+import zlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crawler_spark.operators.webdataset import shard_assignments
+
+__all__ = ["write_warc", "read_warc", "warc_record_bytes"]
+
+_MANIFEST = "_manifest.json"
+_CRLF = b"\r\n"
+
+
+def _warc_date(epoch: float) -> str:
+    """UTC ISO-8601 with second precision (spec §5.4), timezone-free math."""
+    import datetime as dt
+
+    return dt.datetime.fromtimestamp(
+        float(epoch), tz=dt.timezone.utc
+    ).strftime("%Y-%m-%dT%H:%M:%SZ")
+
+
+def _record_id(warc_type: str, target_uri: str, date: str) -> str:
+    h = hashlib.md5(f"warc:{warc_type}:{target_uri}:{date}".encode()).digest()
+    return f"<urn:uuid:{uuid.UUID(bytes=h)}>"
+
+
+def _payload_digest(block: bytes) -> str:
+    """``sha1:<base32>`` labelled digest (spec §5.8 / §5.9)."""
+    return "sha1:" + base64.b32encode(hashlib.sha1(block).digest()).decode()
+
+
+def warc_record_bytes(warc_type: str, block: bytes, *, target_uri: str = None,
+                      date_epoch: float = 0.0, content_type: str = None,
+                      extra: dict = None) -> bytes:
+    """Serialize one WARC/1.1 record (CRLF framing per spec §4)."""
+    date = _warc_date(date_epoch)
+    fields = [("WARC-Type", warc_type),
+              ("WARC-Record-ID", _record_id(warc_type, target_uri or "", date)),
+              ("WARC-Date", date)]
+    if target_uri is not None:
+        fields.append(("WARC-Target-URI", target_uri))
+    fields.append(("WARC-Payload-Digest", _payload_digest(block)))
+    if content_type is not None:
+        fields.append(("Content-Type", content_type))
+    for k, v in (extra or {}).items():
+        fields.append((k, str(v)))
+    fields.append(("Content-Length", str(len(block))))
+    lines = [b"WARC/1.1"] + [f"{k}: {v}".encode() for k, v in fields]
+    return _CRLF.join(lines) + _CRLF + _CRLF + block + _CRLF + _CRLF
+
+
+def _gzip_member(data: bytes, level: int = 6) -> bytes:
+    """One deterministic gzip member (mtime=0, no OS byte variance)."""
+    co = zlib.compressobj(level, zlib.DEFLATED, 16 + zlib.MAX_WBITS)
+    return co.compress(data) + co.flush()
+
+
+def write_warc(
+    df: DataFrame, out_dir: str, n_files: int, *,
+    url_col: str = "url", payload_col: str = "payload",
+    epoch_col: str = "epoch", warc_type: str = "resource",
+    content_type: str = "text/html", gzip_records: bool = True,
+    prefix: str = "archive", software: str = "crawler_spark",
+) -> dict:
+    """Archive ``df`` rows as WARC files; returns the sealed manifest.
+
+    Each output file opens with a ``warcinfo`` record (spec §6.2: software +
+    format fields, ``WARC-Filename``) followed by one ``warc_type`` record
+    per row, string payloads utf-8 encoded.  One shuffle total (file-hash
+    repartition); the writer streams record-at-a-time.
+    """
+    from pyspark.sql.types import BinaryType
+
+    is_bin = isinstance(df.schema[payload_col].dataType, BinaryType)
+    payload = (F.col(payload_col) if is_bin
+               else F.encode(F.col(payload_col).cast("string"), "utf-8"))
+    rows = (
+        shard_assignments(df, url_col, n_files, shard_col="_file")
+        .select(F.col("_file"), F.col("skey"),
+                F.col(url_col).cast("string").alias("_url"),
+                payload.alias("_payload"),
+                F.col(epoch_col).cast("double").alias("_epoch"))
+        .repartition(int(n_files), "_file")
+        .sortWithinPartitions("_file", "skey", "_url")
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    ext = ".warc.gz" if gzip_records else ".warc"
+
+    def _write(it):
+        import pandas as pd
+
+        state = {"file": None, "fh": None, "tmp": None, "n": 0,
+                 "md5": None, "bytes": 0}
+        stats: list[tuple] = []
+
+        def emit(data: bytes):
+            out = _gzip_member(data) if gzip_records else data
+            state["fh"].write(out)
+            state["md5"].update(out)
+            state["bytes"] += len(out)
+
+        def close_current():
+            if state["fh"] is None:
+                return
+            state["fh"].close()
+            final = os.path.join(out_dir, f"{prefix}-{state['file']:06d}{ext}")
+            os.replace(state["tmp"], final)
+            stats.append((state["file"], state["n"], state["bytes"],
+                          state["md5"].hexdigest()))
+            state.update(file=None, fh=None, tmp=None, n=0, md5=None, bytes=0)
+
+        def open_file(fid: int):
+            close_current()
+            name = f"{prefix}-{fid:06d}{ext}"
+            state.update(file=fid, tmp=os.path.join(out_dir, name + ".tmp"),
+                         md5=hashlib.md5(), n=0, bytes=0)
+            state["fh"] = open(state["tmp"], "wb")
+            info = (f"software: {software}\r\n"
+                    f"format: WARC File Format 1.1\r\n").encode()
+            emit(warc_record_bytes(
+                "warcinfo", info, date_epoch=0.0,
+                content_type="application/warc-fields",
+                extra={"WARC-Filename": name}))
+
+        for pdf in it:
+            files = pdf["_file"].to_numpy()
+            urls = pdf["_url"].to_numpy()
+            payloads = pdf["_payload"].to_numpy()
+            epochs = pdf["_epoch"].to_numpy()
+            for i in range(len(pdf)):
+                if int(files[i]) != state["file"]:
+                    open_file(int(files[i]))
+                emit(warc_record_bytes(
+                    warc_type, bytes(payloads[i]), target_uri=str(urls[i]),
+                    date_epoch=float(epochs[i]), content_type=content_type))
+                state["n"] += 1
+        close_current()
+        yield pd.DataFrame(stats, columns=["file", "n_records", "bytes", "md5"])
+
+    stats = sorted(
+        (r.asDict() for r in rows.mapInPandas(
+            _write, schema="file int, n_records long, bytes long, md5 string"
+        ).collect()),
+        key=lambda s: s["file"],
+    )
+    manifest = {"format": "warc/1.1", "prefix": prefix, "ext": ext,
+                "n_files": int(n_files), "warc_type": warc_type,
+                "n_records": int(sum(s["n_records"] for s in stats)),
+                "files": stats}
+    tmp = os.path.join(out_dir, _MANIFEST + ".tmp")
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    os.replace(tmp, os.path.join(out_dir, _MANIFEST))
+    return manifest
+
+
+def parse_warc_stream(data: bytes):
+    """Yield records from raw WARC bytes (gzip multi-member or plain).
+
+    Tolerant per the repo's executor discipline: a torn/corrupted tail ends
+    the stream (records before it are yielded) — malformed input must never
+    raise inside a task.  Yields dicts with lower-cased header keys plus
+    ``block``.
+    """
+    if data[:2] == b"\x1f\x8b":  # gzip: inflate all members
+        out, rest = [], data
+        while rest[:2] == b"\x1f\x8b":
+            do = zlib.decompressobj(16 + zlib.MAX_WBITS)
+            try:
+                out.append(do.decompress(rest))
+            except zlib.error:
+                break
+            rest = do.unused_data
+        data = b"".join(out)
+    pos = 0
+    while True:
+        head_end = data.find(_CRLF + _CRLF, pos)
+        if head_end < 0 or not data[pos:].startswith(b"WARC/"):
+            return
+        try:
+            lines = data[pos:head_end].decode("utf-8", "strict").split("\r\n")
+        except UnicodeDecodeError:
+            return
+        hdr = {}
+        for ln in lines[1:]:
+            k, _, v = ln.partition(":")
+            if not _:
+                return
+            hdr[k.strip().lower()] = v.strip()
+        try:
+            n = int(hdr["content-length"])
+        except (KeyError, ValueError):
+            return
+        block = data[head_end + 4:head_end + 4 + n]
+        if len(block) != n or data[head_end + 4 + n:head_end + 4 + n + 4] != _CRLF * 2:
+            return
+        hdr["block"] = block
+        yield hdr
+        pos = head_end + 4 + n + 4
+
+
+def read_warc(spark: SparkSession, in_dir: str) -> DataFrame:
+    """WARC directory → DataFrame, one row per record.
+
+    Columns: ``file, warc_type, record_id, date, target_uri, content_type,
+    payload (binary), digest_ok (payload sha1 matches the record's labelled
+    digest — the archive-integrity check)``.  Spark distributes only the
+    path strings (one task per WARC file — the parallelism unit at scale,
+    like the engine's payload reads); each task streams its file from
+    storage and parses with the stdlib-only record walker above.
+    """
+    paths = sorted(
+        os.path.join(in_dir, f) for f in os.listdir(in_dir)
+        if f.endswith((".warc", ".warc.gz"))
+    )
+    pdf = spark.createDataFrame([(p,) for p in paths], "path string")
+    pdf = pdf.repartition(max(1, len(paths)), "path")
+
+    def _read(it):
+        import pandas as pd
+
+        for batch in it:
+            for path in batch["path"]:
+                rows = []
+                with open(path, "rb") as f:
+                    data = f.read()
+                for rec in parse_warc_stream(data):
+                    want = rec.get("warc-payload-digest")
+                    rows.append((
+                        os.path.basename(path),
+                        rec.get("warc-type"),
+                        rec.get("warc-record-id"),
+                        rec.get("warc-date"),
+                        rec.get("warc-target-uri"),
+                        rec.get("content-type"),
+                        rec["block"],
+                        want is None or _payload_digest(rec["block"]) == want,
+                    ))
+                yield pd.DataFrame(rows, columns=[
+                    "file", "warc_type", "record_id", "date", "target_uri",
+                    "content_type", "payload", "digest_ok"])
+
+    return pdf.mapInPandas(_read, schema=(
+        "file string, warc_type string, record_id string, date string, "
+        "target_uri string, content_type string, payload binary, "
+        "digest_ok boolean"))

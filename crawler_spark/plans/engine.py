@@ -1125,3 +1125,33 @@ class CrawlEngine:
             # for O(100 KB) payloads; cheap count — strings only.
             n_shards = max(2, -(-samples.count() // 4096))
         return export_image_captions(samples, out_dir, n_shards, prefix=prefix)
+
+    def export_warc(self, out_dir: str, n_files: Optional[int] = None,
+                    gzip_records: bool = True) -> dict:
+        """Archive every fetched page as WARC/1.1 ``resource`` records.
+
+        The crawl-tier interchange handoff (operators.warc): fetched URLs
+        join the page table's HTML, stamped with each URL's FIRST fetch
+        epoch (recrawls re-fetch a URL in later rounds; the archive records
+        the original capture, deterministic under resume).  ``resource`` is
+        the spec's type for directly-stored content — the synthetic fetch
+        has no raw HTTP response to replay.  Emulator search SERPs are
+        transient sub-steps with no stored page body (their extracted
+        records persist via story_results → the exporter family), so the
+        archive covers exactly the page-table captures.  Byte-deterministic
+        like every sink here: same crawl ⇒ md5-identical WARC files.
+        """
+        from crawler_spark.operators.warc import write_warc
+
+        fetched = (
+            self.fetch_log().filter(F.col("status") == P.ST_FETCHED)
+            .groupBy("url").agg(F.min("event_epoch").alias("epoch"))
+        )
+        pages = fetched.join(self.pages.select("url", "content"), "url")
+        if n_files is None:
+            n_files = max(2, -(-pages.count() // 65536))
+        return write_warc(
+            pages, out_dir, n_files, url_col="url", payload_col="content",
+            epoch_col="epoch", warc_type="resource",
+            content_type="text/html", gzip_records=gzip_records,
+        )

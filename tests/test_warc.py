@@ -1,0 +1,145 @@
+"""WARC archival sink + source (operators/warc.py, WARC/1.1 / ISO 28500).
+
+Pins: spec framing (version line, required named fields, CRLF discipline,
+warcinfo lead record), gzip-per-record member layout, sha1-base32 payload
+digests, byte-identical re-runs, the tolerant reader on torn files, and the
+engine's crawl→archive handoff.
+"""
+
+import hashlib
+import os
+import zlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawler_spark.operators.warc import (
+    parse_warc_stream,
+    read_warc,
+    warc_record_bytes,
+    write_warc,
+)
+
+
+def _pages(spark, n=120):
+    return spark.range(n).select(
+        F.concat(F.lit("http://h"), (F.col("id") % 5),
+                 F.lit(".example/p/"), F.col("id")).alias("url"),
+        F.concat(F.lit("<html><body>page "), F.col("id"),
+                 F.lit("</body></html>")).alias("payload"),
+        (F.lit(1704067200.0) + F.col("id").cast("double")).alias("epoch"),
+    )
+
+
+@pytest.mark.parametrize("gz", [False, True])
+def test_roundtrip(spark, tmpdir_path, gz):
+    out = os.path.join(tmpdir_path, "warc")
+    m = write_warc(_pages(spark), out, 4, gzip_records=gz)
+    assert m["n_records"] == 120
+    ext = ".warc.gz" if gz else ".warc"
+    assert all(f"archive-{s['file']:06d}{ext}" in os.listdir(out)
+               for s in m["files"])
+    got = read_warc(spark, out).collect()
+    res = [r for r in got if r.warc_type == "resource"]
+    infos = [r for r in got if r.warc_type == "warcinfo"]
+    assert len(res) == 120 and len(infos) == len(m["files"])
+    assert all(r.digest_ok for r in got)
+    want = {r.url: r.payload for r in _pages(spark).collect()}
+    for r in res:
+        assert bytes(r.payload).decode() == want[r.target_uri]
+        assert r.content_type == "text/html"
+        assert r.date.endswith("Z") and r.record_id.startswith("<urn:uuid:")
+
+
+def test_byte_identical_reruns(spark, tmpdir_path):
+    outs = [os.path.join(tmpdir_path, d) for d in ("a", "b")]
+    ms = [write_warc(_pages(spark, 80), o, 3) for o in outs]
+    assert ms[0] == ms[1]
+    for s in ms[0]["files"]:
+        name = f"archive-{s['file']:06d}.warc.gz"
+        with open(os.path.join(outs[0], name), "rb") as fa, \
+                open(os.path.join(outs[1], name), "rb") as fb:
+            assert fa.read() == fb.read(), name
+
+
+def test_spec_framing():
+    """Record bytes follow §4: version line, named fields, CRLF block tail."""
+    rec = warc_record_bytes(
+        "resource", b"hello", target_uri="http://x/", date_epoch=0.0,
+        content_type="text/plain")
+    head, _, rest = rec.partition(b"\r\n\r\n")
+    lines = head.split(b"\r\n")
+    assert lines[0] == b"WARC/1.1"
+    keys = {l.split(b":")[0] for l in lines[1:]}
+    for k in (b"WARC-Type", b"WARC-Record-ID", b"WARC-Date",
+              b"WARC-Target-URI", b"WARC-Payload-Digest", b"Content-Length"):
+        assert k in keys, k
+    assert rest == b"hello\r\n\r\n"
+    # digest is the labelled sha1-base32 of the block (§5.8)
+    import base64
+    want = "sha1:" + base64.b32encode(hashlib.sha1(b"hello").digest()).decode()
+    assert f"WARC-Payload-Digest: {want}".encode() in head
+
+
+def test_gzip_member_per_record(spark, tmpdir_path):
+    """§annex D: every record its own gzip member — member count == records."""
+    out = os.path.join(tmpdir_path, "warc")
+    m = write_warc(_pages(spark, 40), out, 1)
+    path = os.path.join(out, "archive-000000.warc.gz")
+    data = open(path, "rb").read()
+    members = 0
+    while data[:2] == b"\x1f\x8b":
+        do = zlib.decompressobj(16 + zlib.MAX_WBITS)
+        do.decompress(data)
+        members += 1
+        data = do.unused_data
+    assert data == b""
+    assert members == m["files"][0]["n_records"] + 1  # + warcinfo
+
+
+def test_torn_tail_tolerated(spark, tmpdir_path):
+    out = os.path.join(tmpdir_path, "warc")
+    write_warc(_pages(spark, 30), out, 1, gzip_records=False)
+    path = os.path.join(out, "archive-000000.warc")
+    data = open(path, "rb").read()
+    open(path, "wb").write(data[: int(len(data) * 0.6)])
+    got = read_warc(spark, out).collect()
+    assert 0 < len(got) < 31
+    assert all(r.digest_ok for r in got)
+
+
+def test_corrupt_garbage_yields_nothing():
+    assert list(parse_warc_stream(b"not a warc at all")) == []
+    assert list(parse_warc_stream(b"\x1f\x8b\x08garbage")) == []
+
+
+def test_engine_export_warc(spark, tmp_path_factory):
+    """Crawl → WARC handoff: one resource record per fetched URL carrying the
+    page's HTML, deterministic across re-export."""
+    from crawler_spark.fixtures import generate
+    from crawler_spark.plans.engine import CrawlEngine
+    from crawler_spark.plans.policy import CrawlConfig, ST_FETCHED
+
+    fix = str(tmp_path_factory.mktemp("warc_fix"))
+    generate(fix, n_pages=64, n_hosts=4, seed=11)
+    eng = CrawlEngine(spark, fix, str(tmp_path_factory.mktemp("warc_ckpt")),
+                      CrawlConfig(max_rounds=6))
+    eng.run()
+    out = str(tmp_path_factory.mktemp("warc_out"))
+    m = eng.export_warc(out, n_files=3)
+    fetched = {
+        r.url for r in eng.fetch_log()
+        .filter(F.col("status") == ST_FETCHED).select("url").distinct().collect()
+    }
+    # emulator SERPs have no stored page body — the archive covers exactly
+    # the page-table captures (docstring contract)
+    page_urls = {r.url for r in eng.pages.select("url").collect()}
+    recs = read_warc(spark, out).filter("warc_type = 'resource'").collect()
+    assert {r.target_uri for r in recs} == fetched & page_urls
+    assert fetched & page_urls
+    assert m["n_records"] == len(fetched & page_urls)
+    html = {r.url: r.content for r in eng.pages.select("url", "content").collect()}
+    for r in recs:
+        assert bytes(r.payload).decode() == html[r.target_uri]
+    m2 = eng.export_warc(str(tmp_path_factory.mktemp("warc_out2")), n_files=3)
+    assert m2 == m
