@@ -54,7 +54,7 @@ from pyspark.sql import functions as F
 
 from crawler_spark.operators.webdataset import shard_assignments
 
-__all__ = ["write_warc", "read_warc", "warc_record_bytes"]
+__all__ = ["write_warc", "read_warc", "read_warc_record", "warc_record_bytes"]
 
 _MANIFEST = "_manifest.json"
 _CRLF = b"\r\n"
@@ -111,6 +111,7 @@ def write_warc(
     epoch_col: str = "epoch", warc_type: str = "resource",
     content_type: str = "text/html", gzip_records: bool = True,
     prefix: str = "archive", software: str = "crawler_spark",
+    cdx: bool = True,
 ) -> dict:
     """Archive ``df`` rows as WARC files; returns the sealed manifest.
 
@@ -118,6 +119,19 @@ def write_warc(
     format fields, ``WARC-Filename``) followed by one ``warc_type`` record
     per row, string payloads utf-8 encoded.  One shuffle total (file-hash
     repartition); the writer streams record-at-a-time.
+
+    ``cdx=True`` additionally writes ``<out_dir>/cdx/`` — a record-level
+    index parquet ``(url, date, file, offset, length, digest)`` in GLOBAL
+    url range order (repartitionByRange → binary-searchable shards, the
+    Common Crawl ``cluster.idx``/CDXJ pattern expressed as a columnar
+    table).  ``offset/length`` address the record's own gzip member (annex
+    D framing is what makes member-level seeks possible), so
+    :func:`read_warc_record` serves ONE record with a single ranged read —
+    the random-access path a 100 TB archive actually needs.  The index rows
+    are written distributedly by Spark (never collected); only the tiny
+    per-file stats reach the driver.  The writer's record rows flow through
+    one eager localCheckpoint so the tar-writing job runs exactly once for
+    both consumers (stats + index), then the blocks are released.
     """
     from pyspark.sql.types import BinaryType
 
@@ -141,13 +155,14 @@ def write_warc(
 
         state = {"file": None, "fh": None, "tmp": None, "n": 0,
                  "md5": None, "bytes": 0}
-        stats: list[tuple] = []
+        out_rows: list[tuple] = []
 
-        def emit(data: bytes):
+        def emit(data: bytes) -> int:
             out = _gzip_member(data) if gzip_records else data
             state["fh"].write(out)
             state["md5"].update(out)
             state["bytes"] += len(out)
+            return len(out)
 
         def close_current():
             if state["fh"] is None:
@@ -155,8 +170,9 @@ def write_warc(
             state["fh"].close()
             final = os.path.join(out_dir, f"{prefix}-{state['file']:06d}{ext}")
             os.replace(state["tmp"], final)
-            stats.append((state["file"], state["n"], state["bytes"],
-                          state["md5"].hexdigest()))
+            out_rows.append(("file", None, None, state["file"], None,
+                             state["bytes"], state["md5"].hexdigest(),
+                             state["n"]))
             state.update(file=None, fh=None, tmp=None, n=0, md5=None, bytes=0)
 
         def open_file(fid: int):
@@ -172,6 +188,7 @@ def write_warc(
                 content_type="application/warc-fields",
                 extra={"WARC-Filename": name}))
 
+        cols = ["kind", "url", "date", "file", "offset", "length", "digest", "n"]
         for pdf in it:
             files = pdf["_file"].to_numpy()
             urls = pdf["_url"].to_numpy()
@@ -180,21 +197,41 @@ def write_warc(
             for i in range(len(pdf)):
                 if int(files[i]) != state["file"]:
                     open_file(int(files[i]))
-                emit(warc_record_bytes(
-                    warc_type, bytes(payloads[i]), target_uri=str(urls[i]),
+                block = bytes(payloads[i])
+                off = state["bytes"]
+                ln = emit(warc_record_bytes(
+                    warc_type, block, target_uri=str(urls[i]),
                     date_epoch=float(epochs[i]), content_type=content_type))
+                out_rows.append(("rec", str(urls[i]),
+                                 _warc_date(float(epochs[i])), state["file"],
+                                 off, ln, _payload_digest(block), None))
                 state["n"] += 1
+            # flush index rows per input batch — memory stays O(batch)
+            yield pd.DataFrame(out_rows, columns=cols)
+            out_rows = []
         close_current()
-        yield pd.DataFrame(stats, columns=["file", "n_records", "bytes", "md5"])
+        yield pd.DataFrame(out_rows, columns=cols)
 
-    stats = sorted(
-        (r.asDict() for r in rows.mapInPandas(
-            _write, schema="file int, n_records long, bytes long, md5 string"
-        ).collect()),
-        key=lambda s: s["file"],
-    )
+    recs = rows.mapInPandas(_write, schema=(
+        "kind string, url string, date string, file int, offset long, "
+        "length long, digest string, n long")).localCheckpoint()
+    try:
+        stats = sorted(
+            ({"file": r.file, "n_records": r.n, "bytes": r.length,
+              "md5": r.digest}
+             for r in recs.filter(F.col("kind") == "file").collect()),
+            key=lambda s: s["file"],
+        )
+        if cdx:
+            (recs.filter(F.col("kind") == "rec")
+             .select("url", "date", "file", "offset", "length", "digest")
+             .repartitionByRange(max(1, int(n_files)), "url", "date")
+             .sortWithinPartitions("url", "date")
+             .write.mode("overwrite").parquet(os.path.join(out_dir, "cdx")))
+    finally:
+        recs.unpersist()
     manifest = {"format": "warc/1.1", "prefix": prefix, "ext": ext,
-                "n_files": int(n_files), "warc_type": warc_type,
+                "n_files": int(n_files), "warc_type": warc_type, "cdx": cdx,
                 "n_records": int(sum(s["n_records"] for s in stats)),
                 "files": stats}
     tmp = os.path.join(out_dir, _MANIFEST + ".tmp")
@@ -202,6 +239,16 @@ def write_warc(
         json.dump(manifest, f, indent=1, sort_keys=True)
     os.replace(tmp, os.path.join(out_dir, _MANIFEST))
     return manifest
+
+
+def read_warc_record(warc_path: str, offset: int, length: int):
+    """Random-access one record via its cdx (offset, length) — a single
+    ranged read (+ one member gunzip for ``.warc.gz``); returns the parsed
+    header dict with ``block``, or None if the slice is not a record."""
+    with open(warc_path, "rb") as f:
+        f.seek(int(offset))
+        raw = f.read(int(length))
+    return next(iter(parse_warc_stream(raw)), None)
 
 
 def parse_warc_stream(data: bytes):

@@ -113,6 +113,45 @@ def test_corrupt_garbage_yields_nothing():
     assert list(parse_warc_stream(b"\x1f\x8b\x08garbage")) == []
 
 
+@pytest.mark.parametrize("gz", [False, True])
+def test_cdx_random_access(spark, tmpdir_path, gz):
+    """The cdx index addresses every record: a single ranged read (+ member
+    gunzip) returns the exact payload, for both plain and gzip layouts."""
+    from crawler_spark.operators.warc import read_warc_record
+
+    out = os.path.join(tmpdir_path, "warc")
+    m = write_warc(_pages(spark, 90), out, 3, gzip_records=gz)
+    idx = spark.read.parquet(os.path.join(out, "cdx")).collect()
+    assert len(idx) == 90 == m["n_records"]
+    want = {r.url: r.payload for r in _pages(spark, 90).collect()}
+    for r in idx:
+        path = os.path.join(out, f"archive-{r.file:06d}{m['ext']}")
+        rec = read_warc_record(path, r.offset, r.length)
+        assert rec is not None
+        assert rec["warc-target-uri"] == r.url
+        assert rec["block"].decode() == want[r.url]
+        assert rec["warc-payload-digest"] == r.digest
+
+
+def test_cdx_globally_range_sorted(spark, tmpdir_path):
+    """Index shards are globally range-ordered by (url, date) — the
+    binary-searchable cluster.idx layout."""
+    out = os.path.join(tmpdir_path, "warc")
+    write_warc(_pages(spark, 60), out, 2)
+    cdx_dir = os.path.join(out, "cdx")
+    parts = sorted(f for f in os.listdir(cdx_dir) if f.endswith(".parquet"))
+    import pyarrow.parquet as pq
+    ranges = []
+    for f in parts:
+        t = pq.read_table(os.path.join(cdx_dir, f), columns=["url"])
+        urls = t["url"].to_pylist()
+        if urls:
+            assert urls == sorted(urls), f
+            ranges.append((urls[0], urls[-1]))
+    flat = [u for lo_hi in ranges for u in lo_hi]
+    assert flat == sorted(flat)  # shard ranges do not interleave
+
+
 def test_engine_export_warc(spark, tmp_path_factory):
     """Crawl → WARC handoff: one resource record per fetched URL carrying the
     page's HTML, deterministic across re-export."""
