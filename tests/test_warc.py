@@ -113,6 +113,44 @@ def test_corrupt_garbage_yields_nothing():
     assert list(parse_warc_stream(b"\x1f\x8b\x08garbage")) == []
 
 
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_uri = st.text(
+    alphabet=st.characters(min_codepoint=0x21, max_codepoint=0x7E,
+                           exclude_characters="\r\n"),
+    min_size=1, max_size=80)
+
+
+@settings(max_examples=200, deadline=None)
+@given(blocks=st.lists(st.binary(max_size=512), min_size=1, max_size=8),
+       uris=st.lists(_uri, min_size=8, max_size=8),
+       epoch=st.floats(min_value=0, max_value=4102444800))
+def test_record_stream_roundtrip_property(blocks, uris, epoch):
+    """Any payload bytes (including CRLFs, WARC/ magic, gzip magic) framed by
+    the writer parse back exactly — per-record and concatenated."""
+    recs = [warc_record_bytes("resource", b, target_uri=u, date_epoch=epoch)
+            for b, u in zip(blocks, uris)]
+    parsed = list(parse_warc_stream(b"".join(recs)))
+    assert [p["block"] for p in parsed] == blocks
+    assert [p["warc-target-uri"] for p in parsed] == uris[: len(blocks)]
+    assert all(p["warc-type"] == "resource" for p in parsed)
+
+
+@settings(max_examples=100, deadline=None)
+@given(blocks=st.lists(st.binary(max_size=256), min_size=1, max_size=5),
+       cut=st.floats(min_value=0.0, max_value=0.999))
+def test_truncation_never_raises_property(blocks, cut):
+    """Every possible truncation point yields a clean prefix, never a raise,
+    and never a corrupted block."""
+    data = b"".join(
+        warc_record_bytes("resource", b, target_uri=f"u{i}", date_epoch=0.0)
+        for i, b in enumerate(blocks))
+    parsed = list(parse_warc_stream(data[: int(len(data) * cut)]))
+    assert len(parsed) <= len(blocks)
+    assert [p["block"] for p in parsed] == blocks[: len(parsed)]
+
+
 @pytest.mark.parametrize("gz", [False, True])
 def test_cdx_random_access(spark, tmpdir_path, gz):
     """The cdx index addresses every record: a single ranged read (+ member
