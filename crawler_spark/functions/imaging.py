@@ -670,6 +670,47 @@ def decode_image(data: bytes, fmt: str) -> np.ndarray:
     return _CODECS[fmt][1](data)
 
 
+def _area_weights(n_in: int, n_out: int) -> np.ndarray:
+    """(n_out, n_in) row-stochastic overlap matrix for 1-D area resampling.
+
+    Output cell i covers the real interval [i·n_in/n_out, (i+1)·n_in/n_out);
+    weight(i, j) = |overlap with input pixel j| / (n_in/n_out).  Exact area
+    averaging (OpenCV's INTER_AREA semantics) for any ratio, up or down;
+    every row sums to 1, so total image mass is conserved.
+    """
+    scale = n_in / n_out
+    lo = np.arange(n_out, dtype=np.float64) * scale
+    hi = lo + scale
+    j = np.arange(n_in, dtype=np.float64)
+    # overlap of [lo,hi) with [j,j+1) per (i,j), clipped to >= 0
+    w = np.minimum(hi[:, None], j[None, :] + 1.0) - np.maximum(lo[:, None], j[None, :])
+    np.clip(w, 0.0, None, out=w)
+    return w / scale
+
+
+def resize_area(arr: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Exact area-average resize of an (h, w, c) uint8 image.
+
+    The training-prep resampler (the thumbnail/fixed-size step every
+    image-caption pipeline runs before batching): separable row/column
+    overlap matmuls, float64 throughout, rounded once at the end with the
+    repo's floor(x+0.5) convention — deterministic bit-for-bit on every
+    platform numpy supports, no codec library involved.  For integer
+    downscale factors this degenerates to the exact block mean (pinned in
+    tests against reshape-mean).
+    """
+    h, w, c = arr.shape
+    if (out_h, out_w) == (h, w):
+        return arr.copy()
+    wh = _area_weights(h, int(out_h))
+    ww = _area_weights(w, int(out_w)).T
+    out = np.empty((int(out_h), int(out_w), c), dtype=np.uint8)
+    for ch in range(c):
+        plane = wh @ arr[:, :, ch].astype(np.float64) @ ww
+        out[:, :, ch] = np.floor(plane + 0.5).astype(np.uint8)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Invariants: phash + PSNR
 # ---------------------------------------------------------------------------

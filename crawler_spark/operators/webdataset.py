@@ -270,6 +270,7 @@ def write_webdataset(
 def export_image_captions(
     samples: DataFrame, out_dir: str, n_shards: int, prefix: str = "shard",
     key_col: str = "image_id", path_col: str = "path",
+    resize_px: int | None = None, thumb_fmt: str = "png",
 ) -> dict:
     """Direct-read WebDataset export of the north-rule image+caption shape.
 
@@ -289,6 +290,14 @@ def export_image_captions(
     re-runs are byte-identical regardless of the payload files' layout; the
     task's working set is one shard's payload dict (shards are 0.1-1 GiB by
     WebDataset sizing guidance).
+
+    ``resize_px`` switches the export to TRAINING-PREP mode: each payload is
+    decoded (the repo's own from-spec codecs), area-average-resampled to
+    ``resize_px × resize_px`` (``functions.imaging.resize_area`` — exact
+    INTER_AREA semantics) and re-encoded as ``thumb_fmt``, all inside the
+    shard task — decode/resize/encode ride the same zero-JVM-transit path,
+    so the fixed-size training set costs no extra data movement.  Metadata
+    then also carries the source dims/codec (src_fmt/src_h/src_w).
     """
     meta_cols = ["caption", "w", "h", "fmt", "phash"]
     sdf = shard_assignments(samples, key_col, n_shards)
@@ -326,15 +335,26 @@ def export_image_captions(
         cols = [pdf[c].to_numpy()
                 for c in ("_key", "caption", "w", "h", "fmt", "phash")]
         for key, caption, iw, ih, fmt, phash in zip(*cols):
-            meta = json.dumps(
-                {"fmt": str(fmt), "h": int(ih), "phash": int(phash),
-                 "w": int(iw)},
-                sort_keys=True, separators=(",", ":"),
-            ).encode()
+            if resize_px is None:
+                meta = {"fmt": str(fmt), "h": int(ih), "phash": int(phash),
+                        "w": int(iw)}
+                payload = (str(fmt), bytes(blob[key]))
+            else:
+                from crawler_spark.functions.imaging import (
+                    decode_image, encode_image, resize_area)
+
+                arr = resize_area(decode_image(bytes(blob[key]), str(fmt)),
+                                  int(resize_px), int(resize_px))
+                payload = (thumb_fmt, encode_image(arr, thumb_fmt))
+                meta = {"fmt": thumb_fmt, "h": int(resize_px),
+                        "phash": int(phash), "src_fmt": str(fmt),
+                        "src_h": int(ih), "src_w": int(iw),
+                        "w": int(resize_px)}
             w.add_sample(key, [
-                (str(fmt), bytes(blob[key])),
+                payload,
                 ("txt", str(caption).encode()),
-                ("json", meta),
+                ("json", json.dumps(meta, sort_keys=True,
+                                    separators=(",", ":")).encode()),
             ])
         w.finish()
         return pd.DataFrame(w.stats,
@@ -346,9 +366,13 @@ def export_image_captions(
         ).collect()),
         key=lambda s: s["shard"],
     )
-    parts = sorted({r["fmt"] for r in
-                    samples.select("fmt").distinct().collect()}) + ["txt", "json"]
-    return _seal_manifest(out_dir, prefix, n_shards, parts, stats)
+    if resize_px is None:
+        parts = sorted({r["fmt"] for r in
+                        samples.select("fmt").distinct().collect()})
+    else:
+        parts = [thumb_fmt]
+    return _seal_manifest(out_dir, prefix, n_shards, parts + ["txt", "json"],
+                          stats)
 
 
 def read_webdataset_dir(out_dir: str) -> list[dict]:

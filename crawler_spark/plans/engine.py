@@ -1094,7 +1094,8 @@ class CrawlEngine:
         return self._payload_check(ids)
 
     def export_webdataset(self, out_dir: str, n_shards: Optional[int] = None,
-                          prefix: str = "shard") -> dict:
+                          prefix: str = "shard",
+                          resize_px: Optional[int] = None) -> dict:
         """Export every crawled image+caption pair as WebDataset tar shards.
 
         The crawl → training-data handoff: fetched URLs resolve to image_ids
@@ -1104,6 +1105,9 @@ class CrawlEngine:
         (operators.webdataset.export_image_captions) — the bytes never
         transit the JVM, matching the engine's payload discipline end to
         end.  Deterministic: same crawl ⇒ byte-identical shards.
+        ``resize_px`` exports training-prep fixed-size thumbnails instead of
+        the raw codec streams (decode→area-resize→re-encode inside the
+        shard task, same zero-transit path).
         """
         from crawler_spark.operators.webdataset import export_image_captions
 
@@ -1124,7 +1128,8 @@ class CrawlEngine:
             # ~4k samples/shard keeps shards in the 0.1-1 GiB guidance band
             # for O(100 KB) payloads; cheap count — strings only.
             n_shards = max(2, -(-samples.count() // 4096))
-        return export_image_captions(samples, out_dir, n_shards, prefix=prefix)
+        return export_image_captions(samples, out_dir, n_shards, prefix=prefix,
+                                     resize_px=resize_px)
 
     def export_warc(self, out_dir: str, n_files: Optional[int] = None,
                     gzip_records: bool = True) -> dict:

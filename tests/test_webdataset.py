@@ -162,6 +162,58 @@ def test_engine_export_roundtrip(crawl_export, spark):
                         "w": row.w}
 
 
+def test_resize_area_exact():
+    """Integer-factor downscale == exact block mean; identity == copy;
+    mass conserved for awkward ratios; upscale replicates area shares."""
+    np = pytest.importorskip("numpy")
+    from crawler_spark.functions.imaging import resize_area
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(16, 12, 3), dtype=np.uint8)
+    # 2x/4x block mean (floor(x+.5) rounding)
+    want = np.floor(
+        img.astype(np.float64).reshape(8, 2, 6, 2, 3).mean(axis=(1, 3)) + 0.5
+    ).astype(np.uint8)
+    assert (resize_area(img, 8, 6) == want).all()
+    assert (resize_area(img, 16, 12) == img).all()
+    # non-integer ratio: global mean preserved within rounding
+    small = resize_area(img, 7, 5)
+    assert small.shape == (7, 5, 3)
+    assert abs(small.astype(float).mean() - img.astype(float).mean()) < 1.0
+    # upscale of a constant image stays constant
+    const = np.full((4, 4, 3), 200, dtype=np.uint8)
+    assert (resize_area(const, 9, 10) == 200).all()
+
+
+def test_engine_export_training_prep(crawl_export, spark, tmp_path_factory):
+    """resize_px mode: every sample is a resize_px×resize_px thumb_fmt image
+    equal to resize_area(decode(original)) exactly, metadata carries source
+    dims, re-runs byte-identical."""
+    np = pytest.importorskip("numpy")
+    import json as _json
+
+    from crawler_spark.functions.imaging import decode_image, resize_area
+
+    eng, _, _ = crawl_export
+    out = str(tmp_path_factory.mktemp("wds_thumb"))
+    m = eng.export_webdataset(out, n_shards=3, resize_px=8)
+    assert m["parts"] == ["png", "txt", "json"]
+    table = {r.image_id: r for r in eng.images.collect()}
+    samples = read_webdataset_dir(out)
+    assert len(samples) == m["n_samples"] > 0
+    for smp in samples:
+        row = table[smp["key"]]
+        got = decode_image(smp["png"], "png")
+        want = resize_area(decode_image(bytes(row.bytes), row.fmt), 8, 8)
+        assert (got == want).all()
+        meta = _json.loads(smp["json"])
+        assert meta == {"fmt": "png", "h": 8, "phash": row.phash,
+                        "src_fmt": row.fmt, "src_h": row.h, "src_w": row.w,
+                        "w": 8}
+    out2 = str(tmp_path_factory.mktemp("wds_thumb2"))
+    assert eng.export_webdataset(out2, n_shards=3, resize_px=8) == m
+
+
 def test_engine_export_rerun_byte_identical(crawl_export, tmp_path_factory):
     """Same crawl ⇒ byte-identical shards (md5s match shard-for-shard)."""
     eng, _, manifest = crawl_export
