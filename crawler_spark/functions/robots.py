@@ -94,6 +94,28 @@ def parse_robots_txt(text: str | None, agent: str = DEFAULT_AGENT):
     return prefixes, delay
 
 
+def robots_sitemaps(text: str | None) -> list[str]:
+    """Extract ``Sitemap:`` directive URLs from a robots.txt body.
+
+    RFC 9309 §2.3 scopes the directive OUTSIDE user-agent groups (it applies
+    to all agents), so this is a flat scan independent of group matching;
+    order preserved, duplicates dropped, malformed input → [] (the
+    executor-safety contract).  Feeds ``sources.sitemaps`` as the discovery
+    path real crawls use.
+    """
+    if not isinstance(text, str) or not text.strip():
+        return []
+    out: list[str] = []
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        key, sep, val = line.partition(":")
+        if sep and key.strip().lower() == "sitemap":
+            val = val.strip()
+            if val and val not in out:
+                out.append(val)
+    return out
+
+
 def write_robots_txt(
     disallow_prefixes: list[str], crawl_delay_s: float | None,
     agent: str = "*",

@@ -1,0 +1,138 @@
+"""Sitemap-protocol seed source (sources/sitemaps.py + robots Sitemap:).
+
+Pins: urlset/sitemapindex parsing (namespaced + bare), W3C lastmod forms,
+gzip bodies, the 50k spec cap, malformed-never-raises, cycle-safe index
+expansion, deterministic seed numbering, and the robots.txt directive.
+"""
+
+import gzip
+
+import pytest
+
+from crawler_spark.functions.robots import robots_sitemaps
+from crawler_spark.sources.sitemaps import (
+    MAX_ENTRIES,
+    expand_sitemap_tree,
+    parse_sitemap,
+    seeds_from_sitemaps,
+    sitemap_entries,
+)
+
+_NS = 'xmlns="http://www.sitemaps.org/schemas/sitemap/0.9"'
+
+
+def _urlset(urls, ns=True, extras=()):
+    rows = []
+    for i, u in enumerate(urls):
+        extra = extras[i] if i < len(extras) else ""
+        rows.append(f"<url><loc>{u}</loc>{extra}</url>")
+    return f"<urlset {_NS if ns else ''}>{''.join(rows)}</urlset>"
+
+
+def _index(locs):
+    rows = "".join(f"<sitemap><loc>{u}</loc></sitemap>" for u in locs)
+    return f"<sitemapindex {_NS}>{rows}</sitemapindex>"
+
+
+def test_parse_urlset_fields():
+    xml = _urlset(
+        ["http://a/1", "http://a/2", "http://a/3"],
+        extras=["<lastmod>2004-06-04</lastmod><priority>0.8</priority>"
+                "<changefreq>daily</changefreq>",
+                "<lastmod>2004-06-04T18:02:33+00:00</lastmod>",
+                "<priority>not-a-number</priority>"])
+    p = parse_sitemap(xml)
+    assert p["kind"] == "urlset" and not p["truncated"]
+    e = p["entries"]
+    assert [x["loc"] for x in e] == ["http://a/1", "http://a/2", "http://a/3"]
+    assert e[0]["priority"] == 0.8 and e[0]["changefreq"] == "daily"
+    assert e[0]["lastmod"] == 1086307200.0  # 2004-06-04 UTC
+    assert e[1]["lastmod"] == 1086372153.0  # 18:02:33Z
+    assert e[2]["priority"] is None and e[2]["lastmod"] is None
+
+
+def test_parse_gzip_and_bare_namespace():
+    xml = _urlset(["http://b/x"], ns=False)
+    p = parse_sitemap(gzip.compress(xml.encode()))
+    assert p["kind"] == "urlset" and p["entries"][0]["loc"] == "http://b/x"
+
+
+def test_parse_index():
+    p = parse_sitemap(_index(["http://h/s1.xml", "http://h/s2.xml"]))
+    assert p["kind"] == "sitemapindex"
+    assert [e["loc"] for e in p["entries"]] == ["http://h/s1.xml",
+                                                "http://h/s2.xml"]
+
+
+@pytest.mark.parametrize("bad", [
+    None, "", b"\x1f\x8bnot-gzip", "<html>nope</html>", "<urlset><url>",
+    "<urlset><url><loc></loc></url></urlset>"])
+def test_malformed_never_raises(bad):
+    p = parse_sitemap(bad)
+    assert p["entries"] == []
+
+
+def test_spec_cap_50k():
+    xml = _urlset([f"http://c/{i}" for i in range(MAX_ENTRIES + 5)])
+    p = parse_sitemap(xml)
+    assert len(p["entries"]) == MAX_ENTRIES and p["truncated"]
+
+
+def test_robots_sitemap_directive():
+    body = ("User-agent: *\nDisallow: /private\n"
+            "Sitemap: http://h/sitemap.xml\n"
+            "sitemap:http://h/other.xml # comment\n"
+            "Sitemap: http://h/sitemap.xml\n")
+    assert robots_sitemaps(body) == ["http://h/sitemap.xml",
+                                     "http://h/other.xml"]
+    assert robots_sitemaps(None) == [] and robots_sitemaps("junk") == []
+
+
+def _bodies(spark):
+    """Fetched sitemap payloads as binary rows (the raw-body ingest shape)."""
+    rows = [
+        ("http://h/root.xml", _index(["http://h/a.xml", "http://h/b.xml",
+                                      "http://h/root.xml"]).encode()),  # self-cycle
+        ("http://h/a.xml", _urlset(
+            ["http://h/p1", "http://h/p2"],
+            extras=["<priority>0.9</priority>",
+                    "<lastmod>2020-01-02</lastmod>"]).encode()),
+        ("http://h/b.xml", _index(["http://h/c.xml", "http://h/a.xml"]).encode()),
+        ("http://h/c.xml", gzip.compress(_urlset(
+            ["http://h/p2", "http://h/p3"],
+            extras=["<priority>0.4</priority>", ""]).encode())),
+        ("http://h/orphan.xml", _urlset(["http://h/zz"]).encode()),
+        ("http://h/broken.xml", b"<urlset><url></urlset>"),
+    ]
+    return spark.createDataFrame(rows, "url string, body binary")
+
+
+def test_entries_and_tree_expansion(spark):
+    bodies = _bodies(spark)
+    roots = spark.createDataFrame([("http://h/root.xml",)], "url string")
+    leaves = expand_sitemap_tree(bodies, roots, max_depth=4).collect()
+    # a.xml reached once (from root AND b — visited-set dedups), c via b,
+    # orphan/broken unreachable, root's self-reference terminates
+    got = sorted((r.sitemap_url, r.loc) for r in leaves)
+    assert got == [("http://h/a.xml", "http://h/p1"),
+                   ("http://h/a.xml", "http://h/p2"),
+                   ("http://h/c.xml", "http://h/p2"),
+                   ("http://h/c.xml", "http://h/p3")]
+
+
+def test_seeds_ordering_and_determinism(spark):
+    bodies = _bodies(spark)
+    roots = spark.createDataFrame([("http://h/root.xml",)], "url string")
+    leaves = expand_sitemap_tree(bodies, roots, max_depth=4)
+    seeds = seeds_from_sitemaps(leaves).collect()
+    # p1 prio .9 first; p2 keeps best prio (default .5 vs .4 → .5) and its
+    # lastmod; p3 default .5, no lastmod → after p2
+    assert [(r.seed_id, r.url) for r in sorted(seeds, key=lambda r: int(r.seed_id))] == [
+        ("0", "http://h/p1"), ("1", "http://h/p2"), ("2", "http://h/p3")]
+    again = seeds_from_sitemaps(expand_sitemap_tree(bodies, roots, 4)).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, seeds))
+
+
+def test_entries_count_including_unreachable(spark):
+    n = sitemap_entries(_bodies(spark)).filter("kind = 'urlset'").count()
+    assert n == 5  # a(2) + c gz(2) + orphan(1); broken contributes 0
