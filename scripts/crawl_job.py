@@ -133,6 +133,15 @@ def run(args) -> dict:
         chk.unpersist()
     wall = time.time() - t0
 
+    # post-crawl handoffs (outside the measured frontier span — they are
+    # export jobs, not frontier work)
+    export_manifests = {}
+    if args.export_wds:
+        export_manifests["webdataset"] = eng.export_webdataset(
+            args.export_wds, resize_px=args.export_resize_px or None)
+    if args.export_warc:
+        export_manifests["warc"] = eng.export_warc(args.export_warc)
+
     processed = summary["selected"]  # every selected URL is fetched + its
     # discovered links canonicalized and deduped inside the measured span
     # steady-state view: drop the first round (JVM JIT, Python-worker spawn,
@@ -161,6 +170,12 @@ def run(args) -> dict:
         "payload_ok": payload_ok,
         "fixtures": args.fixtures,
     }
+    if export_manifests:
+        out["exports"] = {
+            k: {"n": m.get("n_samples", m.get("n_records")),
+                "files": len(m.get("shards", m.get("files", [])))}
+            for k, m in export_manifests.items()
+        }
     spark.stop()
     return out
 
@@ -194,6 +209,15 @@ def main() -> None:
     ap.add_argument("--verify-payloads", action="store_true",
                     help="post-hoc payload invariant pass after the crawl")
     ap.add_argument("--json-out", default=None)
+    ap.add_argument("--export-wds", default=None, metavar="DIR",
+                    help="after the crawl, export fetched image+caption pairs "
+                         "as WebDataset tar shards to DIR")
+    ap.add_argument("--export-resize-px", type=int, default=0,
+                    help="with --export-wds: training-prep mode, resize to "
+                         "PX x PX (0 = raw codec streams)")
+    ap.add_argument("--export-warc", default=None, metavar="DIR",
+                    help="after the crawl, archive fetched pages as WARC/1.1 "
+                         "+ cdx index to DIR")
     args = ap.parse_args()
     out = run(args)
     line = json.dumps(out)

@@ -47,3 +47,25 @@ def test_crawl_job_cli_run_and_resume(small_fix, tmp_path_factory):
     )
     assert r2["url_seen"] >= r1["url_seen"]
     assert r2["payload_ok"] is True
+
+
+def test_crawl_job_cli_exports(small_fix, tmp_path_factory):
+    """--export-wds / --export-warc run the post-crawl handoffs and the
+    summary reports their manifests."""
+    ckpt = str(tmp_path_factory.mktemp("clickpt_e"))
+    wds = str(tmp_path_factory.mktemp("cliwds"))
+    warc = str(tmp_path_factory.mktemp("cliwarc"))
+    r = _run(
+        ["--fixtures", small_fix, "--ckpt", ckpt, "--cpus", "2",
+         "--rounds", "2", "--export-wds", wds, "--export-resize-px", "8",
+         "--export-warc", warc]
+    )
+    assert r["exports"]["webdataset"]["n"] > 0
+    assert r["exports"]["warc"]["n"] > 0
+    from crawler_spark.operators.webdataset import read_webdataset_dir
+
+    samples = read_webdataset_dir(wds)
+    assert len(samples) == r["exports"]["webdataset"]["n"]
+    assert all("png" in s and "txt" in s and "json" in s for s in samples)
+    assert os.path.exists(os.path.join(warc, "_manifest.json"))
+    assert os.path.isdir(os.path.join(warc, "cdx"))
