@@ -386,6 +386,49 @@ def generate(
     )
     pq.write_table(seeds, os.path.join(out_dir, "seeds.parquet"))
 
+    # --- sitemaps (web-native discovery twin of seeds.parquet) -------------
+    # Per-host <urlset> documents (chunked at the spec's 50k cap) under one
+    # root <sitemapindex>; global seed order rides <lastmod> (base − seed_id
+    # seconds, so lastmod DESC == seed order) — sources.sitemaps resolves
+    # these back to EXACTLY the seeds table (pinned in tests), making the
+    # sitemap path a drop-in engine seed source.  Every third host's doc is
+    # gzip-compressed (the spec allows .xml.gz).
+    import datetime as _dt
+    import gzip as _gzip
+    from xml.sax.saxutils import escape as _xesc
+
+    _SMNS = 'xmlns="http://www.sitemaps.org/schemas/sitemap/0.9"'
+    base_epoch = 1577836800  # 2020-01-01T00:00:00Z
+
+    def _w3c(e: int) -> str:
+        return _dt.datetime.fromtimestamp(
+            e, tz=_dt.timezone.utc).strftime("%Y-%m-%dT%H:%M:%SZ")
+
+    by_host: dict[str, list[tuple[int, str]]] = {}
+    for i, u in enumerate(seed_urls):
+        by_host.setdefault(u.split("/")[2], []).append((i, u))
+    sm_urls, sm_bodies, child_locs = [], [], []
+    for hz, h in enumerate(sorted(by_host)):
+        rows = by_host[h]
+        for k in range(0, len(rows), 50_000):
+            loc = f"http://{h}/sitemap-{k // 50_000}.xml"
+            entries = "".join(
+                f"<url><loc>{_xesc(u)}</loc>"
+                f"<lastmod>{_w3c(base_epoch - i)}</lastmod></url>"
+                for i, u in rows[k:k + 50_000])
+            body = f"<urlset {_SMNS}>{entries}</urlset>".encode()
+            sm_urls.append(loc)
+            sm_bodies.append(_gzip.compress(body, 6) if hz % 3 == 2 else body)
+            child_locs.append(loc)
+    index_body = ("<sitemapindex " + _SMNS + ">" + "".join(
+        f"<sitemap><loc>{_xesc(l)}</loc></sitemap>" for l in child_locs
+    ) + "</sitemapindex>").encode()
+    root_loc = f"http://{host_of(0)}/sitemap-index.xml"
+    pq.write_table(
+        pa.table({"url": pa.array([root_loc] + sm_urls, pa.string()),
+                  "body": pa.array([index_body] + sm_bodies, pa.binary())}),
+        os.path.join(out_dir, "sitemaps.parquet"))
+
     # --- robots ---------------------------------------------------------------
     delays = [0.0, 0.5, 1.0, 2.0]
     robots = pa.table(
@@ -405,6 +448,7 @@ def generate(
         "pages": os.path.join(out_dir, "pages.parquet"),
         "rules": os.path.join(out_dir, "rules.parquet"),
         "seeds": os.path.join(out_dir, "seeds.parquet"),
+        "sitemaps": os.path.join(out_dir, "sitemaps.parquet"),
         "robots": os.path.join(out_dir, "robots.parquet"),
         "n_pages": n_pages,
         "n_hosts": n_hosts,

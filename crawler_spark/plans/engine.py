@@ -86,10 +86,19 @@ class CrawlEngine:
         compact_every: int = 16,
         proxy_pool: Optional[list] = None,
         trace_tasks: bool = True,
+        seed_source: str = "files",
     ):
         self.spark = spark
         self.fix_dir = fix_dir
         self.ckpt_dir = ckpt_dir
+        # "files" reads seeds.parquet (reference S1/S2); "sitemaps" resolves
+        # the fixture's sitemap tree (sources.sitemaps) — the web-native
+        # discovery path; fixtures encode seed order in lastmod so both
+        # sources yield the identical frontier (golden-tested).  Sitemap
+        # seeds carry no cookies (the protocol has no such field).
+        if seed_source not in ("files", "sitemaps"):
+            raise ValueError(f"seed_source must be 'files' or 'sitemaps', got {seed_source!r}")
+        self.seed_source = seed_source
         self.cfg = cfg or CrawlConfig()
         self.use_bloom = use_bloom
         self.bloom_buckets = bloom_buckets
@@ -188,7 +197,12 @@ class CrawlEngine:
 
     def _seed_frontier(self) -> DataFrame:
         """Seeds → wave-0 frontier (S1; priority = seed order, O2 slicing)."""
-        seeds = self.spark.read.parquet(os.path.join(self.fix_dir, "seeds.parquet"))
+        if self.seed_source == "sitemaps":
+            from crawler_spark.sources.sitemaps import fixture_seed_table
+
+            seeds = fixture_seed_table(self.spark, self.fix_dir)
+        else:
+            seeds = self.spark.read.parquet(os.path.join(self.fix_dir, "seeds.parquet"))
         cookies = (
             F.coalesce(F.col("cookies"), F.lit(""))
             if "cookies" in seeds.columns

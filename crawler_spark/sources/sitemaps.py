@@ -42,6 +42,7 @@ __all__ = [
     "sitemap_entries",
     "expand_sitemap_tree",
     "seeds_from_sitemaps",
+    "fixture_seed_table",
 ]
 
 MAX_ENTRIES = 50_000  # sitemaps.org: "no more than 50,000 URLs"
@@ -218,3 +219,23 @@ def seeds_from_sitemaps(leaves: DataFrame) -> DataFrame:
                                  rn_col="_rn")
     return numbered.select(
         (F.col("_rn") - 1).cast("string").alias("seed_id"), "url")
+
+
+def fixture_seed_table(spark: SparkSession, fix_dir: str,
+                       max_depth: int = 2) -> DataFrame:
+    """Resolve a fixture's ``sitemaps.parquet`` into the seed table.
+
+    The discovery chain a real crawl walks: the root sitemapindex → per-host
+    urlset documents → seed rows.  ``fixtures.generate`` encodes seed order
+    in lastmod, so the result is bit-equal to ``seeds.parquet``'s
+    (seed_id, url) — pinned in tests; sitemap seeds carry no cookies (the
+    protocol has no such field), so cookie-seeded fixtures must use the file
+    source.
+    """
+    import os
+
+    bodies = spark.read.parquet(os.path.join(fix_dir, "sitemaps.parquet"))
+    roots = bodies.filter(F.col("url").endswith("/sitemap-index.xml")) \
+        .select("url")
+    return seeds_from_sitemaps(
+        expand_sitemap_tree(bodies, roots, max_depth=max_depth))

@@ -136,3 +136,44 @@ def test_seeds_ordering_and_determinism(spark):
 def test_entries_count_including_unreachable(spark):
     n = sitemap_entries(_bodies(spark)).filter("kind = 'urlset'").count()
     assert n == 5  # a(2) + c gz(2) + orphan(1); broken contributes 0
+
+
+def test_fixture_sitemaps_reproduce_seed_table(spark, tmp_path_factory):
+    """The generated sitemap tree resolves to EXACTLY seeds.parquet —
+    lastmod-encoded ordering survives index expansion and renumbering."""
+    import os
+
+    from crawler_spark.fixtures import generate
+    from crawler_spark.sources.sitemaps import fixture_seed_table
+
+    fix = str(tmp_path_factory.mktemp("sm_fix"))
+    generate(fix, n_pages=96, n_hosts=5, seed=13)
+    want = sorted(
+        (r.seed_id, r.url) for r in
+        spark.read.parquet(os.path.join(fix, "seeds.parquet"))
+        .select("seed_id", "url").collect())
+    got = sorted(map(tuple, fixture_seed_table(spark, fix).collect()))
+    assert got == want
+
+
+def test_engine_sitemap_bootstrap_matches_file_seeds(spark, tmp_path_factory):
+    """A crawl seeded from the sitemap tree reproduces the file-seeded crawl
+    exactly (fetch ordering + URL-seen membership)."""
+    from crawler_spark.fixtures import generate
+    from crawler_spark.plans.engine import CrawlEngine
+    from crawler_spark.plans.policy import CrawlConfig
+
+    fix = str(tmp_path_factory.mktemp("sm_eng_fix"))
+    generate(fix, n_pages=72, n_hosts=4, seed=17)
+    runs = {}
+    for src in ("files", "sitemaps"):
+        eng = CrawlEngine(spark, fix,
+                          str(tmp_path_factory.mktemp(f"sm_ckpt_{src}")),
+                          CrawlConfig(max_rounds=6), seed_source=src)
+        eng.run()
+        runs[src] = (
+            sorted((r.round, r.host, r.rank, r.url, r.status)
+                   for r in eng.fetch_log().collect()),
+            sorted(r.url for r in eng.url_seen().collect()),
+        )
+    assert runs["sitemaps"] == runs["files"]
