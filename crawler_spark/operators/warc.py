@@ -197,13 +197,17 @@ def write_warc(
             for i in range(len(pdf)):
                 if int(files[i]) != state["file"]:
                     open_file(int(files[i]))
-                block = bytes(payloads[i])
+                # NULL payload/epoch degrade (empty block / epoch 0), never
+                # an executor raise
+                block = b"" if payloads[i] is None else bytes(payloads[i])
+                ep = epochs[i]
+                ep = 0.0 if ep is None or ep != ep else float(ep)
                 off = state["bytes"]
                 ln = emit(warc_record_bytes(
                     warc_type, block, target_uri=str(urls[i]),
-                    date_epoch=float(epochs[i]), content_type=content_type))
+                    date_epoch=ep, content_type=content_type))
                 out_rows.append(("rec", str(urls[i]),
-                                 _warc_date(float(epochs[i])), state["file"],
+                                 _warc_date(ep), state["file"],
                                  off, ln, _payload_digest(block), None))
                 state["n"] += 1
             # flush index rows per input batch — memory stays O(batch)

@@ -163,6 +163,9 @@ def shard_assignments(
     for reserved in (shard_col, skey_col):
         if reserved in df.columns:
             raise ValueError(f"input already has a column named {reserved!r}")
+    # a NULL key has no identity to shard on — dropped here (documented),
+    # so downstream int(shard) can never see a NULL row
+    df = df.filter(F.col(key_col).isNotNull())
     skey = F.md5(F.concat(F.lit("wds:"), F.col(key_col).cast("string")))
     return df.withColumn(skey_col, skey).withColumn(
         shard_col,
@@ -332,12 +335,17 @@ def export_image_captions(
 
         w = _ShardTarWriter(out_dir, prefix)
         w.start(int(pdf["shard"].iloc[0]))
+        def _i(v):
+            # NULL metadata cells degrade to JSON null, never an executor
+            # raise (the package-wide executor-safety contract)
+            return None if v is None or v != v else int(v)
+
         cols = [pdf[c].to_numpy()
                 for c in ("_key", "caption", "w", "h", "fmt", "phash")]
         for key, caption, iw, ih, fmt, phash in zip(*cols):
             if resize_px is None:
-                meta = {"fmt": str(fmt), "h": int(ih), "phash": int(phash),
-                        "w": int(iw)}
+                meta = {"fmt": str(fmt), "h": _i(ih), "phash": _i(phash),
+                        "w": _i(iw)}
                 payload = (str(fmt), bytes(blob[key]))
             else:
                 from crawler_spark.functions.imaging import (
@@ -347,15 +355,15 @@ def export_image_captions(
                                   int(resize_px), int(resize_px))
                 payload = (thumb_fmt, encode_image(arr, thumb_fmt))
                 meta = {"fmt": thumb_fmt, "h": int(resize_px),
-                        "phash": int(phash), "src_fmt": str(fmt),
-                        "src_h": int(ih), "src_w": int(iw),
+                        "phash": _i(phash), "src_fmt": str(fmt),
+                        "src_h": _i(ih), "src_w": _i(iw),
                         "w": int(resize_px)}
-            w.add_sample(key, [
-                payload,
-                ("txt", str(caption).encode()),
-                ("json", json.dumps(meta, sort_keys=True,
-                                    separators=(",", ":")).encode()),
-            ])
+            parts = [payload]
+            if caption is not None:  # NULL caption → sample has no .txt part
+                parts.append(("txt", str(caption).encode()))
+            parts.append(("json", json.dumps(meta, sort_keys=True,
+                                             separators=(",", ":")).encode()))
+            w.add_sample(key, parts)
         w.finish()
         return pd.DataFrame(w.stats,
                             columns=["shard", "n_samples", "bytes", "md5"])

@@ -220,3 +220,27 @@ def test_engine_export_warc(spark, tmp_path_factory):
         assert bytes(r.payload).decode() == html[r.target_uri]
     m2 = eng.export_warc(str(tmp_path_factory.mktemp("warc_out2")), n_files=3)
     assert m2 == m
+
+
+def test_null_cells_degrade(spark, tmpdir_path):
+    """NULL url rows are dropped (no shard identity); NULL payload/epoch
+    degrade to empty block / epoch 0 — never an executor raise."""
+    from pyspark.sql import functions as F
+
+    df = _pages(spark, 10).withColumn(
+        "url", F.when(F.col("url").endswith("/0"), F.lit(None))
+        .otherwise(F.col("url"))
+    ).withColumn(
+        "payload", F.when(F.col("url").endswith("/1"), F.lit(None))
+        .otherwise(F.col("payload"))
+    ).withColumn(
+        "epoch", F.when(F.col("url").endswith("/2"), F.lit(None))
+        .otherwise(F.col("epoch")))
+    out = os.path.join(tmpdir_path, "warc")
+    m = write_warc(df, out, 2)
+    assert m["n_records"] == 9  # null-url row dropped
+    recs = {r.target_uri: r for r in
+            read_warc(spark, out).filter("warc_type='resource'").collect()}
+    assert bytes(recs["http://h1.example/p/1"].payload) == b""
+    assert recs["http://h2.example/p/2"].date == "1970-01-01T00:00:00Z"
+    assert all(r.digest_ok for r in recs.values())
