@@ -139,11 +139,33 @@ def bench_crawl(spark) -> dict:
     t0 = time.time()
     summary = eng.run()
     wall = time.time() - t0
+
+    # post-crawl handoff sinks (timed separately — export jobs, not frontier
+    # work): WebDataset image+caption shards via the zero-byte-shuffle direct
+    # path, and the WARC/1.1 + cdx archive
+    wds_dir = os.path.join(CACHE, "bench_wds")
+    warc_dir = os.path.join(CACHE, "bench_warc")
+    for d in (wds_dir, warc_dir):
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+    t0 = time.time()
+    wds = eng.export_webdataset(wds_dir, n_shards=64)
+    wds_s = time.time() - t0
+    t0 = time.time()
+    warc = eng.export_warc(warc_dir, n_files=16)
+    warc_s = time.time() - t0
+    for d in (wds_dir, warc_dir):
+        shutil.rmtree(d, ignore_errors=True)
+
     return {
         "frontier_urls_per_sec": round(summary["selected"] / wall, 2),
         "frontier_wall_s": round(wall, 2),
         "frontier_selected": summary["selected"],
         "frontier_rounds": summary["rounds"],
+        "wds_export_samples_per_sec": round(wds["n_samples"] / wds_s, 2),
+        "wds_export_samples": wds["n_samples"],
+        "warc_export_records_per_sec": round(warc["n_records"] / warc_s, 2),
+        "warc_export_records": warc["n_records"],
     }
 
 

@@ -99,10 +99,9 @@ class _ShardTarWriter:
     (shard, n_samples, bytes, md5) stat tuple.
     """
 
-    def __init__(self, out_dir: str, prefix: str):
+    def __init__(self, out_dir: str):
         self.out_dir = out_dir
-        self.prefix = prefix
-        self.shard = None
+        self.name = None
         self._tar = None
         self._fh = None
         self._tmp = None
@@ -110,10 +109,10 @@ class _ShardTarWriter:
         self._keys = None
         self.stats: list[tuple] = []
 
-    def start(self, shard: int) -> None:
+    def start(self, name: str) -> None:
         self.finish()
-        self.shard = int(shard)
-        final = os.path.join(self.out_dir, f"{self.prefix}-{self.shard:06d}.tar")
+        self.name = str(name)
+        final = os.path.join(self.out_dir, self.name)
         self._tmp = final + f".tmp-{uuid.uuid4().hex[:8]}"
         self._fh = _Md5File(open(self._tmp, "wb"))
         self._tar = tarfile.open(fileobj=self._fh, mode="w|",
@@ -123,7 +122,7 @@ class _ShardTarWriter:
 
     def add_sample(self, key: str, parts: list[tuple[str, bytes]]) -> None:
         if key in self._keys:
-            raise ValueError(f"duplicate sample key {key!r} in shard {self.shard}")
+            raise ValueError(f"duplicate sample key {key!r} in shard {self.name}")
         self._keys.add(key)
         for ext, payload in parts:
             info = tarfile.TarInfo(name=f"{key}.{ext}")
@@ -139,11 +138,10 @@ class _ShardTarWriter:
             return None
         self._tar.close()
         self._fh.close()
-        final = os.path.join(self.out_dir, f"{self.prefix}-{self.shard:06d}.tar")
-        os.replace(self._tmp, final)
-        stat = (self.shard, self._n, self._fh.n, self._fh.md5.hexdigest())
+        os.replace(self._tmp, os.path.join(self.out_dir, self.name))
+        stat = (self.name, self._n, self._fh.n, self._fh.md5.hexdigest())
         self.stats.append(stat)
-        self.shard = self._tar = self._fh = self._tmp = self._keys = None
+        self.name = self._tar = self._fh = self._tmp = self._keys = None
         self._n = 0
         return stat
 
@@ -235,14 +233,16 @@ def write_webdataset(
         # rows arrive grouped by shard id; writer state persists across the
         # partition's Arrow batches, so memory holds one batch + the sample
         # being added — never a whole shard.
-        w = _ShardTarWriter(out_dir, prefix)
+        w = _ShardTarWriter(out_dir)
+        cur = None
         for pdf in it:
             shards = pdf["shard"].to_numpy()
             keys = pdf["_key"].to_numpy()
             part_cols = {ext: pdf[f"_p_{ext}"].to_numpy() for ext in exts}
             for i in range(len(pdf)):
-                if int(shards[i]) != w.shard:
-                    w.start(int(shards[i]))
+                if int(shards[i]) != cur:
+                    cur = int(shards[i])
+                    w.start(f"{prefix}-{cur:06d}.tar")
                 sample = []
                 for ext in exts:
                     v = part_cols[ext][i]
@@ -254,7 +254,7 @@ def write_webdataset(
                 w.add_sample(keys[i], sample)
         w.finish()
         yield pd.DataFrame(
-            w.stats, columns=["shard", "n_samples", "bytes", "md5"]
+            w.stats, columns=["name", "n_samples", "bytes", "md5"]
         )
 
     # mapInPandas (not foreachPartition) so each task reports its shard
@@ -263,55 +263,87 @@ def write_webdataset(
     # sources/snapshots.py round commits).
     stats = sorted(
         (r.asDict() for r in rows.mapInPandas(
-            _write, schema="shard int, n_samples long, bytes long, md5 string"
+            _write, schema="name string, n_samples long, bytes long, md5 string"
         ).collect()),
-        key=lambda s: s["shard"],
+        key=lambda s: s["name"],
     )
     return _seal_manifest(out_dir, prefix, n_shards, exts, stats)
 
 
 def export_image_captions(
-    samples: DataFrame, out_dir: str, n_shards: int, prefix: str = "shard",
-    key_col: str = "image_id", path_col: str = "path",
+    samples: DataFrame, out_dir: str, n_shards: int = 0,
+    prefix: str = "shard", key_col: str = "image_id", path_col: str = "path",
     resize_px: int | None = None, thumb_fmt: str = "png",
+    layout: str = "source", samples_per_shard: int = 4096,
 ) -> dict:
     """Direct-read WebDataset export of the north-rule image+caption shape.
 
     ``samples`` carries (image_id, path, caption, w, h, fmt, phash) — path
     is the payload parquet file holding the row's ``bytes`` (the engine's
-    ``images_index`` join).  Spark shuffles ONLY these narrow strings,
-    grouped per shard; each shard task then pyarrow-reads the bytes of its
-    ids straight from the referenced files (``plans.engine._payload_check``
-    pattern), so payload bytes go storage → Python → tar with no JVM hop
-    and no byte shuffle — the export's network cost at 100 TB is zero
-    beyond the id/caption strings.
+    ``images_index`` join).  Spark shuffles ONLY these narrow strings; the
+    writer tasks pyarrow-read the bytes straight from the referenced files
+    (``plans.engine._payload_check`` pattern), so payload bytes go
+    storage → Python → tar with no JVM hop and no byte shuffle.
+
+    Two layouts, because read amplification is the real cost at scale:
+
+    * ``layout="source"`` (default — the 100 TB path): tasks group by
+      PAYLOAD FILE, so every payload file is read EXACTLY ONCE; each task
+      chunks its (skey-ordered) samples into tars of ``samples_per_shard``
+      named ``<prefix>-<md5(path)[:12]>-<k>.tar``.  Total IO is one linear
+      pass — the same layout img2dataset/LAION actually publish, where
+      global sample mixing is the training loader's job (WebDataset's
+      shard-shuffle + buffer-shuffle).  Deterministic given the payload
+      file layout.
+    * ``layout="hash"`` (global deterministic mixing): tasks group by the
+      md5 shard of :func:`shard_assignments` (``n_shards`` required), so
+      shard contents are layout-independent and byte-identical on any
+      engine — but every payload file is re-read by every shard that
+      touches it: read amplification ≈ min(n_shards, rows-per-file) per
+      file, which at 10⁵ shards × 10⁴-row files is a 100× IO regression
+      versus one shuffle.  Use it for small or highly selective exports
+      (the pyarrow ``filters`` pushdown prunes row groups when the wanted
+      ids are sparse), never for a full-corpus export.
 
     Each sample becomes ``<key>.<fmt>`` (raw stored bytes — the training
     consumer gets the original codec stream), ``<key>.txt`` (caption,
-    utf-8) and ``<key>.json`` (sorted-key metadata: fmt/h/phash/w).
-    Within-shard order is (skey, key) as in :func:`write_webdataset`, so
-    re-runs are byte-identical regardless of the payload files' layout; the
-    task's working set is one shard's payload dict (shards are 0.1-1 GiB by
-    WebDataset sizing guidance).
-
-    ``resize_px`` switches the export to TRAINING-PREP mode: each payload is
-    decoded (the repo's own from-spec codecs), area-average-resampled to
-    ``resize_px × resize_px`` (``functions.imaging.resize_area`` — exact
-    INTER_AREA semantics) and re-encoded as ``thumb_fmt``, all inside the
-    shard task — decode/resize/encode ride the same zero-JVM-transit path,
-    so the fixed-size training set costs no extra data movement.  Metadata
-    then also carries the source dims/codec (src_fmt/src_h/src_w).
+    utf-8; omitted when NULL) and ``<key>.json`` (sorted-key metadata:
+    fmt/h/phash/w).  ``resize_px`` switches to TRAINING-PREP mode: each
+    payload is decoded (the repo's own from-spec codecs),
+    area-average-resampled to ``resize_px × resize_px``
+    (``functions.imaging.resize_area`` — exact INTER_AREA semantics) and
+    re-encoded as ``thumb_fmt`` inside the writer task — decode/resize/
+    encode ride the same zero-JVM-transit path; metadata then also carries
+    the source dims/codec (src_fmt/src_h/src_w).  The task working set is
+    one shard's payload dict (shards are 0.1-1 GiB by WebDataset sizing
+    guidance).
     """
+    if layout not in ("source", "hash"):
+        raise ValueError(f"layout must be 'source' or 'hash', got {layout!r}")
+    if layout == "hash" and n_shards <= 0:
+        raise ValueError("layout='hash' requires n_shards > 0")
     meta_cols = ["caption", "w", "h", "fmt", "phash"]
-    sdf = shard_assignments(samples, key_col, n_shards)
-    rows = sdf.select(
-        "shard", "skey", F.col(key_col).cast("string").alias("_key"),
-        F.col(path_col).alias("_path"), *meta_cols,
-    ).repartition(int(n_shards), "shard")
+    if layout == "hash":
+        sdf = shard_assignments(samples, key_col, n_shards)
+        rows = sdf.select(
+            "shard", "skey", F.col(key_col).cast("string").alias("_key"),
+            F.col(path_col).alias("_path"), *meta_cols,
+        ).repartition(int(n_shards), "shard")
+        group_col = "shard"
+    else:
+        sdf = samples.filter(F.col(key_col).isNotNull()).select(
+            F.md5(F.concat(F.lit("wds:"), F.col(key_col).cast("string"))
+                  ).alias("skey"),
+            F.col(key_col).cast("string").alias("_key"),
+            F.col(path_col).alias("_path"), *meta_cols,
+        )
+        rows = sdf.repartition("_path")
+        group_col = "_path"
 
     os.makedirs(out_dir, exist_ok=True)
 
     def _write_group(pdf):
+        import hashlib as _hashlib
         import re
 
         import pandas as pd
@@ -320,21 +352,29 @@ def export_image_captions(
         import pyarrow.parquet as pq
 
         pdf = pdf.sort_values(["skey", "_key"], kind="mergesort")
-        # gather this shard's payload bytes, one pyarrow read per file
+        # gather payload bytes: ONE pyarrow read per distinct file in the
+        # group (source layout: exactly this task's one file); the `in`
+        # filter prunes row groups when the wanted ids are sparse
         blob: dict[str, bytes] = {}
         for path, grp in pdf.groupby("_path", sort=False):
             local = re.sub("^file:/*", "/", str(path))
-            want = pa.array(grp["_key"].unique())
+            want = sorted(grp["_key"].unique())
             tbl = pq.read_table(local, columns=[key_col, "bytes"],
-                                use_threads=False)
-            tbl = tbl.filter(pc.is_in(tbl[key_col], value_set=want))
+                                use_threads=False,
+                                filters=[(key_col, "in", want)])
+            w_arr = pa.array(want)
+            tbl = tbl.filter(pc.is_in(tbl[key_col], value_set=w_arr))
             blob.update(zip(tbl[key_col].to_pylist(), tbl["bytes"].to_pylist()))
         missing = set(pdf["_key"]) - set(blob)
         if missing:
             raise ValueError(f"payload rows missing for ids {sorted(missing)[:3]}")
 
-        w = _ShardTarWriter(out_dir, prefix)
-        w.start(int(pdf["shard"].iloc[0]))
+        w = _ShardTarWriter(out_dir)
+        if layout == "hash":
+            w.start(f"{prefix}-{int(pdf['shard'].iloc[0]):06d}.tar")
+        else:
+            stem = _hashlib.md5(str(pdf["_path"].iloc[0]).encode()).hexdigest()[:12]
+
         def _i(v):
             # NULL metadata cells degrade to JSON null, never an executor
             # raise (the package-wide executor-safety contract)
@@ -342,7 +382,9 @@ def export_image_captions(
 
         cols = [pdf[c].to_numpy()
                 for c in ("_key", "caption", "w", "h", "fmt", "phash")]
-        for key, caption, iw, ih, fmt, phash in zip(*cols):
+        for j, (key, caption, iw, ih, fmt, phash) in enumerate(zip(*cols)):
+            if layout == "source" and j % samples_per_shard == 0:
+                w.start(f"{prefix}-{stem}-{j // samples_per_shard:04d}.tar")
             if resize_px is None:
                 meta = {"fmt": str(fmt), "h": _i(ih), "phash": _i(phash),
                         "w": _i(iw)}
@@ -366,20 +408,20 @@ def export_image_captions(
             w.add_sample(key, parts)
         w.finish()
         return pd.DataFrame(w.stats,
-                            columns=["shard", "n_samples", "bytes", "md5"])
+                            columns=["name", "n_samples", "bytes", "md5"])
 
     stats = sorted(
-        (r.asDict() for r in rows.groupBy("shard").applyInPandas(
-            _write_group, schema="shard int, n_samples long, bytes long, md5 string"
+        (r.asDict() for r in rows.groupBy(group_col).applyInPandas(
+            _write_group, schema="name string, n_samples long, bytes long, md5 string"
         ).collect()),
-        key=lambda s: s["shard"],
+        key=lambda s: s["name"],
     )
     if resize_px is None:
         parts = sorted({r["fmt"] for r in
                         samples.select("fmt").distinct().collect()})
     else:
         parts = [thumb_fmt]
-    return _seal_manifest(out_dir, prefix, n_shards, parts + ["txt", "json"],
+    return _seal_manifest(out_dir, prefix, len(stats), parts + ["txt", "json"],
                           stats)
 
 
@@ -396,10 +438,10 @@ def read_webdataset_dir(out_dir: str) -> list[dict]:
         manifest = json.load(f)
     samples: dict[str, dict] = {}
     for s in manifest["shards"]:
-        path = os.path.join(out_dir, f"{manifest['prefix']}-{s['shard']:06d}.tar")
+        path = os.path.join(out_dir, s["name"])
         with tarfile.open(path, mode="r") as tar:
             for m in tar.getmembers():
                 key, ext = m.name.rsplit(".", 1)
-                rec = samples.setdefault(key, {"key": key, "_shard": s["shard"]})
+                rec = samples.setdefault(key, {"key": key, "_shard": s["name"]})
                 rec[ext] = tar.extractfile(m).read()
     return sorted(samples.values(), key=lambda r: r["key"])

@@ -1109,7 +1109,8 @@ class CrawlEngine:
 
     def export_webdataset(self, out_dir: str, n_shards: Optional[int] = None,
                           prefix: str = "shard",
-                          resize_px: Optional[int] = None) -> dict:
+                          resize_px: Optional[int] = None,
+                          layout: str = "source") -> dict:
         """Export every crawled image+caption pair as WebDataset tar shards.
 
         The crawl → training-data handoff: fetched URLs resolve to image_ids
@@ -1121,7 +1122,11 @@ class CrawlEngine:
         end.  Deterministic: same crawl ⇒ byte-identical shards.
         ``resize_px`` exports training-prep fixed-size thumbnails instead of
         the raw codec streams (decode→area-resize→re-encode inside the
-        shard task, same zero-transit path).
+        shard task, same zero-transit path).  ``layout="source"`` (default)
+        reads every payload file exactly once — the linear-IO 100 TB path;
+        ``layout="hash"`` gives layout-independent deterministic global
+        mixing at the cost of per-shard re-reads (small exports only; see
+        export_image_captions).
         """
         from crawler_spark.operators.webdataset import export_image_captions
 
@@ -1138,12 +1143,13 @@ class CrawlEngine:
                 "image_id", "caption", "w", "h", "fmt", "phash"), "image_id")
             .join(self.images_index, "image_id")
         )
-        if n_shards is None:
+        if layout == "hash" and n_shards is None:
             # ~4k samples/shard keeps shards in the 0.1-1 GiB guidance band
             # for O(100 KB) payloads; cheap count — strings only.
             n_shards = max(2, -(-samples.count() // 4096))
-        return export_image_captions(samples, out_dir, n_shards, prefix=prefix,
-                                     resize_px=resize_px)
+        return export_image_captions(samples, out_dir, n_shards or 0,
+                                     prefix=prefix, resize_px=resize_px,
+                                     layout=layout)
 
     def export_warc(self, out_dir: str, n_files: Optional[int] = None,
                     gzip_records: bool = True) -> dict:

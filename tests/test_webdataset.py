@@ -41,7 +41,7 @@ def test_roundtrip_and_manifest(spark, tmpdir_path):
     assert len(manifest["shards"]) <= 8  # empty shards produce no tar
     # per-shard md5 in the manifest matches the file on disk
     for s in manifest["shards"]:
-        p = os.path.join(out, f"shard-{s['shard']:06d}.tar")
+        p = os.path.join(out, s["name"])
         with open(p, "rb") as f:
             assert hashlib.md5(f.read()).hexdigest() == s["md5"]
         assert os.path.getsize(p) == s["bytes"]
@@ -64,10 +64,9 @@ def test_byte_identical_reruns(spark, tmpdir_path):
     ]
     assert manifests[0] == manifests[1]
     for s in manifests[0]["shards"]:
-        name = f"shard-{s['shard']:06d}.tar"
-        with open(os.path.join(outs[0], name), "rb") as fa, \
-                open(os.path.join(outs[1], name), "rb") as fb:
-            assert fa.read() == fb.read(), name
+        with open(os.path.join(outs[0], s["name"]), "rb") as fa, \
+                open(os.path.join(outs[1], s["name"]), "rb") as fb:
+            assert fa.read() == fb.read(), s["name"]
 
 
 def test_unsealed_export_refused(spark, tmpdir_path):
@@ -220,6 +219,53 @@ def test_engine_export_rerun_byte_identical(crawl_export, tmp_path_factory):
     out2 = str(tmp_path_factory.mktemp("wds_out2"))
     m2 = eng.export_webdataset(out2, n_shards=4)
     assert m2 == manifest
+
+
+def test_engine_export_layouts_same_samples(crawl_export, tmp_path_factory):
+    """layout='hash' (deterministic global mixing) carries the identical
+    sample set and bytes as the default source-aligned layout — only the
+    file layout differs."""
+    eng, out_source, _ = crawl_export
+    out_hash = str(tmp_path_factory.mktemp("wds_hash"))
+    mh = eng.export_webdataset(out_hash, n_shards=4, layout="hash")
+    assert all(s["name"].startswith("shard-") and s["name"].endswith(".tar")
+               for s in mh["shards"])
+    def flat(d):
+        return {s["key"]: {k: v for k, v in s.items() if k != "_shard"}
+                for s in read_webdataset_dir(d)}
+    assert flat(out_hash) == flat(out_source)
+
+
+def test_source_layout_chunking(spark, tmpdir_path):
+    """source layout: one task per payload file, tars capped at
+    samples_per_shard, every sample covered exactly once."""
+    import os as _os
+
+    import numpy as np
+
+    from crawler_spark.functions.imaging import encode_png
+    from crawler_spark.operators.webdataset import export_image_captions
+
+    rows = []
+    for i in range(23):
+        img = np.full((4, 4, 3), i, dtype=np.uint8)
+        rows.append((f"im{i:03d}", encode_png(img), 4, 4, "png",
+                     f"cap {i}", i))
+    src = _os.path.join(tmpdir_path, "payload.parquet")
+    spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, h int, fmt string, "
+              "caption string, phash long").coalesce(1).write.parquet(src)
+    samples = (
+        spark.read.parquet(src)
+        .select("image_id", "caption", "w", "h", "fmt", "phash")
+        .withColumn("path", F.input_file_name())
+    )
+    out = _os.path.join(tmpdir_path, "wds")
+    m = export_image_captions(samples, out, layout="source",
+                              samples_per_shard=5)
+    assert [s["n_samples"] for s in m["shards"]] == [5, 5, 5, 5, 3]
+    got = read_webdataset_dir(out)
+    assert sorted(s["key"] for s in got) == sorted(r[0] for r in rows)
 
 
 def test_engine_export_plan_sheds_bytes(crawl_export):
