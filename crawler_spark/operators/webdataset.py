@@ -10,20 +10,23 @@ sequential tar streamer with zero index structures.  Nothing beyond stdlib
 
 Scale design (100 TB of payload bytes):
 
-* **One payload shuffle at most — zero on the direct path.**  Shard
-  assignment is a deterministic hash of the sample key —
-  ``md5('wds:' || key) mod n_shards`` (md5-derived randomness per the repo
-  convention: engine-portable, seed-free, so shard contents are identical on
-  any cluster size / engine / rerun) — NOT a global row-number.  A
-  row-number layout (q65's exactly-balanced variant) needs a range shuffle
-  *and* a grouping shuffle of the heavy binary cells; hash sharding moves
-  each payload byte across the wire exactly once (``write_webdataset``) or,
-  when the payloads already live in columnar files every executor can read
-  (``export_image_captions``), ZERO times: Spark shuffles only
-  (key, path, caption) strings and each shard task streams its bytes
-  straight from storage with pyarrow — the same direct-read pattern as
-  ``plans.engine._payload_check``.  Shard sizes are binomially balanced —
-  at ≥10⁴ samples/shard the spread is <2% (documented, not hidden).
+* **Payload bytes move at most once — and read amplification is accounted
+  for.**  Three paths, cheapest first: ``export_image_captions`` with
+  ``layout="source"`` (the default and the 100 TB path) groups by PAYLOAD
+  FILE — each file pyarrow-read exactly once, zero byte shuffle, zero JVM
+  transit (the ``plans.engine._payload_check`` direct-read pattern), global
+  sample mixing deferred to the training loader's shard+buffer shuffle
+  exactly as the public WebDataset/LAION releases do.  ``layout="hash"``
+  gives layout-independent deterministic global mixing —
+  ``md5('wds:' || key) mod n_shards``, engine-portable and seed-free — but
+  re-reads each payload file once per touching shard (amplification
+  ≈ min(n_shards, rows/file) per file; see BASELINE.md Lesson 6), so it is
+  for small or highly SELECTIVE exports, where the pyarrow ``filters``
+  row-group pushdown also bites.  ``write_webdataset`` covers bytes already
+  in DataFrame columns: exactly one shuffle (the shard exchange), never a
+  row-number layout (a range shuffle *plus* a grouping shuffle of heavy
+  binary cells).  Hash-shard sizes are binomially balanced — at ≥10⁴
+  samples/shard the spread is <2% (documented, not hidden).
 * **Streaming writer.**  Tars are written straight to their ``.tmp`` file
   through an md5-folding wrapper (``tarfile`` stream mode ``w|`` — no
   seeks, no in-memory tar image).  The shuffle path holds ONE Arrow batch +
@@ -323,21 +326,24 @@ def export_image_captions(
     if layout == "hash" and n_shards <= 0:
         raise ValueError("layout='hash' requires n_shards > 0")
     meta_cols = ["caption", "w", "h", "fmt", "phash"]
+    # groupBy().applyInPandas below is the ONE shuffle of these narrow
+    # strings (it hash-partitions on the group key itself — an explicit
+    # repartition here would be a redundant second exchange, verified by
+    # plan inspection in tests)
     if layout == "hash":
         sdf = shard_assignments(samples, key_col, n_shards)
         rows = sdf.select(
             "shard", "skey", F.col(key_col).cast("string").alias("_key"),
             F.col(path_col).alias("_path"), *meta_cols,
-        ).repartition(int(n_shards), "shard")
+        )
         group_col = "shard"
     else:
-        sdf = samples.filter(F.col(key_col).isNotNull()).select(
+        rows = samples.filter(F.col(key_col).isNotNull()).select(
             F.md5(F.concat(F.lit("wds:"), F.col(key_col).cast("string"))
                   ).alias("skey"),
             F.col(key_col).cast("string").alias("_key"),
             F.col(path_col).alias("_path"), *meta_cols,
         )
-        rows = sdf.repartition("_path")
         group_col = "_path"
 
     os.makedirs(out_dir, exist_ok=True)

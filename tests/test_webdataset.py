@@ -268,6 +268,35 @@ def test_source_layout_chunking(spark, tmpdir_path):
     assert sorted(s["key"] for s in got) == sorted(r[0] for r in rows)
 
 
+def test_export_plan_single_exchange(crawl_export):
+    """Both layouts shuffle the narrow sample strings exactly ONCE — the
+    groupBy.applyInPandas exchange is the only Exchange in the plan (no
+    redundant pre-repartition)."""
+    from pyspark.sql import functions as F
+    from crawler_spark.operators.webdataset import shard_assignments
+
+    eng, _, _ = crawl_export
+    samples = (
+        eng.images.select("image_id", "caption", "w", "h", "fmt", "phash")
+        .withColumn("path", F.input_file_name())
+    )
+
+    def n_exchanges(rows, group_col):
+        df = rows.groupBy(group_col).applyInPandas(
+            lambda pdf: pdf.iloc[:0][["path"]].rename(columns={"path": "name"}),
+            schema="name string")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return plan.count("Exchange ")
+
+    src_rows = samples.select(
+        F.md5(F.concat(F.lit("wds:"), F.col("image_id"))).alias("skey"),
+        F.col("image_id").alias("_key"), F.col("path"))
+    assert n_exchanges(src_rows, "path") == 1
+    hash_rows = shard_assignments(samples, "image_id", 4).select(
+        "shard", "skey", F.col("image_id").alias("_key"), "path")
+    assert n_exchanges(hash_rows, "shard") == 1
+
+
 def test_engine_export_plan_sheds_bytes(crawl_export):
     """The JVM side of the export never scans the payload column: the only
     reads are bytes-pruned (ReadSchema without `bytes`)."""
