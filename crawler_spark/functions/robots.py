@@ -118,10 +118,16 @@ def robots_sitemaps(text: str | None) -> list[str]:
 
 def write_robots_txt(
     disallow_prefixes: list[str], crawl_delay_s: float | None,
-    agent: str = "*",
+    agent: str = "*", sitemaps: list[str] | tuple[str, ...] = (),
 ) -> str:
-    """Inverse of the parser (test roundtrip + fixture raw-body generation)."""
-    lines = [f"User-agent: {agent}"]
+    """Inverse of the parser (test roundtrip + fixture raw-body generation).
+
+    ``sitemaps`` emits RFC 9309 §2.3 ``Sitemap:`` directives ahead of the
+    group (they are group-independent) — the discovery hook
+    ``robots_sitemaps``/``sources.sitemaps`` consumes.
+    """
+    lines = [f"Sitemap: {u}" for u in sitemaps]
+    lines += [f"User-agent: {agent}"]
     lines += [f"Disallow: {p}" for p in disallow_prefixes]
     if crawl_delay_s is not None:
         lines.append(f"Crawl-delay: {crawl_delay_s}")

@@ -92,12 +92,15 @@ class CrawlEngine:
         self.fix_dir = fix_dir
         self.ckpt_dir = ckpt_dir
         # "files" reads seeds.parquet (reference S1/S2); "sitemaps" resolves
-        # the fixture's sitemap tree (sources.sitemaps) — the web-native
-        # discovery path; fixtures encode seed order in lastmod so both
+        # the fixture's sitemap tree (sources.sitemaps); "robots" runs the
+        # FULL web-native discovery chain — robots.txt bodies → RFC 9309
+        # `Sitemap:` directives → sitemap tree → seeds (requires a raw-body
+        # robots.parquet).  Fixtures encode seed order in lastmod so all
         # sources yield the identical frontier (golden-tested).  Sitemap
         # seeds carry no cookies (the protocol has no such field).
-        if seed_source not in ("files", "sitemaps"):
-            raise ValueError(f"seed_source must be 'files' or 'sitemaps', got {seed_source!r}")
+        if seed_source not in ("files", "sitemaps", "robots"):
+            raise ValueError(
+                f"seed_source must be 'files', 'sitemaps' or 'robots', got {seed_source!r}")
         self.seed_source = seed_source
         self.cfg = cfg or CrawlConfig()
         self.use_bloom = use_bloom
@@ -201,6 +204,21 @@ class CrawlEngine:
             from crawler_spark.sources.sitemaps import fixture_seed_table
 
             seeds = fixture_seed_table(self.spark, self.fix_dir)
+        elif self.seed_source == "robots":
+            # full discovery chain: robots.txt bodies → Sitemap: directives
+            # → sitemap tree → seeds (the order a real crawl runs in)
+            from crawler_spark.sources.sitemaps import (
+                expand_sitemap_tree, roots_from_robots, seeds_from_sitemaps)
+
+            raw = self.spark.read.parquet(os.path.join(self.fix_dir, "robots.parquet"))
+            if "robots_txt" not in raw.columns:
+                raise ValueError(
+                    "seed_source='robots' needs a raw-body robots.parquet "
+                    "(robots_txt column) carrying Sitemap: directives")
+            bodies = self.spark.read.parquet(
+                os.path.join(self.fix_dir, "sitemaps.parquet"))
+            seeds = seeds_from_sitemaps(
+                expand_sitemap_tree(bodies, roots_from_robots(raw)))
         else:
             seeds = self.spark.read.parquet(os.path.join(self.fix_dir, "seeds.parquet"))
         cookies = (

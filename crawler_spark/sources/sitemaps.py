@@ -43,6 +43,7 @@ __all__ = [
     "expand_sitemap_tree",
     "seeds_from_sitemaps",
     "fixture_seed_table",
+    "roots_from_robots",
 ]
 
 MAX_ENTRIES = 50_000  # sitemaps.org: "no more than 50,000 URLs"
@@ -219,6 +220,30 @@ def seeds_from_sitemaps(leaves: DataFrame) -> DataFrame:
                                  rn_col="_rn")
     return numbered.select(
         (F.col("_rn") - 1).cast("string").alias("seed_id"), "url")
+
+
+def roots_from_robots(robots: DataFrame,
+                      body_col: str = "robots_txt") -> DataFrame:
+    """Per-host robots.txt bodies → distinct sitemap root URLs (one ``url``
+    column) via the RFC 9309 §2.3 ``Sitemap:`` directive — the discovery
+    step a real crawl runs before any sitemap fetch.  Arrow-batched; a host
+    with no directive (or a NULL/garbage body) contributes zero rows.
+    """
+    def _extract(it):
+        import pandas as pd
+
+        from crawler_spark.functions.robots import robots_sitemaps
+
+        for pdf in it:
+            urls = []
+            for body in pdf[body_col]:
+                if isinstance(body, (bytes, bytearray)):
+                    body = bytes(body).decode("utf-8", "replace")
+                urls.extend(robots_sitemaps(body))
+            yield pd.DataFrame({"url": urls})
+
+    return robots.select(body_col).mapInPandas(
+        _extract, schema="url string").distinct()
 
 
 def fixture_seed_table(spark: SparkSession, fix_dir: str,

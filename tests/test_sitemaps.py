@@ -177,3 +177,45 @@ def test_engine_sitemap_bootstrap_matches_file_seeds(spark, tmp_path_factory):
             sorted(r.url for r in eng.url_seen().collect()),
         )
     assert runs["sitemaps"] == runs["files"]
+
+
+def test_engine_robots_discovery_chain(spark, tmp_path_factory):
+    """seed_source='robots': robots.txt Sitemap: directives → sitemap tree →
+    seeds, reproducing the file-seeded crawl exactly — the full web-native
+    discovery chain in one run."""
+    import os
+    import shutil
+
+    from crawler_spark.fixtures import generate
+    from crawler_spark.functions.robots import write_robots_txt
+    from crawler_spark.plans.engine import CrawlEngine
+    from crawler_spark.plans.policy import CrawlConfig
+
+    fix = str(tmp_path_factory.mktemp("rb_fix"))
+    generate(fix, n_pages=72, n_hosts=4, seed=19)
+    # rewrite robots.parquet as raw bodies carrying each host's Sitemap lines
+    raw_fix = str(tmp_path_factory.mktemp("rb_rawfix"))
+    shutil.copytree(fix, raw_fix, dirs_exist_ok=True)
+    sm_urls = [r.url for r in spark.read.parquet(
+        os.path.join(fix, "sitemaps.parquet")).select("url").collect()]
+    by_host = {}
+    for u in sm_urls:
+        if not u.endswith("sitemap-index.xml"):
+            by_host.setdefault(u.split("/")[2], []).append(u)
+    structured = spark.read.parquet(os.path.join(fix, "robots.parquet")).collect()
+    raw_rows = [
+        (r.host, write_robots_txt(list(r.disallow_prefixes), r.crawl_delay_s,
+                                  sitemaps=sorted(by_host.get(r.host, []))))
+        for r in structured
+    ]
+    spark.createDataFrame(raw_rows, "host string, robots_txt string").coalesce(
+        1).write.mode("overwrite").parquet(os.path.join(raw_fix, "robots.parquet"))
+
+    runs = {}
+    for src, d in (("files", fix), ("robots", raw_fix)):
+        eng = CrawlEngine(spark, d, str(tmp_path_factory.mktemp(f"rb_ck_{src}")),
+                          CrawlConfig(max_rounds=6), seed_source=src)
+        eng.run()
+        runs[src] = sorted((r.round, r.host, r.rank, r.url, r.status)
+                           for r in eng.fetch_log().collect())
+    assert runs["robots"] == runs["files"] and len(runs["files"]) > 0
