@@ -307,8 +307,11 @@ def read_warc(spark: SparkSession, in_dir: str) -> DataFrame:
     payload (binary), digest_ok (payload sha1 matches the record's labelled
     digest — the archive-integrity check)``.  Spark distributes only the
     path strings (one task per WARC file — the parallelism unit at scale,
-    like the engine's payload reads); each task streams its file from
-    storage and parses with the stdlib-only record walker above.
+    like the engine's payload reads); each task reads its whole file and
+    parses with the stdlib-only record walker above — WARC files are written
+    0.1-1 GiB (``n_files`` sizing), so one file is a task-sized unit, and a
+    single record is served without any full-file read via the cdx index +
+    :func:`read_warc_record`.
     """
     paths = sorted(
         os.path.join(in_dir, f) for f in os.listdir(in_dir)
