@@ -33,6 +33,7 @@ single-partition window).
 from __future__ import annotations
 
 import gzip
+import zlib
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -92,10 +93,22 @@ def parse_sitemap(data: bytes | str | None) -> dict:
     if isinstance(data, str):
         data = data.encode("utf-8", "replace")
     if data[:2] == b"\x1f\x8b":
+        # gzip.decompress signals corruption three ways: BadGzipFile
+        # (OSError) for header damage, EOFError for truncation, zlib.error
+        # for a corrupt deflate stream — all degrade to "no entries".
         try:
             data = gzip.decompress(data)
-        except OSError:
+        except (OSError, EOFError, zlib.error):
             return out
+    # Hostile-input guard: xml.etree expands internal DTD entities, so a
+    # crafted sitemap with nested entity definitions (billion laughs) costs
+    # exponential memory before ParseError can fire.  Entities are only
+    # definable through a DTD and no conforming sitemap carries one
+    # (sitemaps.org documents are plain urlset/sitemapindex), so any
+    # document with a DOCTYPE is treated as malformed outright.  The XML
+    # keyword is case-sensitive, one uppercase byte-scan suffices.
+    if b"<!DOCTYPE" in data:
+        return out
     try:
         root = ET.fromstring(data)
     except ET.ParseError:
@@ -120,6 +133,12 @@ def parse_sitemap(data: bytes | str | None) -> dict:
             try:
                 prio = float(fields["priority"])
             except (KeyError, ValueError):
+                prio = None
+            # sitemaps.org: "valid values range from 0.0 to 1.0" — anything
+            # outside (including NaN/inf, which would hijack the frontier's
+            # priority-DESC ordering) degrades to the 0.5 default like any
+            # other malformed field.  NaN fails the chained comparison.
+            if prio is not None and not (0.0 <= prio <= 1.0):
                 prio = None
         out["entries"].append({
             "loc": loc,

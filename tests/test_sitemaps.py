@@ -219,3 +219,89 @@ def test_engine_robots_discovery_chain(spark, tmp_path_factory):
         runs[src] = sorted((r.round, r.host, r.rank, r.url, r.status)
                            for r in eng.fetch_log().collect())
     assert runs["robots"] == runs["files"] and len(runs["files"]) > 0
+
+
+# ---------------------------------------------------------------------------
+# Hostile-input hardening + hypothesis fuzz (same discipline as the WARC
+# framing fuzz in test_warc.py): the parser's documented contract is
+# "every malformation degrades to fewer entries, never an exception".
+# ---------------------------------------------------------------------------
+
+from xml.sax.saxutils import escape  # noqa: E402
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+def test_dtd_rejected_before_entity_expansion():
+    # Classic billion-laughs shape: 10 levels of 10-way entity nesting would
+    # expand to 10^10 bytes inside xml.etree if the DTD were parsed.  The
+    # DOCTYPE byte-scan must reject it without touching expat.
+    ents = ['<!ENTITY l0 "lol">'] + [
+        f'<!ENTITY l{i} "{"&l%d;" % (i - 1) * 10}">' for i in range(1, 10)
+    ]
+    bomb = ('<?xml version="1.0"?><!DOCTYPE lolz [' + "".join(ents) + "]>"
+            f'<urlset {_NS}><url><loc>&l9;</loc></url></urlset>')
+    p = parse_sitemap(bomb)
+    assert p["kind"] is None and p["entries"] == []
+    # Any DOCTYPE is treated as malformed, even a harmless one: no
+    # conforming sitemap carries a DTD.
+    benign = ("<!DOCTYPE urlset SYSTEM 'x.dtd'>"
+              + _urlset(["http://h/p"]))
+    assert parse_sitemap(benign)["entries"] == []
+
+
+def test_truncated_gzip_degrades():
+    whole = gzip.compress(_urlset(["http://h/p1", "http://h/p2"]).encode())
+    assert parse_sitemap(whole)["entries"]  # sanity: intact body parses
+    for cut in (4, 10, len(whole) - 3):  # header / mid-deflate / no trailer
+        assert parse_sitemap(whole[:cut])["entries"] == []
+
+
+def test_priority_out_of_spec_degrades():
+    xml = _urlset(
+        ["http://a/1", "http://a/2", "http://a/3", "http://a/4"],
+        extras=["<priority>NaN</priority>", "<priority>inf</priority>",
+                "<priority>1.5</priority>", "<priority>-0.1</priority>"])
+    assert all(e["priority"] is None
+               for e in parse_sitemap(xml)["entries"])
+
+
+def _shape_ok(p):
+    assert p["kind"] in (None, "urlset", "sitemapindex")
+    assert isinstance(p["truncated"], bool)
+    for e in p["entries"]:
+        assert e["loc"]
+        assert e["lastmod"] is None or isinstance(e["lastmod"], float)
+        assert e["priority"] is None or 0.0 <= e["priority"] <= 1.0
+
+
+@settings(max_examples=150, deadline=None)
+@given(data=st.one_of(st.binary(max_size=2048), st.text(max_size=2048)))
+def test_fuzz_arbitrary_input_never_raises(data):
+    _shape_ok(parse_sitemap(data))
+
+
+_loc = st.text(
+    alphabet="abcz019:/.-_%~?=&", min_size=1, max_size=40,
+).map(str.strip).filter(bool)
+
+
+@settings(max_examples=100, deadline=None)
+@given(urls=st.lists(_loc, min_size=1, max_size=12),
+       gz=st.booleans(),
+       cut=st.one_of(st.none(), st.integers(min_value=0, max_value=4096)))
+def test_fuzz_wellformed_roundtrip_and_truncation(urls, gz, cut):
+    body = _urlset([escape(u) for u in urls]).encode()
+    if gz:
+        body = gzip.compress(body, mtime=0)
+    if cut is None:
+        p = parse_sitemap(body)
+        assert [e["loc"] for e in p["entries"]] == urls
+        _shape_ok(p)
+    else:
+        # Any prefix of a valid body parses to a (possibly empty) prefix of
+        # the original entries — degradation, never an exception.
+        p = parse_sitemap(body[:cut])
+        _shape_ok(p)
+        assert [e["loc"] for e in p["entries"]] == urls[: len(p["entries"])]
