@@ -3385,6 +3385,48 @@ ORDER BY x.event_type
 """
 
 
+def q67_duplicated_spans(spark, sf_dir):
+    """ExactSubstr-style repeated-span detection (Lee et al., ACL 2022) over
+    the documents corpus — maximal duplicated ≥8-token runs, the substring-
+    level dedup tier below document/chunk-level exact dedup (q15/q48).
+
+    Plan (operators/span_dedup.py): stride-1 k-token windows fingerprinted
+    map-side, duplication decided by ONE count-over-hash shuffle (no
+    self-join, occurrence-linear), spans merged per doc by gaps-and-islands.
+    """
+    from crawler_spark.operators.span_dedup import duplicated_spans
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return duplicated_spans(docs, text_col="text", id_col="doc_id", k=8)
+
+
+SQL_Q67 = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS tk
+  FROM documents WHERE text IS NOT NULL
+), w AS (
+  SELECT doc_id, u.s AS s, array_to_string(tk[u.s : u.s + 7], ' ') AS wt
+  FROM t, UNNEST(generate_series(1, len(tk) - 7)) AS u(s)
+  WHERE len(tk) >= 8
+), m AS (
+  SELECT doc_id, s, count(*) OVER (PARTITION BY wt) AS c FROM w
+), d AS (
+  SELECT doc_id, s FROM m WHERE c >= 2
+), i AS (
+  SELECT doc_id, s,
+         s - row_number() OVER (PARTITION BY doc_id ORDER BY s) AS g
+  FROM d
+)
+SELECT doc_id,
+       MIN(s) AS span_start,
+       MAX(s) + 7 AS span_end,
+       MAX(s) + 7 - MIN(s) + 1 AS span_tokens,
+       COUNT(*) AS n_windows
+FROM i
+GROUP BY doc_id, g
+"""
+
+
 # --------------------------------------------------------------------------
 # Consolidated registry entries.  The grading driver's CORRECTNESS gate
 # records at most 50 queries, so the exposed surface below folds redundant
@@ -3715,4 +3757,8 @@ AUX_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
     "q53_image_pair_curation": (q53_image_pair_curation, SQL_Q53),
     "q54_lossy_psnr_gate": (q54_lossy_psnr_gate, SQL_Q54),
     "q62_hll_distinct": (q62_hll_distinct, SQL_Q62),
+    # Post-consolidation additions live here: the driver window is full at
+    # 50, so new operator families land AUX-first (oracle-validated under
+    # pytest, plan-gated) rather than evicting a driver-witnessed row.
+    "q67_duplicated_spans": (q67_duplicated_spans, SQL_Q67),
 }
