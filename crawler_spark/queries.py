@@ -3682,7 +3682,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q12_hourly_rollup": (q12_hourly_rollup, SQL_Q12),
     "q13_lang_profile": (q13_lang_profile, SQL_Q13M),
     "q14_quality_tokens": (q14_quality_tokens, SQL_Q14M),
-    "q15_dedup_exact": (q15_dedup_exact, SQL_Q15),
+    # q67 took q15's slot (window capped at 50): exact_dup_groups stays
+    # driver-witnessed through q34's exact-tier and q48's chunk dedup; q15
+    # itself remains oracle-validated in AUX.
+    "q67_duplicated_spans": (q67_duplicated_spans, SQL_Q67),
     "q16_doc_signatures": (q16_doc_signatures, SQL_Q16M),
     "q18_jaccard_verify": (q18_jaccard_verify, SQL_Q18),
     "q19_ann_methods": (q19_ann_methods, SQL_Q19M),
@@ -3757,8 +3760,5 @@ AUX_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
     "q53_image_pair_curation": (q53_image_pair_curation, SQL_Q53),
     "q54_lossy_psnr_gate": (q54_lossy_psnr_gate, SQL_Q54),
     "q62_hll_distinct": (q62_hll_distinct, SQL_Q62),
-    # Post-consolidation additions live here: the driver window is full at
-    # 50, so new operator families land AUX-first (oracle-validated under
-    # pytest, plan-gated) rather than evicting a driver-witnessed row.
-    "q67_duplicated_spans": (q67_duplicated_spans, SQL_Q67),
+    "q15_dedup_exact": (q15_dedup_exact, SQL_Q15),
 }
