@@ -33,9 +33,11 @@ minimal fingerprint before the global shuffle, cutting shuffled rows ~w/2×
 while guaranteeing every duplicated run of ≥ w + k - 1 tokens is still hit
 (the argmin of a hash window shared by two documents is the same relative
 position in both).  Winnowed spans are detection regions, not exact bounds:
-each reported span is contained in a true duplicated region's island but its
-edges are fingerprint positions, so bounds are tight only to ±(w-1) tokens;
-islands tolerate gaps ≤ w between kept fingerprints.
+each reported span lies inside a true duplicated island (fingerprints are a
+subset of duplicated windows — hypothesis-pinned), but its edges are the
+outermost PAIRED fingerprints, which near run edges can sit several windows
+inside the true extent; the guarantee is detection, not extent.  Islands
+tolerate gaps ≤ w between kept fingerprints.
 
 Reference tie-in: the reference stores whole pages (`Crawlers.java` rawdata
 -> file sinks) with no corpus-level curation; this is curation-tier, part of
@@ -81,8 +83,9 @@ def duplicated_spans(
     yield no spans (degradation, never an error).
 
     ``winnow=w`` (w ≥ 2) switches to fingerprint-sampled detection: spans
-    are guaranteed to flag every duplicated run of ≥ w + k - 1 tokens, with
-    boundary slack ±(w-1) tokens; shuffle volume drops ~w/2×.
+    are guaranteed to flag every duplicated run of ≥ w + k - 1 tokens
+    (extents approximate, always inside the exact-mode island); shuffle
+    volume drops ~w/2×.
     """
     if k < 2:
         raise ValueError("require k >= 2")
