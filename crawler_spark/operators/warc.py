@@ -49,7 +49,7 @@ import os
 import uuid
 import zlib
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from crawler_spark.operators.webdataset import shard_assignments
@@ -348,3 +348,46 @@ def read_warc(spark: SparkSession, in_dir: str) -> DataFrame:
         "file string, warc_type string, record_id string, date string, "
         "target_uri string, content_type string, payload binary, "
         "digest_ok boolean"))
+
+
+def cdx_diff(old: DataFrame, new: DataFrame) -> DataFrame:
+    """URL-level change classification between two crawls' CDX indexes —
+    the incremental-recrawl planning query (which URLs to fetch again).
+
+    Inputs are two ``cdx`` parquet DataFrames from :func:`write_warc`
+    (``url, date, file, offset, length, digest``); a URL may carry several
+    captures, the LATEST (WARC dates are ISO-8601 UTC, so lexicographic =
+    chronological; ties broken by digest/file/offset for determinism) wins
+    per side.  Output: one row per URL seen in either crawl —
+    ``url, status ∈ {added, gone, changed, unchanged}, old_date,
+    old_digest, new_date, new_digest``.  ``status IN ('added','changed')``
+    is the refetch list; ``gone`` feeds deletion/tombstone handling.
+
+    Plan shape: per-side latest = ONE window over a url-keyed shuffle, then
+    a url-keyed full-outer sort-merge join — both sides arrive already
+    hash-partitioned by url, so the join reuses the window exchanges; total
+    cost is one shuffle of each index, never a pair blow-up.
+    """
+    def latest(df: DataFrame, side: str) -> DataFrame:
+        w = Window.partitionBy("url").orderBy(
+            F.col("date").desc(), F.col("digest"), F.col("file"),
+            F.col("offset"))
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select(
+                "url",
+                F.col("date").alias(f"{side}_date"),
+                F.col("digest").alias(f"{side}_digest"),
+            )
+        )
+
+    j = latest(old, "old").join(latest(new, "new"), "url", "full_outer")
+    status = (
+        F.when(F.col("old_digest").isNull(), F.lit("added"))
+        .when(F.col("new_digest").isNull(), F.lit("gone"))
+        .when(F.col("old_digest") == F.col("new_digest"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select("url", status.alias("status"), "old_date", "old_digest",
+                    "new_date", "new_digest")

@@ -244,3 +244,58 @@ def test_null_cells_degrade(spark, tmpdir_path):
     assert bytes(recs["http://h1.example/p/1"].payload) == b""
     assert recs["http://h2.example/p/2"].date == "1970-01-01T00:00:00Z"
     assert all(r.digest_ok for r in recs.values())
+
+
+def test_cdx_diff_statuses_and_latest_capture(spark):
+    from crawler_spark.operators.warc import cdx_diff
+
+    cols = "url string, date string, file int, offset long, length long, digest string"
+    old = spark.createDataFrame([
+        ("http://h/a", "2024-01-01T00:00:00Z", 0, 0, 10, "AAA"),
+        ("http://h/a", "2024-01-02T00:00:00Z", 0, 10, 10, "AAB"),  # latest old
+        ("http://h/b", "2024-01-01T00:00:00Z", 0, 20, 10, "BBB"),
+        ("http://h/gone", "2024-01-01T00:00:00Z", 1, 0, 10, "GGG"),
+    ], cols)
+    new = spark.createDataFrame([
+        ("http://h/a", "2024-02-01T00:00:00Z", 0, 0, 10, "AAC"),   # changed
+        ("http://h/b", "2024-02-01T00:00:00Z", 0, 10, 10, "BBB"),  # unchanged
+        ("http://h/new", "2024-02-01T00:00:00Z", 1, 0, 10, "NNN"),  # added
+    ], cols)
+    got = {r.url: r for r in cdx_diff(old, new).collect()}
+    assert {u: r.status for u, r in got.items()} == {
+        "http://h/a": "changed", "http://h/b": "unchanged",
+        "http://h/gone": "gone", "http://h/new": "added"}
+    a = got["http://h/a"]
+    assert a.old_digest == "AAB" and a.new_digest == "AAC"  # latest capture won
+    g = got["http://h/gone"]
+    assert g.new_date is None and g.new_digest is None
+    n = got["http://h/new"]
+    assert n.old_date is None and n.old_digest is None
+
+
+def test_cdx_diff_end_to_end_refetch_list(spark, tmpdir_path):
+    """Two real write_warc runs (second crawl mutates one page, drops one,
+    adds one) → diff of their cdx parquets is the refetch plan."""
+    from crawler_spark.operators.warc import cdx_diff
+
+    def crawl(rows, out):
+        df = spark.createDataFrame(rows, "url string, payload string, epoch double")
+        write_warc(df, out, 2, cdx=True)
+        return spark.read.parquet(os.path.join(out, "cdx"))
+
+    t0, t1 = 1704067200.0, 1706745600.0
+    old = crawl([("http://h/1", "one", t0), ("http://h/2", "two", t0),
+                 ("http://h/3", "three", t0)],
+                os.path.join(tmpdir_path, "c0"))
+    new = crawl([("http://h/1", "one", t1), ("http://h/2", "TWO-CHANGED", t1),
+                 ("http://h/4", "four", t1)],
+                os.path.join(tmpdir_path, "c1"))
+    d = cdx_diff(old, new)
+    by = {r.url: r.status for r in d.collect()}
+    assert by == {"http://h/1": "unchanged", "http://h/2": "changed",
+                  "http://h/3": "gone", "http://h/4": "added"}
+    refetch = sorted(r.url for r in d.where(
+        F.col("status").isin("added", "changed")).collect())
+    assert refetch == ["http://h/2", "http://h/4"]
+    plan = d._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
