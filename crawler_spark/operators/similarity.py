@@ -99,7 +99,7 @@ def int8_quantize_col(vec_col: Column) -> Column:
 
 def int8_ann_topk(
     emb: DataFrame, query: list[float], k: int = 10, id_col: str = "vec_id",
-    vec_col: str = "embedding",
+    vec_col: str = "embedding", exact: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k by INTEGER dot product over int8-quantized codes, with an
     ``in_exact`` flag marking members of the exact-cosine top-k (the recall
@@ -110,6 +110,11 @@ def int8_ann_topk(
     brute-force tier q19 uses — at corpus scale the flag would be computed
     on a sampled query set, the quantized scan is the serving path.
     Integer outputs end-to-end, so the oracle value-hash is exact.
+
+    ``exact``: optionally a precomputed ``brute_force_topk(emb, query, k)``
+    result (columns ``id_col, cos``) so a caller already holding the exact
+    tier (q19's method-comparison union) doesn't pay the brute-force scan
+    twice.
     """
     mxq = max(abs(float(x)) for x in query)
     sq = 127.0 / mxq if mxq > 0 else 0.0
@@ -126,9 +131,9 @@ def int8_ann_topk(
         ).alias("qdot"),
     )
     topq = scored.orderBy(F.col("qdot").desc(), F.col(id_col).asc()).limit(k)
-    exact = brute_force_topk(emb, query, k=k, id_col=id_col, vec_col=vec_col).select(
-        id_col, F.lit(1).alias("in_exact")
-    )
+    if exact is None:
+        exact = brute_force_topk(emb, query, k=k, id_col=id_col, vec_col=vec_col)
+    exact = exact.select(id_col, F.lit(1).alias("in_exact"))
     return topq.join(F.broadcast(exact), id_col, "left").select(
         id_col, "qdot", F.coalesce("in_exact", F.lit(0)).alias("in_exact")
     )
@@ -355,9 +360,15 @@ def embedding_near_dup_pairs_lsh(
 
 # Above this many centroids the Catalyst expression argmin (nlist·dim folds
 # PER ROW in one expression tree) is replaced by an Arrow-batched numpy
-# assignment — matmul-shaped work belongs in vectorized batches, not in a
-# per-row expression interpreter.  Small nlist stays JVM-side/codegen.
-_IVF_EXPR_MAX_NLIST = 8
+# assignment.  Measured (local[32], 64-dim): the expression path is SLOWER
+# even at nlist=8 — higher-order functions (aggregate/zip_with) evaluate
+# interpreted per-row, and each fresh 512-literal tree costs a driver
+# analysis+codegen pass per iteration — 2.2× at 2k rows (compile-bound) and
+# 2.6× at 200k rows (per-row-bound), bit-identical outputs.  So the Arrow
+# path is the default at EVERY nlist; the expression form remains as the
+# executable twin-spec of the assignment semantics (it is what SQL_Q29
+# mirrors) and the fallback where Arrow is unavailable.
+_IVF_EXPR_MAX_NLIST = 0
 
 
 def ivf_assign_col(vec_col: Column, cids: list[int], cents: list[list[float]]) -> Column:

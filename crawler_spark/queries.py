@@ -3448,6 +3448,8 @@ def q19_ann_methods(spark, sf_dir):
     the method's own ranking key (cosine for the float tiers, integer dot
     for int8).  Scale: each tier keeps its own plan shape (map+TakeOrdered
     / bucket-probe / list-probe); the union is a zero-shuffle concat."""
+    from crawler_spark.operators.similarity import int8_ann_topk
+
     exact = q19_ann_topk(spark, sf_dir)
     ex_ids = exact.select("vec_id", F.lit(1).alias("_ex"))
 
@@ -3462,7 +3464,13 @@ def q19_ann_methods(spark, sf_dir):
             )
         )
 
-    i8 = q42_int8_ann(spark, sf_dir)
+    # hand the already-built exact tier to int8 so the union doesn't pay the
+    # brute-force scan a second time (only the id set feeds in_exact, so the
+    # 6-dp-rounded exact rows are equivalent to q42's internal recompute)
+    i8 = int8_ann_topk(
+        t(spark, sf_dir, "embeddings"), _query_vec(spark, sf_dir), k=10,
+        exact=exact,
+    )
     return (
         flag(exact, "exact")
         .unionByName(flag(q20_ann_lsh(spark, sf_dir), "lsh"))

@@ -114,3 +114,25 @@ def test_int8_topk_recall_vs_brute_force(emb):
     rows = out.collect()
     assert len(rows) == 10
     assert sum(r.in_exact for r in rows) >= 7  # int8 loses little at 64-dim
+
+
+def test_ivf_assignment_expr_and_arrow_paths_identical(emb, monkeypatch):
+    """The Catalyst-expression argmin (the twin-spec form SQL_Q29 mirrors)
+    and the default Arrow-batched numpy assignment must agree on EVERY row
+    — both accumulate the squared distance dim-sequentially in float64, so
+    equality is exact, not approximate."""
+    from pyspark.sql import functions as F
+
+    import crawler_spark.operators.similarity as S
+
+    cids, cents = S.ivf_fit(emb, DIM, nlist=8, iters=2)
+
+    def assign(thr):
+        monkeypatch.setattr(S, "_IVF_EXPR_MAX_NLIST", thr)
+        return dict(
+            emb.withColumn("cid", S.ivf_assign_col(F.col("embedding"), cids, cents))
+            .select("vec_id", "cid")
+            .collect()
+        )
+
+    assert assign(8) == assign(0)  # expr path == arrow path, every row
