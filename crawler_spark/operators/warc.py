@@ -391,3 +391,31 @@ def cdx_diff(old: DataFrame, new: DataFrame) -> DataFrame:
     )
     return j.select("url", status.alias("status"), "old_date", "old_digest",
                     "new_date", "new_digest")
+
+
+def refetch_seeds(diff: DataFrame) -> DataFrame:
+    """:func:`cdx_diff` output → seed table for the next incremental crawl
+    (the content-change-driven complement of the engine's TTL recrawl).
+
+    Keeps ``status IN ('changed','added')`` — changed URLs first (their
+    stored copy is known stale), then added, each block in url order; the
+    output matches the fixture ``seeds.parquet`` contract (``seed_id`` =
+    string rank the engine reads back as the priority key, ``story_seq`` 0,
+    no cookies), so ``CrawlEngine(seeds_df=refetch_seeds(d))`` runs the
+    incremental crawl directly.  Scale: one range shuffle over only the
+    refetch subset (scale-safe ``global_row_number``, never a
+    single-partition window).
+    """
+    from crawler_spark.operators.ordering import global_row_number
+
+    picks = diff.filter(F.col("status").isin("changed", "added")).select(
+        "url",
+        F.when(F.col("status") == "changed", F.lit(0)).otherwise(F.lit(1)).alias("_blk"),
+    )
+    numbered = global_row_number(picks, ["_blk", "url"], rn_col="_rn")
+    return numbered.select(
+        (F.col("_rn") - 1).cast("string").alias("seed_id"),
+        "url",
+        F.lit(0).alias("story_seq"),
+        F.lit("").alias("cookies"),
+    )

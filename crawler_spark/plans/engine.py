@@ -87,6 +87,7 @@ class CrawlEngine:
         proxy_pool: Optional[list] = None,
         trace_tasks: bool = True,
         seed_source: str = "files",
+        seeds_df: Optional[DataFrame] = None,
     ):
         self.spark = spark
         self.fix_dir = fix_dir
@@ -102,6 +103,10 @@ class CrawlEngine:
             raise ValueError(
                 f"seed_source must be 'files', 'sitemaps' or 'robots', got {seed_source!r}")
         self.seed_source = seed_source
+        # direct seed intake (overrides seed_source): a DataFrame with the
+        # seeds.parquet contract (seed_id, url[, cookies]) — the incremental
+        # recrawl path feeds operators.warc.refetch_seeds(cdx_diff(...)) here
+        self.seeds_df = seeds_df
         self.cfg = cfg or CrawlConfig()
         self.use_bloom = use_bloom
         self.bloom_buckets = bloom_buckets
@@ -200,7 +205,9 @@ class CrawlEngine:
 
     def _seed_frontier(self) -> DataFrame:
         """Seeds → wave-0 frontier (S1; priority = seed order, O2 slicing)."""
-        if self.seed_source == "sitemaps":
+        if self.seeds_df is not None:
+            seeds = self.seeds_df
+        elif self.seed_source == "sitemaps":
             from crawler_spark.sources.sitemaps import fixture_seed_table
 
             seeds = fixture_seed_table(self.spark, self.fix_dir)

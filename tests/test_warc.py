@@ -299,3 +299,61 @@ def test_cdx_diff_end_to_end_refetch_list(spark, tmpdir_path):
     assert refetch == ["http://h/2", "http://h/4"]
     plan = d._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_incremental_recrawl_via_cdx_diff(spark, tmp_path_factory):
+    """Full incremental loop: crawl → WARC+CDX archive, mutate ONE page in
+    the web, crawl again → archive, cdx_diff flags exactly that URL as
+    changed, refetch_seeds turns the diff into a seed table, and a third
+    engine run seeded by it re-fetches the stale URL."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from crawler_spark.fixtures import generate
+    from crawler_spark.operators.warc import cdx_diff, refetch_seeds
+    from crawler_spark.plans.engine import CrawlEngine
+    from crawler_spark.plans.policy import CrawlConfig, ST_FETCHED
+
+    fix = str(tmp_path_factory.mktemp("inc_fix"))
+    generate(fix, n_pages=64, n_hosts=4, seed=11)
+
+    def crawl(fd, tag, **kw):
+        eng = CrawlEngine(spark, fd, str(tmp_path_factory.mktemp(f"inc_ck_{tag}")),
+                          CrawlConfig(max_rounds=6), **kw)
+        eng.run()
+        out = str(tmp_path_factory.mktemp(f"inc_warc_{tag}"))
+        eng.export_warc(out, n_files=2)
+        return eng, spark.read.parquet(os.path.join(out, "cdx"))
+
+    _, cdx0 = crawl(fix, "c0")
+    target = min(r.url for r in cdx0.select("url").collect())
+
+    fix2 = str(tmp_path_factory.mktemp("inc_fix2"))
+    shutil.copytree(fix, fix2, dirs_exist_ok=True)
+    tbl = pq.read_table(os.path.join(fix2, "pages.parquet"))
+    content = [
+        c + "<!-- v2 -->" if u == target else c
+        for u, c in zip(tbl["url"].to_pylist(), tbl["content"].to_pylist())
+    ]
+    pq.write_table(
+        tbl.set_column(tbl.schema.get_field_index("content"), "content",
+                       pa.array(content, pa.string())),
+        os.path.join(fix2, "pages.parquet"))
+
+    _, cdx1 = crawl(fix2, "c1")
+    d = cdx_diff(cdx0, cdx1)
+    by = {r.url: r.status for r in d.collect()}
+    assert by[target] == "changed"
+    assert all(s == "unchanged" for u, s in by.items() if u != target)
+
+    seeds = refetch_seeds(d)
+    assert [(r.seed_id, r.url) for r in seeds.collect()] == [("0", target)]
+
+    eng2 = CrawlEngine(spark, fix2, str(tmp_path_factory.mktemp("inc_ck_c2")),
+                       CrawlConfig(max_rounds=1), seeds_df=seeds)
+    eng2.run()
+    refetched = {r.url for r in eng2.fetch_log()
+                 .filter(F.col("status") == ST_FETCHED).select("url").collect()}
+    assert target in refetched
