@@ -602,6 +602,23 @@ class CrawlEngine:
             url_seen = snap.read_deltas(spark, self.ckpt_dir, "url_seen", last)
             start_round = last + 1
             self._bloom_init(url_seen, last)
+            if self.seeds_df is not None:
+                # incremental refetch on a RESUMED crawl (seeds_df carries
+                # warc.refetch_seeds(cdx_diff(...)) rows): like the TTL
+                # recrawl sweep, stale URLs are resubmitted DIRECTLY at
+                # PRIORITY_RECRAWL — membership stays truthful so the
+                # Bloom/cuckoo fast path needs no surgery; an anti-join
+                # against the pending frontier prevents double submission.
+                refetch = (
+                    self._seed_frontier()
+                    .join(frontier.select("url"), "url", "left_anti")
+                    .withColumn("wave", F.lit(start_round))
+                    .withColumn("priority", F.lit(P.PRIORITY_RECRAWL))
+                    .select(*FRONTIER_COLS)
+                )
+                frontier = frontier.unionByName(refetch)
+                if self.trace_tasks:
+                    pending_trace = self._trace_events(refetch, start_round, "recrawl")
         else:
             frontier = self._seed_frontier()
             url_seen = dd.with_url_hash(frontier.select("url")).withColumn(

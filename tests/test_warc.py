@@ -320,14 +320,14 @@ def test_incremental_recrawl_via_cdx_diff(spark, tmp_path_factory):
     generate(fix, n_pages=64, n_hosts=4, seed=11)
 
     def crawl(fd, tag, **kw):
-        eng = CrawlEngine(spark, fd, str(tmp_path_factory.mktemp(f"inc_ck_{tag}")),
-                          CrawlConfig(max_rounds=6), **kw)
+        ck = str(tmp_path_factory.mktemp(f"inc_ck_{tag}"))
+        eng = CrawlEngine(spark, fd, ck, CrawlConfig(max_rounds=6), **kw)
         eng.run()
         out = str(tmp_path_factory.mktemp(f"inc_warc_{tag}"))
         eng.export_warc(out, n_files=2)
-        return eng, spark.read.parquet(os.path.join(out, "cdx"))
+        return eng, ck, spark.read.parquet(os.path.join(out, "cdx"))
 
-    _, cdx0 = crawl(fix, "c0")
+    _, _, cdx0 = crawl(fix, "c0")
     target = min(r.url for r in cdx0.select("url").collect())
 
     fix2 = str(tmp_path_factory.mktemp("inc_fix2"))
@@ -342,7 +342,7 @@ def test_incremental_recrawl_via_cdx_diff(spark, tmp_path_factory):
                        pa.array(content, pa.string())),
         os.path.join(fix2, "pages.parquet"))
 
-    _, cdx1 = crawl(fix2, "c1")
+    eng1, ck1, cdx1 = crawl(fix2, "c1")
     d = cdx_diff(cdx0, cdx1)
     by = {r.url: r.status for r in d.collect()}
     assert by[target] == "changed"
@@ -351,9 +351,23 @@ def test_incremental_recrawl_via_cdx_diff(spark, tmp_path_factory):
     seeds = refetch_seeds(d)
     assert [(r.seed_id, r.url) for r in seeds.collect()] == [("0", target)]
 
+    # fresh-state refetch crawl (the Common-Crawl per-snapshot pattern)
     eng2 = CrawlEngine(spark, fix2, str(tmp_path_factory.mktemp("inc_ck_c2")),
                        CrawlConfig(max_rounds=1), seeds_df=seeds)
     eng2.run()
     refetched = {r.url for r in eng2.fetch_log()
                  .filter(F.col("status") == ST_FETCHED).select("url").collect()}
     assert target in refetched
+
+    # RESUMED refetch (the long-running-crawl pattern): same checkpoint,
+    # seeds_df injects the stale URL past the already-seen membership at
+    # PRIORITY_RECRAWL — TTL-sweep semantics, no filter surgery
+    last_round = eng1.fetch_log().agg(F.max("round")).first()[0]
+    eng3 = CrawlEngine(spark, fix2, ck1,
+                       CrawlConfig(max_rounds=last_round + 2), seeds_df=seeds)
+    eng3.run(resume=True)
+    late = (eng3.fetch_log()
+            .filter((F.col("status") == ST_FETCHED)
+                    & (F.col("round") > last_round)
+                    & (F.col("url") == target)))
+    assert late.count() == 1
