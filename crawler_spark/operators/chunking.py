@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["chunk_documents", "DEFAULT_WINDOW", "DEFAULT_STRIDE"]
+__all__ = ["chunk_documents", "token_blocks", "DEFAULT_WINDOW", "DEFAULT_STRIDE"]
 
 DEFAULT_WINDOW = 32  # tokens per chunk
 DEFAULT_STRIDE = 24  # tokens between chunk starts (overlap = window - stride)
@@ -63,4 +63,56 @@ def chunk_documents(
         out.withColumn("chunk_tokens", F.least(F.lit(window), remaining))
         .withColumn("chunk_hash", F.md5(chunk_text))
         .drop("_tk", "_n")
+    )
+
+
+def token_blocks(
+    docs: DataFrame, block_size: int,
+    id_col: str = "doc_id", tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """GPT-style sample packing: concatenate documents in a deterministic
+    seed-free global order (md5 of the id — the same reproducible-shuffle
+    convention as the training-shard layout) and split the resulting token
+    stream into fixed ``block_size`` blocks, documents straddling block
+    boundaries (the standard pretraining pack: no padding, no document
+    alignment — Brown et al. 2020 §2.1 describe exactly this layout).
+
+    Input: one row per doc with an integral ``tokens_col``.  Output: one
+    row per (block, doc) incidence — ``block_id``, the doc id, and the
+    in-doc token span [``tok_start``, ``tok_end``) that lands in the block;
+    a doc spanning k blocks yields k rows, so rows out = n_docs +
+    total_tokens/block_size extra boundary rows (linear).  Every block
+    except the last holds exactly ``block_size`` tokens by construction.
+
+    Plan shape: ONE range shuffle (the scale-safe global prefix sum over
+    the order key), then a shuffle-free explode of per-doc block spans —
+    no join, no window over a single partition.  Contrast
+    ``chunk_documents`` (per-doc overlapping windows, doc-aligned): packing
+    is the corpus-level layout, chunking the doc-level one.
+    """
+    from crawler_spark.operators.ordering import global_prefix_sum
+
+    d = docs.select(
+        F.col(id_col),
+        F.col(tokens_col).cast("long").alias("_n"),
+        F.md5(F.concat(F.lit("pack:"), F.col(id_col).cast("string"))).alias("_ord"),
+    ).filter(F.col("_n") > 0)
+    c = global_prefix_sum(d, ["_ord", id_col], "_n", sum_col="_end")
+    c = c.withColumn("_start", F.col("_end") - F.col("_n"))
+    b = c.withColumn(
+        "block_id",
+        F.explode(
+            F.sequence(
+                F.expr(f"_start DIV {block_size}"),
+                F.expr(f"(_end - 1) DIV {block_size}"),
+            )
+        ),
+    )
+    bs = F.lit(int(block_size)).cast("long")
+    blk_lo = F.col("block_id") * bs
+    return b.select(
+        "block_id",
+        F.col(id_col),
+        (F.greatest(blk_lo, F.col("_start")) - F.col("_start")).alias("tok_start"),
+        (F.least(blk_lo + bs, F.col("_end")) - F.col("_start")).alias("tok_end"),
     )

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["global_row_number"]
+__all__ = ["global_prefix_sum", "global_row_number"]
 
 
 def global_row_number(
@@ -85,3 +85,58 @@ def global_row_number(
             yield pdf
 
     return sdf.mapInPandas(number, schema=out_schema)
+
+
+def global_prefix_sum(
+    df: DataFrame, order_cols: list[str], value_col: str,
+    sum_col: str = "cumsum", num_partitions: int | None = None,
+) -> DataFrame:
+    """Inclusive global running sum of ``value_col`` in ``order_cols`` order
+    — ``global_row_number``'s shape with the count pass generalized to a
+    sum: range shuffle + per-partition totals (tiny driver list) + one
+    narrow Arrow pass adding ``offset + local cumsum``.  Never a
+    single-partition WindowExec, so it holds at any row count; the offsets
+    job sums ``num_partitions`` longs.  ``value_col`` must be integral
+    (accumulated exactly as int64); ``order_cols`` must be a total order.
+    The same localCheckpoint pins the range partitioning across both passes
+    (see ``global_row_number``'s rationale).
+    """
+    spark = df.sparkSession
+    n_parts = num_partitions or spark.sparkContext.defaultParallelism
+    sdf = (
+        df.withColumn(value_col, F.col(value_col).cast("long"))
+        .repartitionByRange(n_parts, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .localCheckpoint(eager=True)
+    )
+
+    totals = (
+        sdf.withColumn("_pid", F.spark_partition_id())
+        .groupBy("_pid")
+        .agg(F.sum(value_col).alias("_s"))
+        .collect()
+    )
+    sums = {int(r["_pid"]): int(r["_s"] or 0) for r in totals}
+    offsets = {}
+    acc = 0
+    for pid in sorted(sums):
+        offsets[pid] = acc
+        acc += sums[pid]
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(list(sdf.schema.fields) + [StructField(sum_col, LongType())])
+
+    def running(it):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        base = offsets.get(pid, 0)
+        for pdf in it:
+            pdf = pdf.copy()
+            c = pdf[value_col].to_numpy(dtype="int64").cumsum()
+            pdf[sum_col] = base + c
+            base += int(c[-1]) if len(c) else 0
+            yield pdf
+
+    return sdf.mapInPandas(running, schema=out_schema)

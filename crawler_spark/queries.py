@@ -3734,13 +3734,57 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q66_hll_daily_merge": (q66_hll_daily_merge, SQL_Q66),
 }
 
+def q68_token_blocks(spark, sf_dir):
+    """GPT-style sample packing (operators/chunking.token_blocks): docs
+    concatenated in seed-free md5 order, the token stream split into fixed
+    512-token blocks — one row per (block, doc) incidence with the in-doc
+    token span.  The corpus-level layout step below q48's doc-level
+    chunking; every block but the last holds exactly 512 tokens.  All-
+    integer output, so the oracle twin (window SUM + lateral
+    generate_series) is exact."""
+    from crawler_spark.operators.chunking import token_blocks
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.coalesce("text", F.lit("")), " ")).alias("n_tokens"),
+    )
+    return token_blocks(d, block_size=512)
+
+
+SQL_Q68 = """
+WITH d AS (
+  SELECT doc_id,
+         CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS n,
+         md5('pack:' || CAST(doc_id AS VARCHAR)) AS ord
+  FROM documents
+  WHERE len(string_split(coalesce(text, ''), ' ')) > 0
+), c AS (
+  SELECT doc_id, n,
+         CAST(SUM(n) OVER (ORDER BY ord, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS e
+  FROM d
+), s AS (SELECT doc_id, n, e, e - n AS st FROM c
+), x AS (
+  -- lateral generate_series over column bounds is unsupported in DuckDB
+  -- 1.0; the scalar list form + unnest is the portable per-row explode
+  SELECT doc_id, st, e,
+         unnest(generate_series(st // 512, (e - 1) // 512)) AS b
+  FROM s
+)
+SELECT b AS block_id, doc_id,
+       GREATEST(b * 512, st) - st AS tok_start,
+       LEAST((b + 1) * 512, e) - st AS tok_end
+FROM x
+"""
+
+
 # Superseded single-operator demos: every component of a merged REGISTRY
 # entry plus four demos whose operator is witnessed elsewhere in the gated
 # window (q05 semi-join -> q37's broadcast semi-join; q06 window-rank ->
 # q22/q07; q17 LSH candidates -> q18/q34/q40/q64 upstreams; q62 HLL ->
-# q66's mergeable form).  All stay oracle-validated under pytest
-# (test_oracle_equivalence / test_plan_quality iterate REGISTRY | AUX);
-# only the 50 REGISTRY entries are exposed to the driver gate.
+# q66's mergeable form).  q68 token-block packing lives here NOT as a
+# superseded demo but to keep the driver window at exactly 50 — it is
+# oracle-gated by the same pytest sweep.
 AUX_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "q05_semi_join": (q05_semi_join, SQL_Q05),
     "q06_window_topk": (q06_window_topk, SQL_Q06),
@@ -3769,4 +3813,5 @@ AUX_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
     "q54_lossy_psnr_gate": (q54_lossy_psnr_gate, SQL_Q54),
     "q62_hll_distinct": (q62_hll_distinct, SQL_Q62),
     "q15_dedup_exact": (q15_dedup_exact, SQL_Q15),
+    "q68_token_blocks": (q68_token_blocks, SQL_Q68),
 }

@@ -182,3 +182,54 @@ def test_chunking_single_token_and_exact_fit(spark):
         for r in chunk_documents(df, window=3, stride=3).collect()
     }
     assert got == {(1, 1): 1, (2, 1): 3, (2, 4): 3}
+
+
+def _brute_pack(doc_tokens: dict, block: int):
+    """Reference packing: concat docs in md5('pack:'+id) order, split at
+    block boundaries; returns {(block_id, doc_id): (tok_start, tok_end)}."""
+    import hashlib
+
+    order = sorted(doc_tokens, key=lambda i: (
+        hashlib.md5(f"pack:{i}".encode()).hexdigest(), i))
+    out, off = {}, 0
+    for i in order:
+        n = doc_tokens[i]
+        start, end = off, off + n
+        for b in range(start // block, (end - 1) // block + 1):
+            lo, hi = max(b * block, start), min((b + 1) * block, end)
+            out[(b, i)] = (lo - start, hi - start)
+        off = end
+    return out
+
+
+def test_token_blocks_matches_brute_force(spark):
+    from crawler_spark.operators.chunking import token_blocks
+
+    doc_tokens = {i: (i * 7) % 40 + 1 for i in range(60)}
+    doc_tokens[7] = 300  # straddles several 64-token blocks
+    df = spark.createDataFrame(
+        [(i, n) for i, n in doc_tokens.items()], "doc_id long, n_tokens long")
+    got = {(r.block_id, r.doc_id): (r.tok_start, r.tok_end)
+           for r in token_blocks(df, block_size=64).collect()}
+    assert got == _brute_pack(doc_tokens, 64)
+
+
+def test_token_blocks_invariants(spark):
+    """Span lengths per doc sum to n_tokens; every block except the last is
+    exactly full; zero-token docs are dropped."""
+    from crawler_spark.operators.chunking import token_blocks
+
+    df = spark.createDataFrame(
+        [(i, (i * 13) % 50) for i in range(80)], "doc_id long, n_tokens long")
+    rows = token_blocks(df, block_size=128).collect()
+    per_doc = {}
+    per_block = {}
+    for r in rows:
+        assert 0 <= r.tok_start < r.tok_end
+        per_doc[r.doc_id] = per_doc.get(r.doc_id, 0) + (r.tok_end - r.tok_start)
+        per_block[r.block_id] = per_block.get(r.block_id, 0) + (r.tok_end - r.tok_start)
+    want = {i: (i * 13) % 50 for i in range(80) if (i * 13) % 50 > 0}
+    assert per_doc == want
+    last = max(per_block)
+    assert all(v == 128 for b, v in per_block.items() if b != last)
+    assert 0 < per_block[last] <= 128

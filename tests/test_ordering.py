@@ -33,3 +33,30 @@ def test_global_row_number_empty_and_skewed(spark):
     assert sorted(r.rn for r in rows) == list(range(1, 501))
     by_rn = sorted(rows, key=lambda r: r.rn)
     assert [r.k for r in by_rn] == sorted(r.k for r in rows)
+
+
+def test_global_prefix_sum_matches_window(spark):
+    from pyspark.sql import Window
+
+    from crawler_spark.operators.ordering import global_prefix_sum
+
+    df = spark.range(0, 1000).select(
+        (F.col("id") * 37 % 1000).alias("k"), (F.col("id") % 17 + 1).alias("v")
+    )
+    got = global_prefix_sum(df, ["k"], "v", sum_col="cs", num_partitions=7)
+    want = df.withColumn(
+        "cs", F.sum("v").over(Window.orderBy("k").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow)))
+    assert {r.k: r.cs for r in got.collect()} == {r.k: r.cs for r in want.collect()}
+    assert got.rdd.getNumPartitions() == 7
+
+
+def test_global_prefix_sum_empty_and_zero_values(spark):
+    from crawler_spark.operators.ordering import global_prefix_sum
+
+    empty = spark.range(0).select(F.col("id").alias("k"), F.col("id").alias("v"))
+    assert global_prefix_sum(empty, ["k"], "v").count() == 0
+
+    zeros = spark.range(0, 100).select(F.col("id").alias("k"), F.lit(0).alias("v"))
+    rows = global_prefix_sum(zeros, ["k"], "v", num_partitions=5).collect()
+    assert all(r.cumsum == 0 for r in rows)
