@@ -3778,6 +3778,70 @@ FROM x
 """
 
 
+def q69_trap_hosts(spark, sf_dir):
+    """Spider-trap detection (operators/traps.trap_hosts): synthetic URL mix
+    where 3 of 10 hosts serve a calendar-style numeric-exploding path and
+    the rest serve a bounded letter-page site; collapsing digit runs to a
+    template exposes the traps — max distinct URLs per template is linear
+    in crawl size for trap hosts, constant for bounded ones.  All-integer
+    (+boolean) output, exact twin."""
+    from crawler_spark.operators.traps import trap_hosts
+
+    o = t(spark, sf_dir, "orders")
+    trapish = (F.col("o_custkey") % 10) < 3
+    url = F.concat(
+        F.lit("http://h"),
+        (F.col("o_custkey") % 10).cast("string"),
+        F.lit(".example.com"),
+        F.when(
+            trapish,
+            F.concat(
+                F.lit("/cal/"),
+                F.col("o_orderkey").cast("string"),
+                F.lit("/"),
+                (F.col("o_orderkey") % 97).cast("string"),
+            ),
+        ).otherwise(
+            F.concat(
+                F.lit("/"),
+                F.substring(
+                    F.lit("abcdefghijkl"),
+                    ((F.col("o_orderkey") % 12) + 1).cast("int"),
+                    1,
+                ),
+            )
+        ),
+    )
+    return trap_hosts(
+        o.select(url.alias("url")), max_urls_per_template=50
+    ).orderBy("host")
+
+
+SQL_Q69 = """
+WITH src AS (
+  SELECT 'http://h' || CAST(o_custkey % 10 AS VARCHAR) || '.example.com' ||
+         CASE WHEN o_custkey % 10 < 3
+              THEN '/cal/' || CAST(o_orderkey AS VARCHAR) || '/' ||
+                   CAST(o_orderkey % 97 AS VARCHAR)
+              ELSE '/' || substr('abcdefghijkl', CAST(o_orderkey % 12 AS INT) + 1, 1)
+         END AS url
+  FROM orders
+), u AS (
+  SELECT url,
+         regexp_extract(url, '^http://([^/]+)', 1) AS host,
+         regexp_replace(
+           coalesce(regexp_extract(url, '^http://[^/]+(/[^?#]*)', 1), ''),
+           '[0-9]+', '{n}', 'g') AS template
+  FROM src
+), per_t AS (
+  SELECT host, template, COUNT(DISTINCT url) AS n FROM u GROUP BY host, template
+)
+SELECT host, CAST(SUM(n) AS BIGINT) AS n_urls, COUNT(*) AS n_templates,
+       MAX(n) AS max_template_urls, MAX(n) > 50 AS trap
+FROM per_t GROUP BY host ORDER BY host
+"""
+
+
 # Superseded single-operator demos: every component of a merged REGISTRY
 # entry plus four demos whose operator is witnessed elsewhere in the gated
 # window (q05 semi-join -> q37's broadcast semi-join; q06 window-rank ->
@@ -3814,4 +3878,5 @@ AUX_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
     "q62_hll_distinct": (q62_hll_distinct, SQL_Q62),
     "q15_dedup_exact": (q15_dedup_exact, SQL_Q15),
     "q68_token_blocks": (q68_token_blocks, SQL_Q68),
+    "q69_trap_hosts": (q69_trap_hosts, SQL_Q69),
 }
