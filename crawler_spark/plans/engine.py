@@ -975,6 +975,19 @@ class CrawlEngine:
         last = snap.latest_round(self.ckpt_dir)
         return snap.read_deltas(self.spark, self.ckpt_dir, "url_seen", last)
 
+    def trap_report(self, max_urls_per_template: int = 100) -> DataFrame:
+        """Per-host spider-trap profile over the committed URL-seen set
+        (operators/traps.trap_hosts): hosts whose largest digit-collapsed
+        path template holds more than ``max_urls_per_template`` distinct
+        URLs are flagged — feed them back as disallow/deprioritize policy
+        for the next rounds."""
+        from crawler_spark.operators.traps import trap_hosts
+
+        return trap_hosts(
+            self.url_seen().select("url"),
+            max_urls_per_template=max_urls_per_template,
+        )
+
     def dead_letter(self) -> DataFrame:
         last = snap.latest_round(self.ckpt_dir)
         return snap.read_deltas(self.spark, self.ckpt_dir, "dead_letter", last)

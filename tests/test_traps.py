@@ -49,3 +49,24 @@ def test_trap_hosts_plan_has_no_join(spark):
     df = spark.createDataFrame([("http://h.example/a/1",)], "url string")
     plan = trap_hosts(df)._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan and "CartesianProduct" not in plan
+
+
+def test_engine_trap_report(spark, tmp_path_factory):
+    """trap_report runs over the committed url_seen set: fixture URLs are
+    numeric-id pages, so with a tight budget every crawled host flags and
+    with a loose one none do."""
+    from crawler_spark.fixtures import generate
+    from crawler_spark.plans.engine import CrawlEngine
+    from crawler_spark.plans.policy import CrawlConfig
+
+    fix = str(tmp_path_factory.mktemp("trap_fix"))
+    generate(fix, n_pages=64, n_hosts=4, seed=7)
+    eng = CrawlEngine(spark, fix, str(tmp_path_factory.mktemp("trap_ck")),
+                      CrawlConfig(max_rounds=4))
+    eng.run()
+    tight = eng.trap_report(max_urls_per_template=2).collect()
+    assert tight and all(r.trap for r in tight if r.max_template_urls > 2)
+    assert any(r.trap for r in tight)
+    loose = eng.trap_report(max_urls_per_template=10**6).collect()
+    assert not any(r.trap for r in loose)
+    assert {r.host for r in loose} == {r.host for r in tight}
