@@ -101,6 +101,15 @@ def run(args) -> dict:
     )
     if os.path.isdir(args.ckpt) and not args.resume:
         _safe_clear_ckpt(args.ckpt)
+    seeds_df = None
+    if args.refetch_cdx:
+        # incremental recrawl intake: diff two archives' CDX indexes, seed
+        # the crawl with the changed+added URLs (operators/warc)
+        from crawler_spark.operators.warc import cdx_diff, refetch_seeds
+
+        old_p, new_p = args.refetch_cdx.split(",", 1)
+        seeds_df = refetch_seeds(
+            cdx_diff(spark.read.parquet(old_p), spark.read.parquet(new_p)))
     eng = CrawlEngine(
         spark,
         args.fixtures,
@@ -111,6 +120,7 @@ def run(args) -> dict:
         ingest_payloads=args.ingest_payloads,
         proxy_pool=[p for p in (args.proxy_pool or "").split(",") if p] or None,
         trace_tasks=not args.no_trace,
+        seeds_df=seeds_df,
     )
 
     # warm the JVM + page-table cache outside the measured span so the
@@ -141,6 +151,12 @@ def run(args) -> dict:
             args.export_wds, resize_px=args.export_resize_px or None)
     if args.export_warc:
         export_manifests["warc"] = eng.export_warc(args.export_warc)
+    n_trap_hosts = None
+    if args.trap_report:
+        eng.trap_report(args.trap_budget).write.mode("overwrite").parquet(
+            args.trap_report)
+        n_trap_hosts = (
+            spark.read.parquet(args.trap_report).filter(F.col("trap")).count())
 
     processed = summary["selected"]  # every selected URL is fetched + its
     # discovered links canonicalized and deduped inside the measured span
@@ -170,6 +186,8 @@ def run(args) -> dict:
         "payload_ok": payload_ok,
         "fixtures": args.fixtures,
     }
+    if n_trap_hosts is not None:
+        out["trap_hosts_flagged"] = n_trap_hosts
     if export_manifests:
         out["exports"] = {
             k: {"n": m.get("n_samples", m.get("n_records")),
@@ -218,6 +236,17 @@ def main() -> None:
     ap.add_argument("--export-warc", default=None, metavar="DIR",
                     help="after the crawl, archive fetched pages as WARC/1.1 "
                          "+ cdx index to DIR")
+    ap.add_argument("--refetch-cdx", default=None, metavar="OLD,NEW",
+                    help="incremental recrawl: seed from the added+changed "
+                         "URLs of cdx_diff(OLD, NEW) — two cdx parquet paths "
+                         "from prior --export-warc runs; combine with "
+                         "--resume to inject into a live checkpoint")
+    ap.add_argument("--trap-report", default=None, metavar="DIR",
+                    help="after the crawl, write the per-host spider-trap "
+                         "profile over the committed URL-seen set to DIR")
+    ap.add_argument("--trap-budget", type=int, default=100,
+                    help="distinct-URLs-per-path-template budget above which "
+                         "a host is flagged as a trap (default 100)")
     args = ap.parse_args()
     out = run(args)
     line = json.dumps(out)

@@ -69,3 +69,26 @@ def test_crawl_job_cli_exports(small_fix, tmp_path_factory):
     assert all("png" in s and "txt" in s and "json" in s for s in samples)
     assert os.path.exists(os.path.join(warc, "_manifest.json"))
     assert os.path.isdir(os.path.join(warc, "cdx"))
+
+
+def test_crawl_job_cli_trap_report_and_refetch(small_fix, tmp_path_factory):
+    """--trap-report writes the spider-trap profile and reports the flagged
+    count; --refetch-cdx seeds the next run from a cdx diff (identical
+    archives -> empty refetch plan -> the crawl selects nothing)."""
+    ckpt = str(tmp_path_factory.mktemp("clickpt_t"))
+    warc = str(tmp_path_factory.mktemp("cliwarc_t"))
+    trap = str(tmp_path_factory.mktemp("clitrap"))
+    r = _run(
+        ["--fixtures", small_fix, "--ckpt", ckpt, "--cpus", "2",
+         "--rounds", "2", "--export-warc", warc,
+         "--trap-report", trap, "--trap-budget", "2"]
+    )
+    assert isinstance(r["trap_hosts_flagged"], int)
+    assert r["trap_hosts_flagged"] >= 1  # fixture pages are numeric-id paths
+    cdx = os.path.join(warc, "cdx")
+    ckpt2 = str(tmp_path_factory.mktemp("clickpt_t2"))
+    r2 = _run(
+        ["--fixtures", small_fix, "--ckpt", ckpt2, "--cpus", "2",
+         "--rounds", "2", "--refetch-cdx", f"{cdx},{cdx}"]
+    )
+    assert r2["selected"] == 0  # nothing changed between identical archives
