@@ -54,7 +54,8 @@ from pyspark.sql import functions as F
 
 from crawler_spark.operators.webdataset import shard_assignments
 
-__all__ = ["write_warc", "read_warc", "read_warc_record", "warc_record_bytes"]
+__all__ = ["write_warc", "write_wet", "write_wat", "read_warc",
+           "read_warc_record", "warc_record_bytes", "html_title_links"]
 
 _MANIFEST = "_manifest.json"
 _CRLF = b"\r\n"
@@ -111,7 +112,7 @@ def write_warc(
     epoch_col: str = "epoch", warc_type: str = "resource",
     content_type: str = "text/html", gzip_records: bool = True,
     prefix: str = "archive", software: str = "crawler_spark",
-    cdx: bool = True,
+    cdx: bool = True, refers_to_type: str = None, flavor: str = "",
 ) -> dict:
     """Archive ``df`` rows as WARC files; returns the sealed manifest.
 
@@ -132,6 +133,15 @@ def write_warc(
     per-file stats reach the driver.  The writer's record rows flow through
     one eager localCheckpoint so the tar-writing job runs exactly once for
     both consumers (stats + index), then the blocks are released.
+
+    ``refers_to_type`` stamps each record with a ``WARC-Refers-To`` header
+    naming the ``refers_to_type`` record of the same (url, date) — the
+    spec's link from a derived record (WET ``conversion`` / WAT
+    ``metadata``) back to its original; record ids are content addresses
+    here (module docstring), so the reference is computable without reading
+    the original archive.  ``flavor`` infixes the file extension
+    (``.warc.<flavor>[.gz]``, the Common Crawl ``.warc.wet.gz`` /
+    ``.warc.wat.gz`` naming convention).
     """
     from pyspark.sql.types import BinaryType
 
@@ -148,7 +158,7 @@ def write_warc(
         .sortWithinPartitions("_file", "skey", "_url")
     )
     os.makedirs(out_dir, exist_ok=True)
-    ext = ".warc.gz" if gzip_records else ".warc"
+    ext = ".warc" + (f".{flavor}" if flavor else "") + (".gz" if gzip_records else "")
 
     def _write(it):
         import pandas as pd
@@ -203,9 +213,13 @@ def write_warc(
                 ep = epochs[i]
                 ep = 0.0 if ep is None or ep != ep else float(ep)
                 off = state["bytes"]
+                extra = None
+                if refers_to_type is not None:
+                    extra = {"WARC-Refers-To": _record_id(
+                        refers_to_type, str(urls[i]), _warc_date(ep))}
                 ln = emit(warc_record_bytes(
                     warc_type, block, target_uri=str(urls[i]),
-                    date_epoch=ep, content_type=content_type))
+                    date_epoch=ep, content_type=content_type, extra=extra))
                 out_rows.append(("rec", str(urls[i]),
                                  _warc_date(ep), state["file"],
                                  off, ln, _payload_digest(block), None))
@@ -315,7 +329,7 @@ def read_warc(spark: SparkSession, in_dir: str) -> DataFrame:
     """
     paths = sorted(
         os.path.join(in_dir, f) for f in os.listdir(in_dir)
-        if f.endswith((".warc", ".warc.gz"))
+        if ".warc" in f and f.endswith((".warc", ".gz"))
     )
     pdf = spark.createDataFrame([(p,) for p in paths], "path string")
     pdf = pdf.repartition(max(1, len(paths)), "path")
@@ -348,6 +362,128 @@ def read_warc(spark: SparkSession, in_dir: str) -> DataFrame:
         "file string, warc_type string, record_id string, date string, "
         "target_uri string, content_type string, payload binary, "
         "digest_ok boolean"))
+
+
+def html_title_links(html: str) -> tuple:
+    """(title, ordered-unique anchor hrefs) of one HTML document.
+
+    The WAT metadata projection: first ``<title>`` text plus every
+    ``<a href>`` in document order, de-duplicated preserving first
+    occurrence (a determinism + payload-size choice over Common Crawl's
+    keep-all-occurrences, stated in the WAT envelope's ``Links-Distinct``
+    flag).  Reuses the crawl extractor's forgiving DOM builder — malformed
+    HTML yields a partial tree, never a raise.
+    """
+    from crawler_spark.functions.extract import (
+        _descendants, node_text, parse_html,
+    )
+
+    root = parse_html(html if isinstance(html, str) else "")
+    title, links, seen = "", [], set()
+    for n in _descendants(root):
+        if n.tag == "title" and not title:
+            title = node_text(n).strip()
+        elif n.tag == "a":
+            href = n.attrs.get("href")
+            if href and href not in seen:
+                seen.add(href)
+                links.append(href)
+    return title, links
+
+
+def _as_html_string(df: DataFrame, payload_col: str):
+    """payload column as an HTML string (binary payloads utf-8 decoded)."""
+    from pyspark.sql.types import BinaryType
+
+    c = F.col(payload_col)
+    if isinstance(df.schema[payload_col].dataType, BinaryType):
+        c = F.decode(c, "utf-8")
+    return c.cast("string")
+
+
+def write_wet(
+    df: DataFrame, out_dir: str, n_files: int, *,
+    url_col: str = "url", payload_col: str = "payload",
+    epoch_col: str = "epoch", gzip_records: bool = True,
+    prefix: str = "wet", cdx: bool = False,
+) -> dict:
+    """WET extracted-text archive (Common Crawl's ``*.warc.wet.gz`` shape).
+
+    One ``conversion`` record per row (spec §6.8: content converted from
+    another record's format), payload = the page's pure text via the K2
+    sink's canonical tag-stripper, ``WARC-Refers-To`` the original
+    ``resource`` record.  Text derivation is one Arrow-batched column pass
+    fused into the same single-shuffle write as :func:`write_warc` — no
+    extra job, no extra shuffle.
+    """
+    from crawler_spark.functions.textops import html_to_text_udf
+
+    wet = df.withColumn("_wet_text",
+                        html_to_text_udf()(_as_html_string(df, payload_col)))
+    return write_warc(
+        wet, out_dir, n_files, url_col=url_col, payload_col="_wet_text",
+        epoch_col=epoch_col, warc_type="conversion",
+        content_type="text/plain", gzip_records=gzip_records,
+        prefix=prefix, cdx=cdx, refers_to_type="resource", flavor="wet",
+    )
+
+
+def write_wat(
+    df: DataFrame, out_dir: str, n_files: int, *,
+    url_col: str = "url", payload_col: str = "payload",
+    epoch_col: str = "epoch", gzip_records: bool = True,
+    prefix: str = "wat", cdx: bool = False,
+) -> dict:
+    """WAT metadata archive (Common Crawl's ``*.warc.wat.gz`` shape).
+
+    One ``metadata`` record per row whose payload is the JSON envelope the
+    WAT format defines — WARC header echo plus an ``HTML-Metadata`` section
+    (head title, extracted links) — ``WARC-Refers-To`` the original
+    ``resource`` record.  JSON is canonicalized (sorted keys, compact
+    separators) so re-runs stay byte-identical like every sink here.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _envelope(urls, epochs, htmls):
+        out = []
+        for url, ep, html in zip(urls, epochs, htmls):
+            ep = 0.0 if ep is None or ep != ep else float(ep)
+            title, links = html_title_links(html)
+            env = {"Envelope": {
+                "Format": "WARC",
+                "WARC-Header-Metadata": {
+                    "WARC-Target-URI": "" if url is None else str(url),
+                    "WARC-Date": _warc_date(ep),
+                    "WARC-Type": "resource",
+                },
+                "Payload-Metadata": {
+                    "Actual-Content-Type": "text/html",
+                    "HTML-Metadata": {
+                        "Head": {"Title": title},
+                        "Links": [{"path": "A@/href", "url": u}
+                                  for u in links],
+                        "Links-Distinct": True,
+                    },
+                },
+            }}
+            out.append(json.dumps(env, sort_keys=True,
+                                  separators=(",", ":")))
+        return pd.Series(out, dtype="object")
+
+    wat_udf = pandas_udf(_envelope, "string")
+    wat = df.withColumn(
+        "_wat_json",
+        wat_udf(F.col(url_col).cast("string"),
+                F.col(epoch_col).cast("double"),
+                _as_html_string(df, payload_col)),
+    )
+    return write_warc(
+        wat, out_dir, n_files, url_col=url_col, payload_col="_wat_json",
+        epoch_col=epoch_col, warc_type="metadata",
+        content_type="application/json", gzip_records=gzip_records,
+        prefix=prefix, cdx=cdx, refers_to_type="resource", flavor="wat",
+    )
 
 
 def cdx_diff(old: DataFrame, new: DataFrame) -> DataFrame:

@@ -1223,6 +1223,16 @@ class CrawlEngine:
         """
         from crawler_spark.operators.warc import write_warc
 
+        pages, n_files = self._archive_pages(n_files)
+        return write_warc(
+            pages, out_dir, n_files, url_col="url", payload_col="content",
+            epoch_col="epoch", warc_type="resource",
+            content_type="text/html", gzip_records=gzip_records,
+        )
+
+    def _archive_pages(self, n_files: Optional[int]):
+        """Fetched page captures (url, first-fetch epoch, html) + a file
+        count sized ~64k records/file — shared by the WARC/WET/WAT sinks."""
         fetched = (
             self.fetch_log().filter(F.col("status") == P.ST_FETCHED)
             .groupBy("url").agg(F.min("event_epoch").alias("epoch"))
@@ -1230,8 +1240,28 @@ class CrawlEngine:
         pages = fetched.join(self.pages.select("url", "content"), "url")
         if n_files is None:
             n_files = max(2, -(-pages.count() // 65536))
-        return write_warc(
-            pages, out_dir, n_files, url_col="url", payload_col="content",
-            epoch_col="epoch", warc_type="resource",
-            content_type="text/html", gzip_records=gzip_records,
-        )
+        return pages, n_files
+
+    def export_wet(self, out_dir: str, n_files: Optional[int] = None,
+                   gzip_records: bool = True) -> dict:
+        """WET extracted-text companion of :meth:`export_warc` — one
+        ``conversion`` record per capture (Common Crawl handoff shape for
+        text-only consumers; operators.warc.write_wet)."""
+        from crawler_spark.operators.warc import write_wet
+
+        pages, n_files = self._archive_pages(n_files)
+        return write_wet(pages, out_dir, n_files, url_col="url",
+                         payload_col="content", epoch_col="epoch",
+                         gzip_records=gzip_records)
+
+    def export_wat(self, out_dir: str, n_files: Optional[int] = None,
+                   gzip_records: bool = True) -> dict:
+        """WAT metadata companion of :meth:`export_warc` — one ``metadata``
+        record per capture carrying the JSON envelope (title + extracted
+        links; operators.warc.write_wat)."""
+        from crawler_spark.operators.warc import write_wat
+
+        pages, n_files = self._archive_pages(n_files)
+        return write_wat(pages, out_dir, n_files, url_col="url",
+                         payload_col="content", epoch_col="epoch",
+                         gzip_records=gzip_records)

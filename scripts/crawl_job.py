@@ -151,6 +151,10 @@ def run(args) -> dict:
             args.export_wds, resize_px=args.export_resize_px or None)
     if args.export_warc:
         export_manifests["warc"] = eng.export_warc(args.export_warc)
+    if args.export_wet:
+        export_manifests["wet"] = eng.export_wet(args.export_wet)
+    if args.export_wat:
+        export_manifests["wat"] = eng.export_wat(args.export_wat)
     n_trap_hosts = None
     if args.trap_report:
         eng.trap_report(args.trap_budget).write.mode("overwrite").parquet(
@@ -236,6 +240,12 @@ def main() -> None:
     ap.add_argument("--export-warc", default=None, metavar="DIR",
                     help="after the crawl, archive fetched pages as WARC/1.1 "
                          "+ cdx index to DIR")
+    ap.add_argument("--export-wet", default=None, metavar="DIR",
+                    help="after the crawl, write the WET extracted-text "
+                         "companion archive (conversion records) to DIR")
+    ap.add_argument("--export-wat", default=None, metavar="DIR",
+                    help="after the crawl, write the WAT metadata companion "
+                         "archive (JSON envelopes: title + links) to DIR")
     ap.add_argument("--refetch-cdx", default=None, metavar="OLD,NEW",
                     help="incremental recrawl: seed from the added+changed "
                          "URLs of cdx_diff(OLD, NEW) — two cdx parquet paths "
