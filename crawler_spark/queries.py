@@ -3842,6 +3842,91 @@ FROM per_t GROUP BY host ORDER BY host
 """
 
 
+def q70_dsir_sample(spark, sf_dir):
+    """DSIR importance resampling (operators/curation: hashed_gram_counts →
+    dsir_bucket_logratios → dsir_scores): treat src0/src1 as the curated
+    target corpus, score every OTHER doc by its hashed-uni+bigram log
+    importance ratio (scaled-integer, engine-exact), and keep the top 20% by
+    (score desc, doc_id) — the rank comes from the scale-safe
+    global_row_number (range shuffle + offsets), never a 1-partition window.
+    n_raw is read back as max(rn) over the already-checkpointed numbering
+    (dense 1..n), not a second corpus count job."""
+    from crawler_spark.operators.curation import (
+        dsir_bucket_logratios,
+        dsir_scores,
+        hashed_gram_counts,
+    )
+    from crawler_spark.operators.ordering import global_row_number
+
+    M = 4096
+    TARGET = ("src0", "src1")
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    counts = hashed_gram_counts(docs, m=M).localCheckpoint(eager=False)
+    is_target = F.col("source").isin(*TARGET)
+    ratios = dsir_bucket_logratios(
+        counts, docs.filter(is_target).select("doc_id"), m=M
+    )
+    raw = docs.filter(~is_target).select("doc_id", "source")
+    scored = raw.join(dsir_scores(counts, ratios), "doc_id", "inner")
+    rn_df = global_row_number(
+        scored.withColumn("_ns", -F.col("dsir_score")), ["_ns", "doc_id"], "rn"
+    ).drop("_ns")
+    n_raw = int(rn_df.agg(F.max("rn")).first()[0] or 0)
+    k = (n_raw + 4) // 5
+    return rn_df.select(
+        "doc_id",
+        "source",
+        "dsir_score",
+        "rn",
+        (F.col("rn") <= k).cast("int").alias("kept"),
+    )
+
+
+SQL_Q70 = """
+WITH t AS (
+  SELECT doc_id, source, string_split(coalesce(text, ''), ' ') AS tk
+  FROM documents
+), g AS (
+  SELECT doc_id, source, unnest(tk) AS g FROM t
+  UNION ALL
+  SELECT doc_id, source, tk[u.s] || ' ' || tk[u.s + 1] AS g
+  FROM t, UNNEST(generate_series(1, len(tk) - 1)) AS u(s)
+  WHERE len(tk) >= 2
+), c AS (
+  SELECT doc_id, source,
+         CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) % 4096 AS b,
+         CAST(count(*) AS BIGINT) AS c
+  FROM g GROUP BY doc_id, source, b
+), tb AS (
+  SELECT b, SUM(c) AS tc FROM c WHERE source IN ('src0', 'src1') GROUP BY b
+), rb AS (
+  SELECT b, SUM(c) AS rc FROM c WHERE source NOT IN ('src0', 'src1') GROUP BY b
+), lr AS (
+  SELECT coalesce(tb.b, rb.b) AS b,
+         CAST(round(ln(
+             CAST((coalesce(tc, 0) + 1)
+                  * ((SELECT coalesce(SUM(rc), 0) FROM rb) + 4096) AS DOUBLE)
+           / CAST((coalesce(rc, 0) + 1)
+                  * ((SELECT coalesce(SUM(tc), 0) FROM tb) + 4096) AS DOUBLE)
+         ) * 1000000) AS BIGINT) AS slr
+  FROM tb FULL OUTER JOIN rb ON tb.b = rb.b
+), s AS (
+  SELECT c.doc_id, c.source, CAST(SUM(c.c * lr.slr) AS BIGINT) AS dsir_score
+  FROM c JOIN lr USING (b)
+  WHERE c.source NOT IN ('src0', 'src1')
+  GROUP BY c.doc_id, c.source
+), r AS (
+  SELECT doc_id, source, dsir_score,
+         ROW_NUMBER() OVER (ORDER BY dsir_score DESC, doc_id) AS rn,
+         COUNT(*) OVER () AS n
+  FROM s
+)
+SELECT doc_id, source, dsir_score, rn,
+       CAST(CASE WHEN rn <= (n + 4) // 5 THEN 1 ELSE 0 END AS INT) AS kept
+FROM r
+"""
+
+
 # Superseded single-operator demos: every component of a merged REGISTRY
 # entry plus four demos whose operator is witnessed elsewhere in the gated
 # window (q05 semi-join -> q37's broadcast semi-join; q06 window-rank ->
@@ -3879,4 +3964,5 @@ AUX_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
     "q15_dedup_exact": (q15_dedup_exact, SQL_Q15),
     "q68_token_blocks": (q68_token_blocks, SQL_Q68),
     "q69_trap_hosts": (q69_trap_hosts, SQL_Q69),
+    "q70_dsir_sample": (q70_dsir_sample, SQL_Q70),
 }

@@ -88,6 +88,82 @@ def test_source_mixing_is_reproducible_and_hash_routed(spark, tmpdir_path):
 
 
 # ---------------------------------------------------------------------------
+# DSIR importance resampling (operators/curation.py)
+# ---------------------------------------------------------------------------
+
+
+def _brute_dsir(rows, target_ids, m):
+    """Independent Python replica of hashed counts + smoothed log-ratios +
+    integer dot-product scores (DSIR §3 with the repo's scaled-int exactness
+    discipline)."""
+    import math
+    from collections import Counter
+
+    def grams(text):
+        w = (text or "").split(" ")
+        return w + [f"{a} {b}" for a, b in zip(w, w[1:])]
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % m
+
+    per_doc = {
+        i: Counter(bucket(g) for g in grams(t)) for i, t, _s in rows
+    }
+    tgt, raw = Counter(), Counter()
+    for i, _t, _s in rows:
+        (tgt if i in target_ids else raw).update(per_doc[i])
+    t_tot, r_tot = sum(tgt.values()), sum(raw.values())
+    slr = {
+        b: round(
+            math.log(
+                ((tgt.get(b, 0) + 1) * (r_tot + m))
+                / ((raw.get(b, 0) + 1) * (t_tot + m))
+            )
+            * 1_000_000
+        )
+        for b in set(tgt) | set(raw)
+    }
+    return {
+        i: sum(c * slr[b] for b, c in per_doc[i].items())
+        for i in per_doc
+        if i not in target_ids
+    }
+
+
+def test_dsir_scores_match_brute_force(spark):
+    from crawler_spark.operators.curation import (
+        dsir_bucket_logratios,
+        dsir_scores,
+        hashed_gram_counts,
+    )
+
+    rows = [
+        (0, "the cat sat on the mat", "tgt"),
+        (1, "the dog sat on the rug", "tgt"),
+        (2, "the cat sat on the mat today", "raw"),  # target-like
+        (3, "xs qq zz ww vv kk jj", "raw"),  # nothing shared
+        (4, "the the the the", "raw"),  # repeated gram counts, not distinct
+        (5, None, "raw"),  # NULL text degrades to one '' token
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    m = 64  # small bucket count to force hash collisions through the math
+    counts = hashed_gram_counts(df, m=m)
+    ratios = dsir_bucket_logratios(
+        counts, df.filter(F.col("source") == "tgt").select("doc_id"), m=m
+    )
+    got = {
+        r.doc_id: r.dsir_score
+        for r in dsir_scores(counts, ratios)
+        .join(df.filter(F.col("source") == "raw").select("doc_id"), "doc_id")
+        .collect()
+    }
+    want = _brute_dsir(rows, {0, 1}, m)
+    assert got == want
+    # the target-like doc outranks the disjoint one
+    assert got[2] > got[3]
+
+
+# ---------------------------------------------------------------------------
 # PII scrub (functions/pii.py)
 # ---------------------------------------------------------------------------
 
