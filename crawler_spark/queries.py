@@ -3927,6 +3927,63 @@ FROM r
 """
 
 
+def q71_change_rate(spark, sf_dir):
+    """Adaptive-revisit change-rate estimation (operators/freshness:
+    Cho & Garcia-Molina TOIT'03 bias-corrected estimator) over a capture
+    history synthesized from events: url key = event_id mod 400, capture
+    time = ts, content digest = a 4-state version derived from value.  One
+    lag window + one groupBy, both on the url key; chg_scaled is the
+    scaled-integer -ln((2(n-X)+1)/(2n+1)) so the twin hashes exact; the
+    hot/warm/cold revisit bands are integer cross-multiplications."""
+    from crawler_spark.operators.freshness import change_rate
+
+    caps = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select(
+            F.concat(F.lit("u"), (F.col("event_id") % 400).cast("string")).alias(
+                "url"
+            ),
+            "ts",
+            (F.floor(F.coalesce("value", F.lit(0.0))).cast("int") % 4)
+            .cast("string")
+            .alias("digest"),
+        )
+    )
+    return change_rate(caps).orderBy("url")
+
+
+SQL_Q71 = """
+WITH caps AS (
+  SELECT 'u' || CAST(event_id % 400 AS VARCHAR) AS url,
+         epoch_us(ts) AS us,
+         CAST(CAST(floor(coalesce(value, 0)) AS INT) % 4 AS VARCHAR) AS dg
+  FROM events WHERE ts IS NOT NULL
+), seq AS (
+  SELECT url, us,
+         CASE WHEN dg != lag(dg) OVER (PARTITION BY url ORDER BY us, dg)
+              THEN 1 ELSE 0 END AS chg
+  FROM caps
+), a AS (
+  SELECT url, COUNT(*) AS n_caps, SUM(chg) AS n_changes,
+         COUNT(*) - 1 AS n, MAX(us) - MIN(us) AS span_us
+  FROM seq GROUP BY url HAVING COUNT(*) >= 2
+)
+SELECT url,
+       CAST(n_caps AS BIGINT) AS n_caps,
+       CAST(n_changes AS BIGINT) AS n_changes,
+       CAST(span_us // 1000000 AS BIGINT) AS span_s,
+       CAST((span_us // n) // 1000000 AS BIGINT) AS mean_gap_s,
+       CAST(round(-ln(CAST(2 * (n - n_changes) + 1 AS DOUBLE)
+                    / CAST(2 * n + 1 AS DOUBLE)) * 1000000) AS BIGINT)
+         AS chg_scaled,
+       CASE WHEN n_changes * 4 >= 3 * n THEN 'hot'
+            WHEN n_changes * 4 >= n THEN 'warm'
+            ELSE 'cold' END AS revisit_band
+FROM a ORDER BY url
+"""
+
+
 # Superseded single-operator demos: every component of a merged REGISTRY
 # entry plus four demos whose operator is witnessed elsewhere in the gated
 # window (q05 semi-join -> q37's broadcast semi-join; q06 window-rank ->
@@ -3965,4 +4022,5 @@ AUX_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
     "q68_token_blocks": (q68_token_blocks, SQL_Q68),
     "q69_trap_hosts": (q69_trap_hosts, SQL_Q69),
     "q70_dsir_sample": (q70_dsir_sample, SQL_Q70),
+    "q71_change_rate": (q71_change_rate, SQL_Q71),
 }
