@@ -3674,6 +3674,148 @@ ORDER BY a.image_id
 """
 
 
+def q70_dsir_sample(spark, sf_dir):
+    """DSIR importance resampling (operators/curation: hashed_gram_counts →
+    dsir_bucket_logratios → dsir_scores): treat src0/src1 as the curated
+    target corpus, score every OTHER doc by its hashed-uni+bigram log
+    importance ratio (scaled-integer, engine-exact), and keep the top 20% by
+    (score desc, doc_id) — the rank comes from the scale-safe
+    global_row_number (range shuffle + offsets), never a 1-partition window.
+    n_raw is read back as max(rn) over the already-checkpointed numbering
+    (dense 1..n), not a second corpus count job."""
+    from crawler_spark.operators.curation import (
+        dsir_bucket_logratios,
+        dsir_scores,
+        hashed_gram_counts,
+    )
+    from crawler_spark.operators.ordering import global_row_number
+
+    M = 4096
+    TARGET = ("src0", "src1")
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    counts = hashed_gram_counts(docs, m=M).localCheckpoint(eager=False)
+    is_target = F.col("source").isin(*TARGET)
+    ratios = dsir_bucket_logratios(
+        counts, docs.filter(is_target).select("doc_id"), m=M
+    )
+    raw = docs.filter(~is_target).select("doc_id", "source")
+    scored = raw.join(dsir_scores(counts, ratios), "doc_id", "inner")
+    rn_df = global_row_number(
+        scored.withColumn("_ns", -F.col("dsir_score")), ["_ns", "doc_id"], "rn"
+    ).drop("_ns")
+    n_raw = int(rn_df.agg(F.max("rn")).first()[0] or 0)
+    k = (n_raw + 4) // 5
+    return rn_df.select(
+        "doc_id",
+        "source",
+        "dsir_score",
+        "rn",
+        (F.col("rn") <= k).cast("int").alias("kept"),
+    )
+
+
+SQL_Q70 = """
+WITH t AS (
+  SELECT doc_id, source, string_split(coalesce(text, ''), ' ') AS tk
+  FROM documents
+), g AS (
+  SELECT doc_id, source, unnest(tk) AS g FROM t
+  UNION ALL
+  SELECT doc_id, source, tk[u.s] || ' ' || tk[u.s + 1] AS g
+  FROM t, UNNEST(generate_series(1, len(tk) - 1)) AS u(s)
+  WHERE len(tk) >= 2
+), c AS (
+  SELECT doc_id, source,
+         CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) % 4096 AS b,
+         CAST(count(*) AS BIGINT) AS c
+  FROM g GROUP BY doc_id, source, b
+), tb AS (
+  SELECT b, SUM(c) AS tc FROM c WHERE source IN ('src0', 'src1') GROUP BY b
+), rb AS (
+  SELECT b, SUM(c) AS rc FROM c WHERE source NOT IN ('src0', 'src1') GROUP BY b
+), lr AS (
+  SELECT coalesce(tb.b, rb.b) AS b,
+         CAST(round(ln(
+             CAST((coalesce(tc, 0) + 1)
+                  * ((SELECT coalesce(SUM(rc), 0) FROM rb) + 4096) AS DOUBLE)
+           / CAST((coalesce(rc, 0) + 1)
+                  * ((SELECT coalesce(SUM(tc), 0) FROM tb) + 4096) AS DOUBLE)
+         ) * 1000000) AS BIGINT) AS slr
+  FROM tb FULL OUTER JOIN rb ON tb.b = rb.b
+), s AS (
+  SELECT c.doc_id, c.source, CAST(SUM(c.c * lr.slr) AS BIGINT) AS dsir_score
+  FROM c JOIN lr USING (b)
+  WHERE c.source NOT IN ('src0', 'src1')
+  GROUP BY c.doc_id, c.source
+), r AS (
+  SELECT doc_id, source, dsir_score,
+         ROW_NUMBER() OVER (ORDER BY dsir_score DESC, doc_id) AS rn,
+         COUNT(*) OVER () AS n
+  FROM s
+)
+SELECT doc_id, source, dsir_score, rn,
+       CAST(CASE WHEN rn <= (n + 4) // 5 THEN 1 ELSE 0 END AS INT) AS kept
+FROM r
+"""
+
+
+def q71_change_rate(spark, sf_dir):
+    """Adaptive-revisit change-rate estimation (operators/freshness:
+    Cho & Garcia-Molina TOIT'03 bias-corrected estimator) over a capture
+    history synthesized from events: url key = event_id mod 400, capture
+    time = ts, content digest = a 4-state version derived from value.  One
+    lag window + one groupBy, both on the url key; chg_scaled is the
+    scaled-integer -ln((2(n-X)+1)/(2n+1)) so the twin hashes exact; the
+    hot/warm/cold revisit bands are integer cross-multiplications."""
+    from crawler_spark.operators.freshness import change_rate
+
+    caps = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select(
+            F.concat(F.lit("u"), (F.col("event_id") % 400).cast("string")).alias(
+                "url"
+            ),
+            "ts",
+            (F.floor(F.coalesce("value", F.lit(0.0))).cast("int") % 4)
+            .cast("string")
+            .alias("digest"),
+        )
+    )
+    return change_rate(caps).orderBy("url")
+
+
+SQL_Q71 = """
+WITH caps AS (
+  SELECT 'u' || CAST(event_id % 400 AS VARCHAR) AS url,
+         epoch_us(ts) AS us,
+         CAST(CAST(floor(coalesce(value, 0)) AS INT) % 4 AS VARCHAR) AS dg
+  FROM events WHERE ts IS NOT NULL
+), seq AS (
+  SELECT url, us,
+         CASE WHEN dg != lag(dg) OVER (PARTITION BY url ORDER BY us, dg)
+              THEN 1 ELSE 0 END AS chg
+  FROM caps
+), a AS (
+  SELECT url, COUNT(*) AS n_caps, SUM(chg) AS n_changes,
+         COUNT(*) - 1 AS n, MAX(us) - MIN(us) AS span_us
+  FROM seq GROUP BY url HAVING COUNT(*) >= 2
+)
+SELECT url,
+       CAST(n_caps AS BIGINT) AS n_caps,
+       CAST(n_changes AS BIGINT) AS n_changes,
+       CAST(span_us // 1000000 AS BIGINT) AS span_s,
+       CAST((span_us // n) // 1000000 AS BIGINT) AS mean_gap_s,
+       CAST(round(-ln(CAST(2 * (n - n_changes) + 1 AS DOUBLE)
+                    / CAST(2 * n + 1 AS DOUBLE)) * 1000000) AS BIGINT)
+         AS chg_scaled,
+       CASE WHEN n_changes * 4 >= 3 * n THEN 'hot'
+            WHEN n_changes * 4 >= n THEN 'warm'
+            ELSE 'cold' END AS revisit_band
+FROM a ORDER BY url
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -3687,14 +3829,21 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q08_set_ops": (q08_set_ops, SQL_Q08M),
     "q10_group_having": (q10_group_having, SQL_Q10),
     "q11_url_parse": (q11_url_parse, SQL_Q11),
-    "q12_hourly_rollup": (q12_hourly_rollup, SQL_Q12),
+    # q70 took q12's slot (window capped at 50): the hourly time-bucket
+    # rollup's operator content (partial agg over events + decimal sum) is
+    # driver-witnessed through q61's dense gapfill rollup and q31's
+    # sessionize; q12 stays oracle-validated in AUX.
+    "q70_dsir_sample": (q70_dsir_sample, SQL_Q70),
     "q13_lang_profile": (q13_lang_profile, SQL_Q13M),
     "q14_quality_tokens": (q14_quality_tokens, SQL_Q14M),
     # q67 took q15's slot (window capped at 50): exact_dup_groups stays
     # driver-witnessed through q34's exact-tier and q48's chunk dedup; q15
     # itself remains oracle-validated in AUX.
     "q67_duplicated_spans": (q67_duplicated_spans, SQL_Q67),
-    "q16_doc_signatures": (q16_doc_signatures, SQL_Q16M),
+    # q71 took q16's slot: the signature bundle's simhash tier stays
+    # driver-witnessed through q28's near-pairs, its fingerprint tier
+    # through q34/q48's md5 keys; q16 stays oracle-validated in AUX.
+    "q71_change_rate": (q71_change_rate, SQL_Q71),
     "q18_jaccard_verify": (q18_jaccard_verify, SQL_Q18),
     "q19_ann_methods": (q19_ann_methods, SQL_Q19M),
     "q22_frontier_rank": (q22_frontier_rank, SQL_Q22),
@@ -3842,146 +3991,6 @@ FROM per_t GROUP BY host ORDER BY host
 """
 
 
-def q70_dsir_sample(spark, sf_dir):
-    """DSIR importance resampling (operators/curation: hashed_gram_counts →
-    dsir_bucket_logratios → dsir_scores): treat src0/src1 as the curated
-    target corpus, score every OTHER doc by its hashed-uni+bigram log
-    importance ratio (scaled-integer, engine-exact), and keep the top 20% by
-    (score desc, doc_id) — the rank comes from the scale-safe
-    global_row_number (range shuffle + offsets), never a 1-partition window.
-    n_raw is read back as max(rn) over the already-checkpointed numbering
-    (dense 1..n), not a second corpus count job."""
-    from crawler_spark.operators.curation import (
-        dsir_bucket_logratios,
-        dsir_scores,
-        hashed_gram_counts,
-    )
-    from crawler_spark.operators.ordering import global_row_number
-
-    M = 4096
-    TARGET = ("src0", "src1")
-    docs = t(spark, sf_dir, "documents").select("doc_id", "text", "source")
-    counts = hashed_gram_counts(docs, m=M).localCheckpoint(eager=False)
-    is_target = F.col("source").isin(*TARGET)
-    ratios = dsir_bucket_logratios(
-        counts, docs.filter(is_target).select("doc_id"), m=M
-    )
-    raw = docs.filter(~is_target).select("doc_id", "source")
-    scored = raw.join(dsir_scores(counts, ratios), "doc_id", "inner")
-    rn_df = global_row_number(
-        scored.withColumn("_ns", -F.col("dsir_score")), ["_ns", "doc_id"], "rn"
-    ).drop("_ns")
-    n_raw = int(rn_df.agg(F.max("rn")).first()[0] or 0)
-    k = (n_raw + 4) // 5
-    return rn_df.select(
-        "doc_id",
-        "source",
-        "dsir_score",
-        "rn",
-        (F.col("rn") <= k).cast("int").alias("kept"),
-    )
-
-
-SQL_Q70 = """
-WITH t AS (
-  SELECT doc_id, source, string_split(coalesce(text, ''), ' ') AS tk
-  FROM documents
-), g AS (
-  SELECT doc_id, source, unnest(tk) AS g FROM t
-  UNION ALL
-  SELECT doc_id, source, tk[u.s] || ' ' || tk[u.s + 1] AS g
-  FROM t, UNNEST(generate_series(1, len(tk) - 1)) AS u(s)
-  WHERE len(tk) >= 2
-), c AS (
-  SELECT doc_id, source,
-         CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) % 4096 AS b,
-         CAST(count(*) AS BIGINT) AS c
-  FROM g GROUP BY doc_id, source, b
-), tb AS (
-  SELECT b, SUM(c) AS tc FROM c WHERE source IN ('src0', 'src1') GROUP BY b
-), rb AS (
-  SELECT b, SUM(c) AS rc FROM c WHERE source NOT IN ('src0', 'src1') GROUP BY b
-), lr AS (
-  SELECT coalesce(tb.b, rb.b) AS b,
-         CAST(round(ln(
-             CAST((coalesce(tc, 0) + 1)
-                  * ((SELECT coalesce(SUM(rc), 0) FROM rb) + 4096) AS DOUBLE)
-           / CAST((coalesce(rc, 0) + 1)
-                  * ((SELECT coalesce(SUM(tc), 0) FROM tb) + 4096) AS DOUBLE)
-         ) * 1000000) AS BIGINT) AS slr
-  FROM tb FULL OUTER JOIN rb ON tb.b = rb.b
-), s AS (
-  SELECT c.doc_id, c.source, CAST(SUM(c.c * lr.slr) AS BIGINT) AS dsir_score
-  FROM c JOIN lr USING (b)
-  WHERE c.source NOT IN ('src0', 'src1')
-  GROUP BY c.doc_id, c.source
-), r AS (
-  SELECT doc_id, source, dsir_score,
-         ROW_NUMBER() OVER (ORDER BY dsir_score DESC, doc_id) AS rn,
-         COUNT(*) OVER () AS n
-  FROM s
-)
-SELECT doc_id, source, dsir_score, rn,
-       CAST(CASE WHEN rn <= (n + 4) // 5 THEN 1 ELSE 0 END AS INT) AS kept
-FROM r
-"""
-
-
-def q71_change_rate(spark, sf_dir):
-    """Adaptive-revisit change-rate estimation (operators/freshness:
-    Cho & Garcia-Molina TOIT'03 bias-corrected estimator) over a capture
-    history synthesized from events: url key = event_id mod 400, capture
-    time = ts, content digest = a 4-state version derived from value.  One
-    lag window + one groupBy, both on the url key; chg_scaled is the
-    scaled-integer -ln((2(n-X)+1)/(2n+1)) so the twin hashes exact; the
-    hot/warm/cold revisit bands are integer cross-multiplications."""
-    from crawler_spark.operators.freshness import change_rate
-
-    caps = (
-        t(spark, sf_dir, "events")
-        .filter(F.col("ts").isNotNull())
-        .select(
-            F.concat(F.lit("u"), (F.col("event_id") % 400).cast("string")).alias(
-                "url"
-            ),
-            "ts",
-            (F.floor(F.coalesce("value", F.lit(0.0))).cast("int") % 4)
-            .cast("string")
-            .alias("digest"),
-        )
-    )
-    return change_rate(caps).orderBy("url")
-
-
-SQL_Q71 = """
-WITH caps AS (
-  SELECT 'u' || CAST(event_id % 400 AS VARCHAR) AS url,
-         epoch_us(ts) AS us,
-         CAST(CAST(floor(coalesce(value, 0)) AS INT) % 4 AS VARCHAR) AS dg
-  FROM events WHERE ts IS NOT NULL
-), seq AS (
-  SELECT url, us,
-         CASE WHEN dg != lag(dg) OVER (PARTITION BY url ORDER BY us, dg)
-              THEN 1 ELSE 0 END AS chg
-  FROM caps
-), a AS (
-  SELECT url, COUNT(*) AS n_caps, SUM(chg) AS n_changes,
-         COUNT(*) - 1 AS n, MAX(us) - MIN(us) AS span_us
-  FROM seq GROUP BY url HAVING COUNT(*) >= 2
-)
-SELECT url,
-       CAST(n_caps AS BIGINT) AS n_caps,
-       CAST(n_changes AS BIGINT) AS n_changes,
-       CAST(span_us // 1000000 AS BIGINT) AS span_s,
-       CAST((span_us // n) // 1000000 AS BIGINT) AS mean_gap_s,
-       CAST(round(-ln(CAST(2 * (n - n_changes) + 1 AS DOUBLE)
-                    / CAST(2 * n + 1 AS DOUBLE)) * 1000000) AS BIGINT)
-         AS chg_scaled,
-       CASE WHEN n_changes * 4 >= 3 * n THEN 'hot'
-            WHEN n_changes * 4 >= n THEN 'warm'
-            ELSE 'cold' END AS revisit_band
-FROM a ORDER BY url
-"""
 
 
 # Superseded single-operator demos: every component of a merged REGISTRY
@@ -4021,6 +4030,6 @@ AUX_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
     "q15_dedup_exact": (q15_dedup_exact, SQL_Q15),
     "q68_token_blocks": (q68_token_blocks, SQL_Q68),
     "q69_trap_hosts": (q69_trap_hosts, SQL_Q69),
-    "q70_dsir_sample": (q70_dsir_sample, SQL_Q70),
-    "q71_change_rate": (q71_change_rate, SQL_Q71),
+    "q12_hourly_rollup": (q12_hourly_rollup, SQL_Q12),
+    "q16_doc_signatures": (q16_doc_signatures, SQL_Q16M),
 }
