@@ -38,7 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["change_rate"]
+__all__ = ["change_rate", "revisit_seeds"]
 
 
 def change_rate(
@@ -113,4 +113,40 @@ def change_rate(
         F.expr("(_span_us div _n) div 1000000").alias("mean_gap_s"),
         chg.alias("chg_scaled"),
         band.alias("revisit_band"),
+    )
+
+
+def revisit_seeds(rates: DataFrame, include_cold: bool = False) -> DataFrame:
+    """:func:`change_rate` output → seed table for the next freshness crawl
+    — the rate-driven complement of ``warc.refetch_seeds``' change-driven
+    plan (that one refetches what a diff PROVED stale; this one schedules
+    what the estimator PREDICTS stale).
+
+    Hot URLs first, then warm (cold only with ``include_cold=True`` — the
+    uniform-revisit trap this operator exists to avoid), descending
+    ``chg_scaled`` inside each band, url as the tiebreak.  Output matches
+    the fixture ``seeds.parquet`` contract (``seed_id`` = string rank the
+    engine reads back as the priority key, ``story_seq`` 0, no cookies), so
+    ``CrawlEngine(seeds_df=revisit_seeds(change_rate(cdx)))`` runs the
+    revisit crawl directly.  Scale: one range shuffle over only the
+    revisit subset (scale-safe ``global_row_number``, never a
+    single-partition window).
+    """
+    from crawler_spark.operators.ordering import global_row_number
+
+    bands = ("hot", "warm", "cold") if include_cold else ("hot", "warm")
+    blk = (
+        F.when(F.col("revisit_band") == "hot", 0)
+        .when(F.col("revisit_band") == "warm", 1)
+        .otherwise(2)
+    )
+    picks = rates.filter(F.col("revisit_band").isin(*bands)).select(
+        "url", blk.alias("_blk"), (-F.col("chg_scaled")).alias("_nc")
+    )
+    numbered = global_row_number(picks, ["_blk", "_nc", "url"], rn_col="_rn")
+    return numbered.select(
+        (F.col("_rn") - 1).cast("string").alias("seed_id"),
+        "url",
+        F.lit(0).alias("story_seq"),
+        F.lit("").alias("cookies"),
     )

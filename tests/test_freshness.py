@@ -81,6 +81,40 @@ def test_change_rate_estimator_is_monotone_in_changes(spark):
     assert rates == sorted(rates) and len(set(rates)) == 5
 
 
+def test_revisit_seeds_contract_and_ordering(spark):
+    """Hot before warm, descending rate inside a band, cold excluded by
+    default; column contract identical to warc.refetch_seeds so the engine
+    accepts either plan as seeds_df."""
+    from crawler_spark.operators.freshness import revisit_seeds
+    from crawler_spark.operators.warc import refetch_seeds
+
+    rates = spark.createDataFrame(
+        [
+            ("w-lo", 5, 1, 100, 25, 200_000, "warm"),
+            ("hot-a", 5, 4, 100, 25, 1_600_000, "hot"),
+            ("cold-x", 5, 0, 100, 25, 50_000, "cold"),
+            ("hot-b", 5, 3, 100, 25, 1_000_000, "hot"),
+            ("w-hi", 5, 2, 100, 25, 500_000, "warm"),
+        ],
+        ["url", "n_caps", "n_changes", "span_s", "mean_gap_s",
+         "chg_scaled", "revisit_band"],
+    )
+    rows = sorted(revisit_seeds(rates).collect(), key=lambda r: int(r.seed_id))
+    assert [r.url for r in rows] == ["hot-a", "hot-b", "w-hi", "w-lo"]
+    assert [r.seed_id for r in rows] == ["0", "1", "2", "3"]
+    assert all((r.story_seq, r.cookies) == (0, "") for r in rows)
+
+    with_cold = revisit_seeds(rates, include_cold=True).collect()
+    assert len(with_cold) == 5
+    assert max(with_cold, key=lambda r: int(r.seed_id)).url == "cold-x"
+
+    diff = spark.createDataFrame(
+        [("u", "changed", "d1", "g1", "d2", "g2")],
+        ["url", "status", "old_date", "old_digest", "new_date", "new_digest"],
+    )
+    assert revisit_seeds(rates).schema == refetch_seeds(diff).schema
+
+
 def test_change_rate_accepts_cdx_index_shape(spark):
     """The operator consumes the WARC sink's CDX index directly: string
     'date' capture times and sha1-base32 digests."""
@@ -93,3 +127,68 @@ def test_change_rate_accepts_cdx_index_shape(spark):
     (row,) = change_rate(df, ts_col="date").collect()
     assert (row.n_caps, row.n_changes, row.revisit_band) == (3, 1, "warm")
     assert row.span_s == 2 * 86400 and row.mean_gap_s == 86400
+
+
+def test_revisit_loop_end_to_end(spark, tmp_path_factory):
+    """Close the freshness loop on REAL engine state: two archived crawls
+    (one page mutated between them) → union of their CDX indexes →
+    change_rate flags exactly the mutated URL as non-cold → revisit_seeds
+    plans it → a crawl driven by that plan refetches it."""
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from crawler_spark.fixtures import generate
+    from crawler_spark.operators.freshness import revisit_seeds
+    from crawler_spark.plans.engine import CrawlEngine
+    from crawler_spark.plans.policy import CrawlConfig, ST_FETCHED
+
+    fix = str(tmp_path_factory.mktemp("fresh_fix"))
+    generate(fix, n_pages=64, n_hosts=4, seed=11)
+
+    def crawl(fd, tag):
+        ck = str(tmp_path_factory.mktemp(f"fresh_ck_{tag}"))
+        eng = CrawlEngine(spark, fd, ck, CrawlConfig(max_rounds=6))
+        eng.run()
+        out = str(tmp_path_factory.mktemp(f"fresh_warc_{tag}"))
+        eng.export_warc(out, n_files=2)
+        return spark.read.parquet(os.path.join(out, "cdx"))
+
+    cdx0 = crawl(fix, "c0")
+    target = min(r.url for r in cdx0.select("url").collect())
+
+    fix2 = str(tmp_path_factory.mktemp("fresh_fix2"))
+    shutil.copytree(fix, fix2, dirs_exist_ok=True)
+    tbl = pq.read_table(os.path.join(fix2, "pages.parquet"))
+    content = [
+        c + "<!-- v2 -->" if u == target else c
+        for u, c in zip(tbl["url"].to_pylist(), tbl["content"].to_pylist())
+    ]
+    pq.write_table(
+        tbl.set_column(tbl.schema.get_field_index("content"), "content",
+                       pa.array(content, pa.string())),
+        os.path.join(fix2, "pages.parquet"))
+    cdx1 = crawl(fix2, "c1")
+
+    caps = (
+        cdx0.select("url", "date", "digest")
+        .unionByName(cdx1.select("url", "date", "digest"))
+    )
+    rates = change_rate(caps, ts_col="date")
+    non_cold = {r.url: r.revisit_band
+                for r in rates.filter(F.col("revisit_band") != "cold").collect()}
+    assert set(non_cold) == {target}  # 1 change / 1 interval -> hot
+    assert non_cold[target] == "hot"
+
+    seeds = revisit_seeds(rates)
+    assert [(r.seed_id, r.url) for r in seeds.collect()] == [("0", target)]
+
+    eng2 = CrawlEngine(spark, fix2, str(tmp_path_factory.mktemp("fresh_ck2")),
+                       CrawlConfig(max_rounds=1), seeds_df=seeds)
+    eng2.run()
+    refetched = {r.url for r in eng2.fetch_log()
+                 .filter(F.col("status") == ST_FETCHED).select("url").collect()}
+    assert target in refetched
