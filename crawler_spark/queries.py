@@ -4000,6 +4000,50 @@ FROM per_t GROUP BY host ORDER BY host
 # q66's mergeable form).  q68 token-block packing lives here NOT as a
 # superseded demo but to keep the driver window at exactly 50 — it is
 # oracle-gated by the same pytest sweep.
+def q72_bpe_tokens(spark, sf_dir):
+    """Real BPE tokenization (operators/bpe.py — Sennrich et al. 2016):
+    train merges on the corpus's word-frequency table (one distributed
+    groupBy; driver-side incremental merge loop over the bounded type
+    table), then Arrow-encode every document and profile the result per
+    source: documents, BPE tokens, distinct token types, and the regex
+    pre-token count.  24 merges against the fixtures' 31-type vocabulary
+    keeps the compression PARTIAL (common words collapse to one token,
+    rare words stay subword sequences) so the profile actually witnesses
+    the merge machinery — 200 merges would memorize every word.
+
+    No SQL oracle: the encode is an iterative lowest-rank merge loop — not
+    expressible in ANSI SQL — so this rides the rows-only gate; exactness
+    is pinned instead by tests/test_bpe.py's brute-force-trainer and
+    per-word encode equalities.
+    """
+    from crawler_spark.functions.textops import bpe_token_count
+    from crawler_spark.operators.bpe import bpe_encode, bpe_train, word_frequencies
+
+    docs = t(spark, sf_dir, "documents")
+    wf = word_frequencies(docs, "text", max_types=1 << 16)
+    merges = bpe_train(wf, n_merges=24)
+    enc = bpe_encode(
+        docs.select("doc_id", "source", "text").filter(F.col("text").isNotNull()),
+        "text",
+        merges,
+    )
+    return (
+        enc.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size("bpe_tokens")).alias("bpe_tokens"),
+            F.sum(bpe_token_count(F.col("text"))).alias("pre_tokens"),
+        )
+        .join(
+            enc.select("source", F.explode("bpe_tokens").alias("tok"))
+            .groupBy("source")
+            .agg(F.countDistinct("tok").alias("token_types")),
+            "source",
+        )
+        .orderBy("source")
+    )
+
+
 AUX_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "q05_semi_join": (q05_semi_join, SQL_Q05),
     "q06_window_topk": (q06_window_topk, SQL_Q06),
@@ -4032,4 +4076,6 @@ AUX_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
     "q69_trap_hosts": (q69_trap_hosts, SQL_Q69),
     "q12_hourly_rollup": (q12_hourly_rollup, SQL_Q12),
     "q16_doc_signatures": (q16_doc_signatures, SQL_Q16M),
+    # rows-only (no ANSI-SQL twin exists): exactness pinned by tests/test_bpe.py
+    "q72_bpe_tokens": (q72_bpe_tokens, None),
 }
