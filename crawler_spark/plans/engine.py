@@ -1162,6 +1162,18 @@ class CrawlEngine:
         ids = fetched_urls.join(self.pages.select("url", "image_id"), "url").select("image_id").distinct()
         return self._payload_check(ids)
 
+    def anchor_report(self, top_k: int = 8) -> DataFrame:
+        """Per-target anchor-text profile of the committed crawl
+        (operators.anchors.anchor_text_table over the same archived pages
+        the WARC/WET/WAT sinks read): for every linked URL, in-link count,
+        distinct linking hosts, and the top-``top_k`` anchor texts by
+        count — the crawl-derived ranking/weak-caption signal."""
+        from crawler_spark.operators.anchors import anchor_text_table
+
+        pages, _ = self._archive_pages(n_files=2)
+        return anchor_text_table(pages, url_col="url", payload_col="content",
+                                 top_k=top_k)
+
     def export_webdataset(self, out_dir: str, n_shards: Optional[int] = None,
                           prefix: str = "shard",
                           resize_px: Optional[int] = None,
