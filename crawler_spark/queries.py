@@ -4044,6 +4044,71 @@ def q72_bpe_tokens(spark, sf_dir):
     )
 
 
+def q73_journey_graph(spark, sf_dir):
+    """User-journey transition graph: the Markov edge matrix of the events
+    stream.  Per-user lag window (partitioned by ``user_id`` — never a
+    global window, so it scales with users not events) yields
+    (prev event_type → event_type) edges; one groupBy aggregates the
+    transition count, user breadth, and the row-normalized probability as
+    an exact integer permille (BIGINT ``DIV`` — no float division, so the
+    cross-engine value hash is exact).  The event-stream analog of the
+    host link graph: which states feed which, and how concentrated each
+    row of the matrix is.
+    """
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    edges = (
+        e.withColumn("src_type", F.lag("event_type").over(w))
+        .filter(F.col("src_type").isNotNull())
+        .select("src_type", F.col("event_type").alias("dst_type"), "user_id")
+    )
+    per_edge = edges.groupBy("src_type", "dst_type").agg(
+        F.count("*").alias("n_transitions"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    totals = per_edge.groupBy("src_type").agg(
+        F.sum("n_transitions").alias("src_total")
+    )
+    return (
+        per_edge.join(totals, "src_type")
+        .select(
+            "src_type", "dst_type", "n_transitions", "n_users",
+            F.expr("1000 * n_transitions DIV src_total").alias("p_permille"),
+        )
+        .orderBy("src_type", "dst_type")
+    )
+
+
+SQL_Q73 = """
+WITH e AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS src_type
+  FROM events
+), edges AS (
+  SELECT src_type, event_type AS dst_type, user_id FROM e
+  WHERE src_type IS NOT NULL
+), pe AS (
+  SELECT src_type, dst_type,
+         CAST(COUNT(*) AS BIGINT) AS n_transitions,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+  FROM edges GROUP BY src_type, dst_type
+), tot AS (
+  SELECT src_type, CAST(SUM(n_transitions) AS BIGINT) AS src_total
+  FROM pe GROUP BY src_type
+)
+SELECT pe.src_type, pe.dst_type, pe.n_transitions, pe.n_users,
+       CAST(1000 * pe.n_transitions // tot.src_total AS BIGINT) AS p_permille
+FROM pe JOIN tot ON pe.src_type = tot.src_type
+ORDER BY pe.src_type, pe.dst_type
+"""
+
+
 AUX_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "q05_semi_join": (q05_semi_join, SQL_Q05),
     "q06_window_topk": (q06_window_topk, SQL_Q06),
@@ -4078,4 +4143,5 @@ AUX_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
     "q16_doc_signatures": (q16_doc_signatures, SQL_Q16M),
     # rows-only (no ANSI-SQL twin exists): exactness pinned by tests/test_bpe.py
     "q72_bpe_tokens": (q72_bpe_tokens, None),
+    "q73_journey_graph": (q73_journey_graph, SQL_Q73),
 }
