@@ -1174,6 +1174,31 @@ class CrawlEngine:
         return anchor_text_table(pages, url_col="url", payload_col="content",
                                  top_k=top_k)
 
+    def weak_captions(self, top_k: int = 3) -> DataFrame:
+        """Anchor-text-mined weak captions for crawled images — the alt-text
+        mining pattern web image+caption corpora are built from: for every
+        page that carries an image payload, the most-used non-empty anchor
+        text other pages link to it with, plus its in-link support.  A
+        downstream curation pass (q53's CLIP-style gates) decides whether
+        the mined text beats the page's own caption."""
+        rep = self.anchor_report(top_k=max(top_k, 3))
+        nonempty = F.filter(
+            F.col("top_anchors"), lambda s: s["anchor_text"] != F.lit("")
+        )
+        return (
+            rep.join(self.pages.select("url", "image_id"),
+                     rep["target_url"] == F.col("url"))
+            .filter(F.size(nonempty) > 0)
+            .select(
+                "image_id",
+                "url",
+                F.element_at(nonempty, 1)["anchor_text"].alias("weak_caption"),
+                F.element_at(nonempty, 1)["cnt"].alias("caption_support"),
+                "n_inlinks",
+                "n_src_hosts",
+            )
+        )
+
     def export_webdataset(self, out_dir: str, n_shards: Optional[int] = None,
                           prefix: str = "shard",
                           resize_px: Optional[int] = None,

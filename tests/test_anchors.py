@@ -133,3 +133,14 @@ def test_engine_anchor_report_joins_url_seen(spark, tmp_path_factory):
         assert 1 <= r["n_src_hosts"]
         texts = [(s["anchor_text"], s["cnt"]) for s in r["top_anchors"]]
         assert texts == sorted(texts, key=lambda ac: (-ac[1], ac[0]))
+
+    # weak-caption mining rides the same crawl: every mined row names a
+    # real image payload and a non-empty most-supported anchor text
+    caps = eng.weak_captions().collect()
+    assert caps, "crawl mined no weak captions"
+    img_ids = {r["image_id"] for r in
+               eng.images.select("image_id").collect()}
+    for r in caps:
+        assert r["image_id"] in img_ids
+        assert r["weak_caption"]
+        assert 1 <= r["caption_support"] <= r["n_inlinks"]
