@@ -47,6 +47,8 @@ __all__ = [
     "hll_distinct",
     "cms_table",
     "cms_lookup",
+    "hdr_bucket_table",
+    "hdr_quantiles",
 ]
 
 # Flajolet et al. bias constants: literals for small m, the paper's
@@ -199,4 +201,159 @@ def cms_lookup(
         p.join(F.broadcast(cms), ["row", "idx"], "left")
         .groupBy(*out_cols)
         .agg(F.min(F.coalesce("cnt", F.lit(0))).cast("long").alias("n_cms"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# HDR-histogram quantile sketch (log-linear buckets).
+#
+# Public design: Gil Tene's HdrHistogram (exact integer bucketing) — the
+# same bounded-relative-error quantile model as DDSketch (Masson, Rim &
+# Lee, VLDB 2019) but with bucket indices computed in EXACT integer
+# arithmetic instead of log()/pow() (whose libm implementations are not
+# bit-identical across engines, the same reason hll_estimate avoids ln).
+# Values are non-negative BIGINTs; with ``sub_bits = j``:
+#
+#   v < 2^(j+1)        -> bucket = v                       (exact)
+#   v >= 2^(j+1)       -> e = floor(log2 v) = length(bin(v)) - 1
+#                         bucket = (e - j)*2^j + (v div 2^(e-j))
+#
+# The log region packs 2^j sub-buckets per power of two, so every bucket's
+# width/lower-bound ratio is <= 2^-j: any quantile read off the state is
+# within relative error 2^-j of the exact nearest-rank answer.  Bucket
+# indices are monotone in v and contiguous across the exact/log boundary
+# (v = 2^(j+1) lands exactly on bucket 2^(j+1)).
+#
+# The state (group..., bkt, cnt) is a plain counter table: build = ONE
+# map-side-combinable groupBy; merging states across partitions, days, or
+# clusters = union + groupBy SUM — the quantile companion to hll (MAX
+# merge) and cms (SUM merge).  State size is O((64 - j) * 2^j) per group
+# regardless of input rows.  Everything is integer, so the DuckDB oracle
+# twin recomputes buckets and quantiles bit-exactly.
+# ---------------------------------------------------------------------------
+
+
+def _hdr_bucket_expr(value_sql: str, sub_bits: int) -> str:
+    """SQL bucket index for one non-negative BIGINT expression (valid in
+    both Spark SQL and DuckDB modulo the div operator — Spark uses ``div``,
+    DuckDB ``//``; callers of the oracle twin substitute accordingly)."""
+    j = sub_bits
+    return (
+        f"CASE WHEN {value_sql} < {1 << (j + 1)} THEN {value_sql} "
+        f"ELSE (length(bin({value_sql})) - 1 - {j}) * {1 << j} "
+        f"+ {value_sql} div shiftleft(cast(1 as bigint), length(bin({value_sql})) - 1 - {j}) END"
+    )
+
+
+def _hdr_bound_expr(bkt_sql: str, sub_bits: int, upper: bool) -> str:
+    """Exact lower bound (or exclusive upper bound) of a bucket, inverting
+    ``_hdr_bucket_expr``: log-region bucket b = (e-j+1)*2^j + s covers
+    [(2^j + s) << (e-j), (2^j + s + 1) << (e-j))."""
+    j = sub_bits
+    plus = " + 1" if upper else ""
+    exact = f"{bkt_sql} + 1" if upper else bkt_sql
+    return (
+        # the shift base MUST be BIGINT: an INT literal would make shiftleft
+        # a 32-bit shift (amount taken mod 32) and silently wrap for e >= 27
+        f"CASE WHEN {bkt_sql} < {1 << (j + 1)} THEN {exact} "
+        f"ELSE shiftleft(cast({1 << j} as bigint) + {bkt_sql} % {1 << j}{plus}, "
+        f"cast({bkt_sql} div {1 << j} as int) - 1) END"
+    )
+
+
+def hdr_bucket_table(
+    df: DataFrame, value_col: str, group_cols: Sequence[str] = (), sub_bits: int = 4
+) -> DataFrame:
+    """(group_cols..., bkt, cnt) — the mergeable quantile state.
+
+    ``value_col`` must be castable to non-negative BIGINT; NULLs and
+    negative values are excluded (SQL-aggregate NULL semantics; negatives
+    are outside the sketch's domain — scale/offset them first).
+    """
+    if not 1 <= sub_bits <= 16:
+        raise ValueError(f"sub_bits must be 1..16, got {sub_bits}")
+    group_cols = list(group_cols)
+    _check_reserved(["_v", "bkt", "cnt"], group_cols, "group columns")
+    v = F.col(value_col).cast("long")
+    return (
+        df.filter(v.isNotNull() & (v >= 0))
+        .select(*group_cols, v.alias("_v"))
+        .select(*group_cols, F.expr(_hdr_bucket_expr("_v", sub_bits)).alias("bkt"))
+        .groupBy(*group_cols, "bkt")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def hdr_quantiles(
+    state: DataFrame,
+    qs: Sequence[float] = (0.5, 0.9, 0.99),
+    group_cols: Sequence[str] = (),
+    sub_bits: int = 4,
+) -> DataFrame:
+    """(group_cols..., pq, n_rows, q_value, q_ub) from a bucket STATE table
+    — possibly the union of many ``hdr_bucket_table`` outputs (SUM merge is
+    folded in here, so finer-grained states can be passed directly).
+
+    Quantile definition: nearest-rank — the value at row ``ceil(q * n)`` of
+    the sorted input.  ``q_value`` is the exact lower bound of the bucket
+    holding that row and ``q_ub`` its exclusive upper bound, so the true
+    nearest-rank value lies in ``[q_value, q_ub)`` with
+    ``(q_ub - q_value) / q_value <= 2^-sub_bits`` in the log region (exact
+    below ``2^(sub_bits+1)``).  ``ceil(q * n)`` is ONE IEEE multiply of a
+    literal double by an exact integer — bit-portable across engines.
+
+    Plan: SUM-merge groupBy, one cumulative-sum window per group (state is
+    O(2^sub_bits · 64) rows per group — never a wide partition), a ×len(qs)
+    explode, and a MIN groupBy.  No joins.
+    """
+    from pyspark.sql import Window
+
+    if not qs or any(not 0.0 < q <= 1.0 for q in qs):
+        raise ValueError("qs must be non-empty with every q in (0, 1]")
+    group_cols = list(group_cols)
+    _check_reserved(
+        ["bkt", "cnt", "_cum", "_n", "_q", "pq", "n_rows", "q_value", "q_ub"],
+        group_cols,
+        "group columns",
+    )
+    merged = state.groupBy(*group_cols, "bkt").agg(F.sum("cnt").alias("cnt"))
+    w_cum = (
+        Window.partitionBy(*group_cols)
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(*group_cols)
+    expanded = (
+        merged.withColumn("_cum", F.sum("cnt").over(w_cum))
+        .withColumn("_n", F.sum("cnt").over(w_all))
+        .select(
+            *group_cols,
+            "bkt",
+            "_cum",
+            "_n",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(f"p{q * 100:g}").alias("pq"), F.lit(float(q)).alias("qv")
+                        )
+                        for q in qs
+                    ]
+                )
+            ).alias("_q"),
+        )
+    )
+    hit = expanded.filter(
+        F.col("_cum") >= F.ceil(F.col("_q.qv") * F.col("_n")).cast("long")
+    )
+    picked = hit.groupBy(*group_cols, F.col("_q.pq").alias("pq")).agg(
+        F.max("_n").cast("long").alias("n_rows"),
+        F.min("bkt").alias("bkt"),
+    )
+    return picked.select(
+        *group_cols,
+        "pq",
+        "n_rows",
+        F.expr(_hdr_bound_expr("bkt", sub_bits, upper=False)).cast("long").alias("q_value"),
+        F.expr(_hdr_bound_expr("bkt", sub_bits, upper=True)).cast("long").alias("q_ub"),
     )

@@ -3816,6 +3816,124 @@ FROM a ORDER BY url
 """
 
 
+def q74_quantile_sketch_merge(spark, sf_dir):
+    """Mergeable HDR-histogram quantile sketch (operators/sketches.py
+    hdr_bucket_table/hdr_quantiles — Gil Tene's HdrHistogram bucketing,
+    DDSketch's bounded-relative-error model, Masson et al. VLDB'19):
+    p50/p90/p99 of the micro-scaled event value per event_type, answered
+    from MERGED per-day bucket states (the persisted-state pattern of
+    q66's daily HLL), beside the exact nearest-rank answer.  ``within``
+    pins the sketch guarantee q_value <= exact < q_ub row-by-row.
+
+    Scale: the state is O(2^sub_bits * 64) integer rows per group however
+    many events feed it — build and merge are one map-side-combinable
+    groupBy each; the exact tier (full sort per event_type) exists only to
+    verify and would be dropped in production (same note as q63's top-k).
+    """
+    from pyspark.sql import Window
+
+    from crawler_spark.operators.sketches import hdr_bucket_table, hdr_quantiles
+
+    qs = (0.5, 0.9, 0.99)
+    e = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias("day"),
+        # floor(value * 1e6): ONE IEEE multiply by a literal then an exact
+        # floor — the scaled-integer representation that hashes exactly
+        F.floor(F.col("value") * F.lit(1000000.0)).cast("long").alias("v"),
+    )
+    daily = hdr_bucket_table(e, "v", ["event_type", "day"], sub_bits=4)
+    sk = hdr_quantiles(
+        daily.drop("day"), qs=qs, group_cols=["event_type"], sub_bits=4
+    )
+    q_structs = F.array(
+        *[
+            F.struct(F.lit(f"p{q * 100:g}").alias("pq"), F.lit(float(q)).alias("qv"))
+            for q in qs
+        ]
+    )
+    f = e.filter(F.col("v").isNotNull() & (F.col("v") >= 0))
+    ranked = f.select(
+        "event_type",
+        "v",
+        F.row_number().over(Window.partitionBy("event_type").orderBy("v")).alias("rn"),
+        F.count("*").over(Window.partitionBy("event_type")).alias("n"),
+    )
+    ex = (
+        ranked.select("event_type", "v", "rn", "n", F.explode(q_structs).alias("_q"))
+        .filter(F.col("rn") == F.ceil(F.col("_q.qv") * F.col("n")).cast("long"))
+        .select("event_type", F.col("_q.pq").alias("pq"), F.col("v").alias("v_exact"))
+    )
+    return (
+        ex.join(sk, ["event_type", "pq"])
+        .select(
+            "event_type",
+            "pq",
+            "n_rows",
+            "v_exact",
+            "q_value",
+            "q_ub",
+            ((F.col("q_value") <= F.col("v_exact")) & (F.col("v_exact") < F.col("q_ub")))
+            .cast("int")
+            .alias("within"),
+        )
+        .orderBy("event_type", "pq")
+    )
+
+
+SQL_Q74 = """
+WITH e AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         CAST(floor(value * 1000000.0) AS BIGINT) AS v
+  FROM events
+), f AS (
+  SELECT * FROM e WHERE v IS NOT NULL AND v >= 0
+), b AS (
+  SELECT event_type, day,
+         CASE WHEN v < 32 THEN v
+              ELSE (length(bin(v)) - 1 - 4) * 16
+                   + v // (CAST(1 AS BIGINT) << (length(bin(v)) - 1 - 4)) END AS bkt
+  FROM f
+), daily AS (
+  SELECT event_type, day, bkt, COUNT(*) AS cnt FROM b GROUP BY event_type, day, bkt
+), merged AS (
+  SELECT event_type, bkt, SUM(cnt) AS cnt FROM daily GROUP BY event_type, bkt
+), c AS (
+  SELECT event_type, bkt, cnt,
+         SUM(cnt) OVER (PARTITION BY event_type ORDER BY bkt) AS cum,
+         SUM(cnt) OVER (PARTITION BY event_type) AS n
+  FROM merged
+), qs AS (
+  SELECT * FROM (VALUES ('p50', 0.5), ('p90', 0.9), ('p99', 0.99)) AS t(pq, qv)
+), hit AS (
+  SELECT c.event_type, q.pq, MAX(c.n) AS n_rows, MIN(c.bkt) AS bkt
+  FROM c, qs q WHERE c.cum >= CAST(ceil(q.qv * c.n) AS BIGINT)
+  GROUP BY c.event_type, q.pq
+), sk AS (
+  SELECT event_type, pq, CAST(n_rows AS BIGINT) AS n_rows,
+         CAST(CASE WHEN bkt < 32 THEN bkt
+              ELSE (CAST(16 AS BIGINT) + bkt % 16)
+                   << (CAST(bkt // 16 AS INT) - 1) END AS BIGINT) AS q_value,
+         CAST(CASE WHEN bkt < 32 THEN bkt + 1
+              ELSE (CAST(16 AS BIGINT) + bkt % 16 + 1)
+                   << (CAST(bkt // 16 AS INT) - 1) END AS BIGINT) AS q_ub
+  FROM hit
+), r AS (
+  SELECT event_type, v,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM f
+), ex AS (
+  SELECT r.event_type, q.pq, r.v AS v_exact
+  FROM r, qs q WHERE r.rn = CAST(ceil(q.qv * r.n) AS BIGINT)
+)
+SELECT x.event_type, x.pq, s.n_rows, x.v_exact, s.q_value, s.q_ub,
+       CAST(s.q_value <= x.v_exact AND x.v_exact < s.q_ub AS INT) AS within
+FROM ex x JOIN sk s ON x.event_type = s.event_type AND x.pq = s.pq
+ORDER BY x.event_type, x.pq
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -3844,7 +3962,11 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # driver-witnessed through q28's near-pairs, its fingerprint tier
     # through q34/q48's md5 keys; q16 stays oracle-validated in AUX.
     "q71_change_rate": (q71_change_rate, SQL_Q71),
-    "q18_jaccard_verify": (q18_jaccard_verify, SQL_Q18),
+    # q74 took q18's slot (window capped at 50): the n-gram Jaccard verify
+    # operator (ngram_jaccard_pairs) stays driver-witnessed through q34's
+    # verified-LSH drop tier and q40's ensemble; q18 itself remains
+    # oracle-validated in AUX.
+    "q74_quantile_sketch_merge": (q74_quantile_sketch_merge, SQL_Q74),
     "q19_ann_methods": (q19_ann_methods, SQL_Q19M),
     "q22_frontier_rank": (q22_frontier_rank, SQL_Q22),
     "q23_multimodal_meta": (q23_multimodal_meta, SQL_Q23M),
@@ -4144,4 +4266,5 @@ AUX_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
     # rows-only (no ANSI-SQL twin exists): exactness pinned by tests/test_bpe.py
     "q72_bpe_tokens": (q72_bpe_tokens, None),
     "q73_journey_graph": (q73_journey_graph, SQL_Q73),
+    "q18_jaccard_verify": (q18_jaccard_verify, SQL_Q18),
 }

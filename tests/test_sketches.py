@@ -123,3 +123,122 @@ def test_sketch_reserved_name_collisions_fail_loudly(spark):
     cms = cms_table(df.withColumnRenamed("reg", "v"), "v")
     with pytest.raises(ValueError, match="reserved"):
         cms_lookup(cms, probe, "v")
+
+
+# --------------------------------------------------------------------------
+# HDR-histogram quantile sketch
+# --------------------------------------------------------------------------
+
+
+def _py_bucket(v: int, j: int) -> int:
+    """Independent reference implementation of the bucket rule."""
+    if v < 1 << (j + 1):
+        return v
+    e = v.bit_length() - 1
+    return (e - j) * (1 << j) + (v >> (e - j))
+
+
+def test_hdr_bucket_matches_reference_and_is_monotone(spark):
+    from crawler_spark.operators.sketches import hdr_bucket_table
+
+    j = 4
+    vals = list(range(0, 2100)) + [2**k + d for k in range(11, 63) for d in (-1, 0, 1, 17)]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    state = hdr_bucket_table(df, "v", sub_bits=j)
+    # rebuild the per-value bucket via the same expr path: group sizes match
+    import collections
+
+    expect = collections.Counter(_py_bucket(v, j) for v in vals)
+    got = {r["bkt"]: r["cnt"] for r in state.collect()}
+    assert got == dict(expect)
+    # monotone: bucket of sorted values never decreases
+    bks = [_py_bucket(v, j) for v in sorted(vals)]
+    assert bks == sorted(bks)
+
+
+def test_hdr_bounds_bracket_the_value(spark):
+    """Every value lies in [lower, upper) of its own bucket, and the
+    log-region relative width is <= 2^-j."""
+    from crawler_spark.operators.sketches import _hdr_bound_expr
+
+    j = 4
+    for v in [0, 1, 31, 32, 33, 100, 1023, 1024, 5000, 123456789, (1 << 62) + 12345]:
+        b = _py_bucket(v, j)
+        lo_sql = _hdr_bound_expr(str(b), j, upper=False)
+        hi_sql = _hdr_bound_expr(str(b), j, upper=True)
+        row = spark.sql(f"SELECT {lo_sql} AS lo, {hi_sql} AS hi").first()
+        assert row["lo"] <= v < row["hi"], (v, b, row)
+        if v >= 1 << (j + 1):
+            assert (row["hi"] - row["lo"]) / row["lo"] <= 2**-j
+        else:
+            assert row["hi"] - row["lo"] == 1
+
+
+def test_hdr_state_merges_by_sum(spark):
+    from pyspark.sql import functions as F
+
+    from crawler_spark.operators.sketches import hdr_bucket_table
+
+    a = spark.range(0, 4000).select((F.col("id") * 37 % 9001).alias("v"))
+    b = spark.range(0, 3000).select((F.col("id") * 101 % 777).alias("v"))
+    merged = (
+        hdr_bucket_table(a, "v")
+        .union(hdr_bucket_table(b, "v"))
+        .groupBy("bkt")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    direct = hdr_bucket_table(a.union(b), "v")
+    assert sorted(merged.collect()) == sorted(direct.collect())
+
+
+def test_hdr_quantiles_within_error_bound(spark):
+    """Sketch quantile brackets the exact nearest-rank answer."""
+    import numpy as np
+
+    from crawler_spark.operators.sketches import hdr_bucket_table, hdr_quantiles
+
+    rng = np.random.RandomState(7)
+    vals = np.concatenate(
+        [rng.randint(0, 200, 3000), rng.randint(200, 1_000_000, 2000)]
+    ).tolist()
+    df = spark.createDataFrame([(int(v),) for v in vals], "v long")
+    qs = (0.5, 0.9, 0.99)
+    out = {
+        r["pq"]: r
+        for r in hdr_quantiles(hdr_bucket_table(df, "v"), qs=qs).collect()
+    }
+    s = sorted(vals)
+    for q in qs:
+        exact = s[int(np.ceil(q * len(s))) - 1]  # nearest-rank
+        r = out[f"p{q * 100:g}"]
+        assert r["n_rows"] == len(s)
+        assert r["q_value"] <= exact < r["q_ub"], (q, exact, dict(r.asDict()))
+
+
+def test_hdr_grouped_and_null_negative_excluded(spark):
+    from pyspark.sql import functions as F
+
+    from crawler_spark.operators.sketches import hdr_bucket_table, hdr_quantiles
+
+    rows = [("a", 10), ("a", 20), ("a", 30), ("b", 5), ("b", None), ("b", -3)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = hdr_quantiles(hdr_bucket_table(df, "v", ["g"]), qs=(1.0,), group_cols=["g"])
+    got = {r["g"]: (r["n_rows"], r["q_value"]) for r in out.collect()}
+    assert got == {"a": (3, 30), "b": (1, 5)}  # NULL and -3 dropped
+
+
+def test_hdr_rejects_bad_params_and_collisions(spark):
+    from pyspark.sql import functions as F
+
+    from crawler_spark.operators.sketches import hdr_bucket_table, hdr_quantiles
+
+    df = spark.range(4).select(F.col("id").alias("bkt"))
+    with pytest.raises(ValueError, match="reserved"):
+        hdr_bucket_table(df, "bkt", group_cols=["bkt"])
+    with pytest.raises(ValueError, match="sub_bits"):
+        hdr_bucket_table(df.withColumnRenamed("bkt", "v"), "v", sub_bits=0)
+    state = hdr_bucket_table(df.withColumnRenamed("bkt", "v"), "v")
+    with pytest.raises(ValueError, match="qs must"):
+        hdr_quantiles(state, qs=())
+    with pytest.raises(ValueError, match="qs must"):
+        hdr_quantiles(state, qs=(0.0,))
