@@ -34,6 +34,7 @@ import numpy as np
 __all__ = [
     "encode_image",
     "decode_image",
+    "sniff_image_meta",
     "encode_png",
     "decode_png",
     "encode_ppm",
@@ -668,6 +669,61 @@ def encode_image(arr: np.ndarray, fmt: str) -> bytes:
 
 def decode_image(data: bytes, fmt: str) -> np.ndarray:
     return _CODECS[fmt][1](data)
+
+
+def sniff_image_meta(data: bytes) -> "tuple[str | None, int | None, int | None]":
+    """(fmt, w, h) from HEADER BYTES ONLY — no pixel decode.
+
+    The metadata-integrity audit primitive: recognizes this module's four
+    container formats by magic (PNG signature + IHDR, binary-P6 PPM, BM
+    BMP, JPEG SOI + SOF0/1/2 scan), so at 100 TB the per-row audit cost is
+    a <100-byte prefix parse.  Truncated / corrupt / unknown input degrades
+    to ``(None, None, None)`` — never raises (executor contract).
+    """
+    try:
+        if data[:8] == _PNG_SIG and len(data) >= 24 and data[12:16] == b"IHDR":
+            w, h = struct.unpack(">II", data[16:24])
+            return "png", int(w), int(h)
+        if data[:2] == b"P6":
+            # need THREE complete whitespace-terminated tokens (w, h, maxval)
+            fields: list[bytes] = []
+            pos, cur = 2, b""
+            while pos < len(data) and len(fields) < 3:
+                ch = data[pos : pos + 1]
+                pos += 1
+                if ch.isspace():
+                    if cur:
+                        fields.append(cur)
+                        cur = b""
+                elif ch.isdigit():
+                    cur += ch
+                else:
+                    return None, None, None
+            if len(fields) == 3:
+                return "ppm", int(fields[0]), int(fields[1])
+            return None, None, None
+        if data[:2] == b"BM" and len(data) >= 26:
+            w, h = struct.unpack_from("<ii", data, 18)
+            return "bmp", int(w), int(abs(h))
+        if data[:2] == b"\xff\xd8":
+            pos = 2
+            while pos + 4 <= len(data) and data[pos] == 0xFF:
+                marker = data[pos + 1]
+                if marker in (0xC0, 0xC1, 0xC2):  # baseline/ext-seq/progressive SOF
+                    if pos + 9 <= len(data):
+                        h, w = struct.unpack(">HH", data[pos + 5 : pos + 9])
+                        return "jpeg", int(w), int(h)
+                    return None, None, None
+                if marker == 0xDA:  # SOS before any SOF: malformed
+                    return None, None, None
+                if 0xD0 <= marker <= 0xD9 or marker == 0x01:  # parameterless
+                    pos += 2
+                    continue
+                (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+                pos += 2 + seglen
+        return None, None, None
+    except Exception:
+        return None, None, None
 
 
 def _area_weights(n_in: int, n_out: int) -> np.ndarray:

@@ -3631,21 +3631,141 @@ ORDER BY a.source
 """
 
 
+def _image_integrity_audit(spark, sf_dir):
+    """Per-doc metadata-integrity audit over the north-rule image shape:
+    declared (fmt, w, h) vs what a HEADER-ONLY sniff of the real binary
+    column reports (functions/imaging.sniff_image_meta — magic + header
+    parse, no pixel decode, so the 100 TB audit cost per row is a <100-byte
+    prefix).  Per doc a real image is encoded (png/ppm/bmp rotation) and
+    deterministic fault classes are injected keyed on doc_id % 13:
+    r=7 → bytes truncated to 6 (unreadable), r=3 → declared fmt rotated,
+    r=5 → declared width off by one.  The Spark side classifies ONLY from
+    the sniff-vs-declared comparison; the oracle twin recomputes the
+    expected classification from the doc_id arithmetic — they agree only
+    if the sniffer reads real encoder output correctly.  Sentinels
+    ('unreadable', -1) instead of NULLs keep the driver's pandas hash
+    integer-stable.
+    """
+    from crawler_spark.operators import ensure_scan_parallelism
+
+    d = ensure_scan_parallelism(t(spark, sf_dir, "documents").select("doc_id"))
+
+    def _audit_batches(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        from crawler_spark.functions.imaging import encode_image, sniff_image_meta
+
+        fmts = ("png", "ppm", "bmp")
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy()
+            out = {
+                "fmt_declared": [],
+                "fmt_actual": [],
+                "audit": [],
+            }
+            w_decl = np.empty(len(ids), dtype=np.int32)
+            w_act = np.empty(len(ids), dtype=np.int32)
+            h_act = np.empty(len(ids), dtype=np.int32)
+            for i, raw_id in enumerate(ids):
+                doc_id = int(raw_id)
+                w = 4 + hashlib.md5(f"adim:{doc_id}:w".encode()).digest()[0] % 13
+                h = 4 + hashlib.md5(f"adim:{doc_id}:h".encode()).digest()[0] % 13
+                fmt_true = fmts[doc_id % 3]
+                nbytes = w * h * 3
+                base = b"".join(
+                    hashlib.md5(f"apx:{doc_id}:{k}".encode()).digest()
+                    for k in range((nbytes + 15) // 16)
+                )[:nbytes]
+                raw = encode_image(
+                    np.frombuffer(base, dtype=np.uint8).reshape(h, w, 3), fmt_true
+                )
+                r = doc_id % 13
+                if r == 7:
+                    raw = raw[:6]  # torn payload: every magic needs more
+                fmt_decl = fmts[(doc_id + 1) % 3] if r == 3 else fmt_true
+                wd = w + 1 if r == 5 else w
+                sf, sw, sh = sniff_image_meta(raw)
+                # classification uses ONLY sniffed vs declared values
+                if sf is None:
+                    audit = "corrupt"
+                elif sf != fmt_decl:
+                    audit = "fmt_mismatch"
+                elif (sw, sh) != (wd, h):
+                    audit = "dim_mismatch"
+                else:
+                    audit = "ok"
+                out["fmt_declared"].append(fmt_decl)
+                out["fmt_actual"].append(sf if sf is not None else "unreadable")
+                out["audit"].append(audit)
+                w_decl[i] = wd
+                w_act[i] = sw if sw is not None else -1
+                h_act[i] = sh if sh is not None else -1
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "fmt_declared": out["fmt_declared"],
+                    "fmt_actual": out["fmt_actual"],
+                    "w_declared": w_decl,
+                    "w_actual": w_act,
+                    "h_actual": h_act,
+                    "audit": out["audit"],
+                }
+            )
+
+    return d.mapInPandas(
+        _audit_batches,
+        "doc_id long, fmt_declared string, fmt_actual string, "
+        "w_declared int, w_actual int, h_actual int, audit string",
+    )
+
+
 def q23_multimodal_meta(spark, sf_dir):
     """Per-doc multimodal metadata: byte/codepoint text meta joined with
-    the real-codec image channel statistics + LAION-style flags."""
+    the real-codec image channel statistics + LAION-style flags + the
+    header-sniff metadata-integrity audit (_image_integrity_audit)."""
     return (
         q23_binary_meta(spark, sf_dir)
         .join(q52_image_channel_stats(spark, sf_dir), "doc_id")
+        .join(_image_integrity_audit(spark, sf_dir), "doc_id")
         .orderBy("doc_id")
     )
 
 
 SQL_Q23M = f"""
+WITH aud0 AS (
+  SELECT doc_id,
+         4 + CAST(('0x' || substr(md5('adim:' || CAST(doc_id AS VARCHAR) || ':w'),
+                                  1, 2)) AS INT) % 13 AS w_true,
+         4 + CAST(('0x' || substr(md5('adim:' || CAST(doc_id AS VARCHAR) || ':h'),
+                                  1, 2)) AS INT) % 13 AS h_true,
+         CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'ppm' ELSE 'bmp' END AS fmt_true,
+         doc_id % 13 AS r
+  FROM documents),
+aud AS (
+  SELECT doc_id,
+         CASE WHEN r = 3 THEN
+           CASE (doc_id + 1) % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'ppm' ELSE 'bmp' END
+         ELSE fmt_true END AS fmt_declared,
+         CASE WHEN r = 7 THEN 'unreadable' ELSE fmt_true END AS fmt_actual,
+         CAST(w_true + CASE WHEN r = 5 THEN 1 ELSE 0 END AS INT) AS w_declared,
+         CAST(CASE WHEN r = 7 THEN -1 ELSE w_true END AS INT) AS w_actual,
+         CAST(CASE WHEN r = 7 THEN -1 ELSE h_true END AS INT) AS h_actual,
+         CASE WHEN r = 7 THEN 'corrupt'
+              WHEN r = 3 THEN 'fmt_mismatch'
+              WHEN r = 5 THEN 'dim_mismatch'
+              ELSE 'ok' END AS audit
+  FROM aud0)
 SELECT a.doc_id, a.n_bytes, a.n_codepoints,
        b.sum_r, b.sum_g, b.sum_b, b.sum_sq, b.v_min, b.v_max,
-       b.lum_milli, b.is_dark, b.is_low_contrast
-FROM ({SQL_Q23}) a JOIN ({SQL_Q52}) b ON a.doc_id = b.doc_id
+       b.lum_milli, b.is_dark, b.is_low_contrast,
+       c.fmt_declared, c.fmt_actual, c.w_declared, c.w_actual, c.h_actual,
+       c.audit
+FROM ({SQL_Q23}) a
+JOIN ({SQL_Q52}) b ON a.doc_id = b.doc_id
+JOIN aud c ON a.doc_id = c.doc_id
 ORDER BY a.doc_id
 """
 

@@ -283,3 +283,44 @@ def test_jpeg_rows_clear_payload_invariants_end_to_end():
     assert bool(out["decode_ok"].all()) and bool(out["shape_ok"].all())
     assert bool(out["phash_ok"].all())
     assert (out["psnr_db"] >= 40.0).all()
+
+
+def test_sniff_image_meta_reads_every_container_header_only():
+    """(fmt, w, h) from a prefix parse of real encoder output — all four
+    containers, including JPEG variants whose SOF sits behind APP0/DQT/DHT
+    segments and 4:2:0 / restart-interval streams."""
+    import numpy as np
+
+    from crawler_spark.functions.imaging import (
+        encode_image,
+        encode_jpeg,
+        sniff_image_meta,
+    )
+
+    rng = np.random.RandomState(3)
+    arr = rng.randint(0, 256, (13, 9, 3)).astype(np.uint8)
+    for fmt in ("png", "ppm", "bmp"):
+        assert sniff_image_meta(encode_image(arr, fmt)) == (fmt, 9, 13)
+    assert sniff_image_meta(encode_jpeg(arr)) == ("jpeg", 9, 13)
+    assert sniff_image_meta(encode_jpeg(arr, subsampling="420")) == ("jpeg", 9, 13)
+    assert sniff_image_meta(encode_jpeg(arr, restart_interval=2)) == ("jpeg", 9, 13)
+    # header-only: the parse must succeed on a prefix that cannot decode
+    assert sniff_image_meta(encode_jpeg(arr)[:200]) == ("jpeg", 9, 13)
+
+
+def test_sniff_image_meta_degrades_never_raises():
+    import numpy as np
+
+    from crawler_spark.functions.imaging import encode_image, sniff_image_meta
+
+    arr = np.zeros((4, 4, 3), dtype=np.uint8)
+    none = (None, None, None)
+    assert sniff_image_meta(b"") == none
+    assert sniff_image_meta(b"hello world, not an image at all") == none
+    for fmt in ("png", "ppm", "bmp"):
+        assert sniff_image_meta(encode_image(arr, fmt)[:6]) == none
+    # P6 with an incomplete (unterminated) height token: not a full header
+    assert sniff_image_meta(b"P6\n12 3") == none
+    assert sniff_image_meta(b"P6\nab cd\n255\n") == none
+    # JPEG SOI but scan starts before any SOF: malformed, degrade
+    assert sniff_image_meta(b"\xff\xd8\xff\xda\x00\x04\x01\x00") == none
