@@ -19,6 +19,8 @@ import struct
 
 import numpy as np
 
+from crawler_spark.functions.imaging import _loud
+
 __all__ = ["encode_wav", "decode_wav"]
 
 
@@ -38,6 +40,7 @@ def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+@_loud
 def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     """RIFF/WAVE PCM bytes → ((n, ch) int16, sample_rate)."""
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":

@@ -25,11 +25,32 @@ Everything is numpy-vectorized per image; Spark-side use is via
 
 from __future__ import annotations
 
+import functools
 import struct
 import zlib
 from typing import Iterator
 
 import numpy as np
+
+
+def _loud(fn):
+    """Decoder contract: malformed input raises ``ValueError``, whatever the
+    internal failure mode (struct truncation, bad deflate, index overrun).
+    Executor-side callers distinguish "poisoned payload" from a codec bug by
+    the exception type, so the contract must hold for ALL torn inputs —
+    pinned by tests/test_fuzz_codecs.py over magic-prefixed garbage."""
+
+    @functools.wraps(fn)
+    def wrapped(data, *a, **k):
+        try:
+            return fn(data, *a, **k)
+        except ValueError:
+            raise
+        except (struct.error, IndexError, KeyError, OverflowError, EOFError,
+                zlib.error) as e:
+            raise ValueError(f"malformed input for {fn.__name__}: {e}") from e
+
+    return wrapped
 
 __all__ = [
     "encode_image",
@@ -85,6 +106,7 @@ def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
     return out.astype(np.uint8)
 
 
+@_loud
 def decode_png(data: bytes) -> np.ndarray:
     """Decode an 8-bit RGB PNG (any of the 5 standard scanline filters)."""
     if data[:8] != _PNG_SIG:
@@ -152,6 +174,7 @@ def encode_ppm(arr: np.ndarray) -> bytes:
     return f"P6\n{w} {h}\n255\n".encode("ascii") + arr.astype(np.uint8).tobytes()
 
 
+@_loud
 def decode_ppm(data: bytes) -> np.ndarray:
     if not data.startswith(b"P6"):
         raise ValueError("not a binary PPM")
@@ -189,6 +212,7 @@ def encode_bmp(arr: np.ndarray) -> bytes:
     return header + info + pixel_bytes
 
 
+@_loud
 def decode_bmp(data: bytes) -> np.ndarray:
     if data[:2] != b"BM":
         raise ValueError("not a BMP")
@@ -531,6 +555,7 @@ def _extend(v: int, t: int) -> int:
     return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
 
 
+@_loud
 def decode_jpeg(data: bytes) -> np.ndarray:
     """Baseline sequential JFIF → (h, w, 3) uint8 RGB (see module section)."""
     if data[:2] != b"\xff\xd8":

@@ -13,6 +13,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from crawler_spark.functions.imaging import _loud
+
 __all__ = ["encode_y4m", "decode_y4m", "sample_frames"]
 
 _MAGIC = b"YUV4MPEG2"
@@ -30,6 +32,7 @@ def encode_y4m(frames: np.ndarray, fps: int = 25) -> bytes:
     return b"".join(out)
 
 
+@_loud
 def decode_y4m(data: bytes) -> tuple[np.ndarray, int]:
     """y4m bytes → ((n_frames, h, w) uint8 mono, fps)."""
     nl = data.index(b"\n")
@@ -66,6 +69,7 @@ def decode_y4m(data: bytes) -> tuple[np.ndarray, int]:
     return np.stack(frames) if frames else np.empty((0, h, w), np.uint8), fps or 25
 
 
+@_loud
 def sample_frames(data: bytes, stride: int = 30) -> list[tuple[int, np.ndarray]]:
     """Decode + stride-sample: [(frame_idx, (h, w) uint8), ...] — the
     one-row-per-sampled-frame contract the video stub documented."""
