@@ -4351,6 +4351,148 @@ ORDER BY pe.src_type, pe.dst_type
 """
 
 
+# --------------------------------------------------------------------------
+# §2.10 addendum: aspect-ratio bucketing + fixed-size batch packing — the
+# published multi-aspect training-prep step for image corpora (NovelAI's
+# aspect-ratio bucketing, adopted by SDXL's multi-aspect fine-tune stage):
+# variable-shape images can't share a tensor batch, so each image is routed
+# to the aspect band whose canonical target resolution it will be resized
+# to, and batches are formed WITHIN a band.  Per doc the real pipeline runs
+# here too: the image is synthesized from the md5 dim formula (q23's
+# `adim:` arithmetic), ENCODED with its rotating container format, and the
+# dims are recovered by the header-only sniffer — so band assignment only
+# matches the oracle's formula recomputation if real encoder output parses
+# correctly.  Scale design: batch numbering within a band is the classic
+# hot-partition trap (one band can hold most of a 100 TB corpus, so
+# Window.partitionBy(band) would funnel it through one task) — instead ONE
+# scale-safe global_row_number over (band, doc_id) gives contiguous ranks
+# per band across ALL partitions in parallel, and each band's start offset
+# comes from a band-count aggregate (|bands| rows, broadcast join), so
+# batch_id = (rn - band_start) div B with no single-task stage anywhere.
+# --------------------------------------------------------------------------
+
+_ASPECT_BANDS = [  # (band_id, permille_lo, target_w, target_h); hi = next lo
+    (0, 0, 8, 16),      # very tall:   w/h < 0.70
+    (1, 700, 10, 14),   # tall:        0.70 ≤ w/h < 0.95
+    (2, 950, 12, 12),   # square-ish:  0.95 ≤ w/h < 1.30
+    (3, 1300, 14, 10),  # wide:        1.30 ≤ w/h < 2.00
+    (4, 2000, 16, 8),   # very wide:   w/h ≥ 2.00
+]
+_ASPECT_BATCH = 8
+
+
+def q75_aspect_buckets(spark, sf_dir):
+    from crawler_spark.operators import ensure_scan_parallelism
+    from crawler_spark.operators.ordering import global_row_number
+
+    d = ensure_scan_parallelism(t(spark, sf_dir, "documents").select("doc_id"))
+
+    def _sniff_batches(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        from crawler_spark.functions.imaging import encode_image, sniff_image_meta
+
+        fmts = ("png", "ppm", "bmp")
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy()
+            ws = np.empty(len(ids), dtype=np.int32)
+            hs = np.empty(len(ids), dtype=np.int32)
+            for i, raw_id in enumerate(ids):
+                doc_id = int(raw_id)
+                w = 4 + hashlib.md5(f"adim:{doc_id}:w".encode()).digest()[0] % 13
+                h = 4 + hashlib.md5(f"adim:{doc_id}:h".encode()).digest()[0] % 13
+                nbytes = w * h * 3
+                base = b"".join(
+                    hashlib.md5(f"apx:{doc_id}:{k}".encode()).digest()
+                    for k in range((nbytes + 15) // 16)
+                )[:nbytes]
+                raw = encode_image(
+                    np.frombuffer(base, dtype=np.uint8).reshape(h, w, 3),
+                    fmts[doc_id % 3],
+                )
+                _, sw, sh = sniff_image_meta(raw)
+                ws[i] = -1 if sw is None else sw
+                hs[i] = -1 if sh is None else sh
+            yield pd.DataFrame({"doc_id": ids, "w": ws, "h": hs})
+
+    dims = d.mapInPandas(_sniff_batches, "doc_id long, w int, h int")
+
+    permille = F.expr("CAST(w AS BIGINT) * 1000 DIV h")
+    band = F.lit(_ASPECT_BANDS[-1][0])
+    for bid, lo, _tw, _th in reversed(_ASPECT_BANDS[1:]):
+        band = F.when(permille < F.lit(lo), F.lit(bid - 1)).otherwise(band)
+    banded = dims.withColumn("band", band.cast("int"))
+
+    rn = global_row_number(banded, ["band", "doc_id"], "rn")
+    starts = rn.groupBy("band").agg(F.min("rn").alias("_start"))
+    packed = rn.join(F.broadcast(starts), "band").withColumn(
+        "batch_id", F.expr(f"(rn - _start) DIV {_ASPECT_BATCH}")
+    )
+    tgt_w = F.lit(_ASPECT_BANDS[-1][2])
+    tgt_h = F.lit(_ASPECT_BANDS[-1][3])
+    for bid, _lo, tw, th in reversed(_ASPECT_BANDS[:-1]):
+        tgt_w = F.when(F.col("band") == bid, F.lit(tw)).otherwise(tgt_w)
+        tgt_h = F.when(F.col("band") == bid, F.lit(th)).otherwise(tgt_h)
+    return (
+        packed.groupBy("band", "batch_id")
+        .agg(
+            F.count("*").cast("long").alias("n_imgs"),
+            F.sum("doc_id").cast("long").alias("sum_doc_ids"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+            F.max("doc_id").cast("long").alias("last_doc"),
+        )
+        .withColumn("tgt_w", tgt_w.cast("int"))
+        .withColumn("tgt_h", tgt_h.cast("int"))
+        .select(
+            "band", "batch_id", "tgt_w", "tgt_h",
+            "n_imgs", "sum_doc_ids", "first_doc", "last_doc",
+        )
+        .orderBy("band", "batch_id")
+    )
+
+
+SQL_Q75 = """
+WITH dims AS (
+  SELECT doc_id,
+         4 + CAST(('0x' || substr(md5('adim:' || CAST(doc_id AS VARCHAR) || ':w'),
+                                  1, 2)) AS INT) % 13 AS w,
+         4 + CAST(('0x' || substr(md5('adim:' || CAST(doc_id AS VARCHAR) || ':h'),
+                                  1, 2)) AS INT) % 13 AS h
+  FROM documents),
+banded AS (
+  SELECT doc_id,
+         CASE WHEN w * 1000 // h < 700 THEN 0
+              WHEN w * 1000 // h < 950 THEN 1
+              WHEN w * 1000 // h < 1300 THEN 2
+              WHEN w * 1000 // h < 2000 THEN 3
+              ELSE 4 END AS band
+  FROM dims),
+rn AS (
+  SELECT doc_id, band,
+         ROW_NUMBER() OVER (ORDER BY band, doc_id) AS rn
+  FROM banded),
+rs AS (
+  SELECT doc_id, band, rn,
+         MIN(rn) OVER (PARTITION BY band) AS band_start
+  FROM rn),
+packed AS (
+  SELECT band, doc_id, (rn - band_start) // 8 AS batch_id FROM rs)
+SELECT band, CAST(batch_id AS BIGINT) AS batch_id,
+       CAST(CASE band WHEN 0 THEN 8 WHEN 1 THEN 10 WHEN 2 THEN 12
+                      WHEN 3 THEN 14 ELSE 16 END AS INT) AS tgt_w,
+       CAST(CASE band WHEN 0 THEN 16 WHEN 1 THEN 14 WHEN 2 THEN 12
+                      WHEN 3 THEN 10 ELSE 8 END AS INT) AS tgt_h,
+       CAST(COUNT(*) AS BIGINT) AS n_imgs,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_doc_ids,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+       CAST(MAX(doc_id) AS BIGINT) AS last_doc
+FROM packed GROUP BY band, batch_id ORDER BY band, batch_id
+"""
+
+
 AUX_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "q05_semi_join": (q05_semi_join, SQL_Q05),
     "q06_window_topk": (q06_window_topk, SQL_Q06),
@@ -4387,4 +4529,5 @@ AUX_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
     "q72_bpe_tokens": (q72_bpe_tokens, None),
     "q73_journey_graph": (q73_journey_graph, SQL_Q73),
     "q18_jaccard_verify": (q18_jaccard_verify, SQL_Q18),
+    "q75_aspect_buckets": (q75_aspect_buckets, SQL_Q75),
 }
