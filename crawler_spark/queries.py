@@ -1971,9 +1971,12 @@ ORDER BY source
 # --------------------------------------------------------------------------
 
 
-def q49_image_ahash_pairs(spark, sf_dir):
+def _image_hash_table(spark, sf_dir):
+    """(image_id, phash) via the REAL codec path: per doc an 8×8 tile is
+    synthesized (groups of 8 docs share a base image, doc_id%4 pixels
+    perturbed), PNG round-tripped, and ahash64'd — shared by q49 and the
+    cross-modal ensemble q76."""
     from crawler_spark.operators import ensure_scan_parallelism
-    from crawler_spark.operators.image_dedup import phash_near_dup_pairs
 
     d = ensure_scan_parallelism(t(spark, sf_dir, "documents").select("doc_id"))
 
@@ -2002,12 +2005,20 @@ def q49_image_ahash_pairs(spark, sf_dir):
                 out[i] = ahash64(decode_png(encode_png(tile)))
             yield pd.DataFrame({"image_id": ids, "phash": out})
 
-    images = d.mapInPandas(_hash_batches, "image_id long, phash long")
+    return d.mapInPandas(_hash_batches, "image_id long, phash long")
+
+
+def q49_image_ahash_pairs(spark, sf_dir):
+    from crawler_spark.operators.image_dedup import phash_near_dup_pairs
+
+    images = _image_hash_table(spark, sf_dir)
     return phash_near_dup_pairs(images, max_hamming=3, bands=4).orderBy("id_a", "id_b")
 
 
-SQL_Q49 = """
-WITH docs AS (
+# CTE body shared by SQL_Q49 and the cross-modal ensemble SQL_Q76: the md5
+# pixel formula → ahash bits → 64-bit halves → brute-force hamming pairs
+# (exact oracle for the banded-LSH Spark side).
+_IMG_PAIR_CTES = """docs AS (
   SELECT doc_id, doc_id // 8 AS grp, doc_id % 4 AS n_pert FROM documents),
 px AS (
   SELECT d.doc_id, g.p,
@@ -2037,13 +2048,17 @@ halves AS (
                        ELSE 0 END) AS BIGINT) AS hi,
          CAST(SUM(CASE WHEN p >= 32 THEN bit * (CAST(1 AS BIGINT) << (63 - p))
                        ELSE 0 END) AS BIGINT) AS lo
-  FROM bits GROUP BY doc_id)
-SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS INT) AS hamming
-FROM halves a JOIN halves b ON a.doc_id < b.doc_id
-WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
-ORDER BY id_a, id_b
-"""
+  FROM bits GROUP BY doc_id),
+img_pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS INT) AS hamming
+  FROM halves a JOIN halves b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3)"""
+
+SQL_Q49 = (
+    "WITH " + _IMG_PAIR_CTES
+    + "\nSELECT id_a, id_b, hamming FROM img_pairs ORDER BY id_a, id_b"
+)
 
 
 # --------------------------------------------------------------------------
@@ -4493,6 +4508,85 @@ FROM packed GROUP BY band, batch_id ORDER BY band, batch_id
 """
 
 
+# --------------------------------------------------------------------------
+# §2.10 addendum: CROSS-MODAL ensemble near-dup over the image+caption pair
+# shape — the dedup decision a multimodal corpus actually needs (LAION's
+# pipeline deduped on BOTH url/text and image hash): a pair is a candidate
+# if its IMAGES collide (banded-Hamming ahash LSH, q49's tier) OR its
+# CAPTIONS collide (banded MinHash → exact-Jaccard ≥ 0.5 verify, q17/q18's
+# tier), with per-pair evidence ('image'/'caption'/'both') and both exact
+# scores carried (integer sentinels keep the hash stable).  Plan: the two
+# tiers stay independently bucketed (no cross tier join blow-up) and meet
+# in ONE full-outer merge on the pair key — at 100 TB each tier's pair
+# volume is linear by its own cap, and the merge is a single shuffle on
+# (id_a, id_b).  Jaccard permille is floor(1000·j) on the SAME IEEE double
+# both engines compute from exact integer set sizes, so the gate is exact.
+# --------------------------------------------------------------------------
+
+
+def q76_crossmodal_near_dup(spark, sf_dir):
+    from crawler_spark.operators.dedup_text import (
+        lsh_candidate_pairs,
+        ngram_jaccard_pairs,
+        shingle_table,
+    )
+    from crawler_spark.operators.image_dedup import phash_near_dup_pairs
+
+    d = t(spark, sf_dir, "documents")
+    sh = shingle_table(d).localCheckpoint(eager=True)
+    cand = lsh_candidate_pairs(d, k=6, bands=3, shingles=sh)
+    captions = (
+        ngram_jaccard_pairs(d, cand, threshold=0.0, shingles=sh)
+        .filter(F.col("jaccard") >= 0.5)
+        .select(
+            F.col("doc_a").alias("id_a"),
+            F.col("doc_b").alias("id_b"),
+            F.floor(F.col("jaccard") * 1000).cast("long").alias("jac_permille"),
+        )
+    )
+    images = phash_near_dup_pairs(
+        _image_hash_table(spark, sf_dir), max_hamming=3, bands=4
+    ).select("id_a", "id_b", "hamming")
+    return (
+        captions.join(images, ["id_a", "id_b"], "full_outer")
+        .select(
+            "id_a",
+            "id_b",
+            F.coalesce(F.col("hamming"), F.lit(-1)).cast("int").alias("hamming"),
+            F.coalesce(F.col("jac_permille"), F.lit(-1)).cast("long").alias("jac_permille"),
+            F.when(F.col("hamming").isNotNull() & F.col("jac_permille").isNotNull(), "both")
+            .when(F.col("hamming").isNotNull(), "image")
+            .otherwise("caption")
+            .alias("evidence"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+SQL_Q76 = _MINHASH_CTES + """, dsh AS (
+  SELECT doc_id, list_distinct(shingles) AS sh FROM sh
+), jac AS (
+  SELECT p.doc_a AS id_a, p.doc_b AS id_b,
+         CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+           / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) AS j
+  FROM pairs p JOIN dsh x ON p.doc_a = x.doc_id JOIN dsh y ON p.doc_b = y.doc_id
+), cap AS (
+  SELECT id_a, id_b, CAST(floor(j * 1000) AS BIGINT) AS jac_permille
+  FROM jac WHERE j >= 0.5
+), """ + _IMG_PAIR_CTES + """
+SELECT coalesce(c.id_a, i.id_a) AS id_a,
+       coalesce(c.id_b, i.id_b) AS id_b,
+       CAST(coalesce(i.hamming, -1) AS INT) AS hamming,
+       CAST(coalesce(c.jac_permille, -1) AS BIGINT) AS jac_permille,
+       CASE WHEN c.id_a IS NOT NULL AND i.id_a IS NOT NULL THEN 'both'
+            WHEN i.id_a IS NOT NULL THEN 'image'
+            ELSE 'caption' END AS evidence
+FROM cap c FULL OUTER JOIN img_pairs i
+  ON c.id_a = i.id_a AND c.id_b = i.id_b
+ORDER BY id_a, id_b
+"""
+
+
 AUX_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "q05_semi_join": (q05_semi_join, SQL_Q05),
     "q06_window_topk": (q06_window_topk, SQL_Q06),
@@ -4530,4 +4624,5 @@ AUX_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
     "q73_journey_graph": (q73_journey_graph, SQL_Q73),
     "q18_jaccard_verify": (q18_jaccard_verify, SQL_Q18),
     "q75_aspect_buckets": (q75_aspect_buckets, SQL_Q75),
+    "q76_crossmodal_near_dup": (q76_crossmodal_near_dup, SQL_Q76),
 }
