@@ -132,7 +132,7 @@ def revisit_seeds(rates: DataFrame, include_cold: bool = False) -> DataFrame:
     revisit subset (scale-safe ``global_row_number``, never a
     single-partition window).
     """
-    from crawler_spark.operators.ordering import global_row_number
+    from crawler_spark.operators.ordering import seed_contract_table
 
     bands = ("hot", "warm", "cold") if include_cold else ("hot", "warm")
     blk = (
@@ -143,10 +143,4 @@ def revisit_seeds(rates: DataFrame, include_cold: bool = False) -> DataFrame:
     picks = rates.filter(F.col("revisit_band").isin(*bands)).select(
         "url", blk.alias("_blk"), (-F.col("chg_scaled")).alias("_nc")
     )
-    numbered = global_row_number(picks, ["_blk", "_nc", "url"], rn_col="_rn")
-    return numbered.select(
-        (F.col("_rn") - 1).cast("string").alias("seed_id"),
-        "url",
-        F.lit(0).alias("story_seq"),
-        F.lit("").alias("cookies"),
-    )
+    return seed_contract_table(picks, ["_blk", "_nc", "url"])

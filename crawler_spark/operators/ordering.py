@@ -24,7 +24,29 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["global_prefix_sum", "global_row_number"]
+__all__ = ["global_prefix_sum", "global_row_number", "seed_contract_table"]
+
+
+def seed_contract_table(
+    picks: DataFrame, order_cols: list[str], *, minimal: bool = False,
+) -> DataFrame:
+    """Ranked URL picks → the fixture ``seeds.parquet`` contract the engine
+    reads back (``seed_id`` = string global rank as the priority key, plus
+    ``story_seq`` 0 / empty ``cookies`` unless ``minimal``).
+
+    The contract lives HERE and nowhere else — ``warc.refetch_seeds``,
+    ``freshness.revisit_seeds`` and ``sitemaps.seeds_from_sitemaps`` all
+    emit through this helper, so a contract change (a new required column)
+    has one home instead of three silently-diverging copies.  ``picks``
+    must carry ``url`` plus the order columns; numbering is the scale-safe
+    total order below (range shuffle + offsets, never a single-partition
+    window).
+    """
+    numbered = global_row_number(picks, list(order_cols), rn_col="_rn")
+    cols = [(F.col("_rn") - 1).cast("string").alias("seed_id"), F.col("url")]
+    if not minimal:
+        cols += [F.lit(0).alias("story_seq"), F.lit("").alias("cookies")]
+    return numbered.select(*cols)
 
 
 def global_row_number(

@@ -82,11 +82,16 @@ def _payload_digest(block: bytes) -> str:
 
 def warc_record_bytes(warc_type: str, block: bytes, *, target_uri: str = None,
                       date_epoch: float = 0.0, content_type: str = None,
-                      extra: dict = None) -> bytes:
-    """Serialize one WARC/1.1 record (CRLF framing per spec §4)."""
+                      extra: dict = None, id_seed: str = "") -> bytes:
+    """Serialize one WARC/1.1 record (CRLF framing per spec §4).
+
+    ``id_seed`` disambiguates the content-addressed record id for records
+    without a target URI (warcinfo) — deterministic across re-runs, unique
+    across files.
+    """
     date = _warc_date(date_epoch)
     fields = [("WARC-Type", warc_type),
-              ("WARC-Record-ID", _record_id(warc_type, target_uri or "", date)),
+              ("WARC-Record-ID", _record_id(warc_type, target_uri or id_seed, date)),
               ("WARC-Date", date)]
     if target_uri is not None:
         fields.append(("WARC-Target-URI", target_uri))
@@ -188,15 +193,22 @@ def write_warc(
         def open_file(fid: int):
             close_current()
             name = f"{prefix}-{fid:06d}{ext}"
-            state.update(file=fid, tmp=os.path.join(out_dir, name + ".tmp"),
+            # per-attempt tmp suffix (webdataset's discipline): speculative /
+            # zombie task attempts must never interleave into one tmp file
+            state.update(file=fid,
+                         tmp=os.path.join(
+                             out_dir, f"{name}.tmp-{uuid.uuid4().hex[:8]}"),
                          md5=hashlib.md5(), n=0, bytes=0)
             state["fh"] = open(state["tmp"], "wb")
             info = (f"software: {software}\r\n"
                     f"format: WARC File Format 1.1\r\n").encode()
+            # id_seed=name: warcinfo has no target URI, and spec §5.2 wants
+            # globally unique ids — without the filename in the address every
+            # file's lead record would share one id
             emit(warc_record_bytes(
                 "warcinfo", info, date_epoch=0.0,
                 content_type="application/warc-fields",
-                extra={"WARC-Filename": name}))
+                extra={"WARC-Filename": name}, id_seed=name))
 
         cols = ["kind", "url", "date", "file", "offset", "length", "digest", "n"]
         for pdf in it:
@@ -269,6 +281,40 @@ def read_warc_record(warc_path: str, offset: int, length: int):
     return next(iter(parse_warc_stream(raw)), None)
 
 
+def _parse_records(data: bytes):
+    """Yield complete records from one plain-WARC buffer; RETURN the byte
+    offset consumed, so a caller feeding member-at-a-time can carry an
+    incomplete tail record into the next member's buffer."""
+    pos = 0
+    while True:
+        head_end = data.find(_CRLF + _CRLF, pos)
+        if head_end < 0 or not data.startswith(b"WARC/", pos):
+            return pos
+        try:
+            lines = data[pos:head_end].decode("utf-8", "strict").split("\r\n")
+        except UnicodeDecodeError:
+            return pos
+        hdr = {}
+        for ln in lines[1:]:
+            k, _, v = ln.partition(":")
+            if not _:
+                return pos
+            hdr[k.strip().lower()] = v.strip()
+        try:
+            n = int(hdr["content-length"])
+        except (KeyError, ValueError):
+            return pos
+        block = data[head_end + 4:head_end + 4 + n]
+        if len(block) != n or data[head_end + 4 + n:head_end + 4 + n + 4] != _CRLF * 2:
+            return pos
+        hdr["block"] = block
+        yield hdr
+        pos = head_end + 4 + n + 4
+
+
+_GZ_CHUNK = 1 << 20
+
+
 def parse_warc_stream(data: bytes):
     """Yield records from raw WARC bytes (gzip multi-member or plain).
 
@@ -276,42 +322,35 @@ def parse_warc_stream(data: bytes):
     the stream (records before it are yielded) — malformed input must never
     raise inside a task.  Yields dicts with lower-cased header keys plus
     ``block``.
+
+    Memory stays O(one member + carry): gzip members are inflated and
+    parsed ONE AT A TIME from a memoryview walked by offset (never
+    ``unused_data``-slicing the remaining compressed buffer per member,
+    which would be O(members × file) copies), and a record that spans
+    members (legal, if against annex D's one-per-member recommendation) is
+    carried as the unconsumed tail into the next member's parse.
     """
-    if data[:2] == b"\x1f\x8b":  # gzip: inflate all members
-        out, rest = [], data
-        while rest[:2] == b"\x1f\x8b":
-            do = zlib.decompressobj(16 + zlib.MAX_WBITS)
-            try:
-                out.append(do.decompress(rest))
-            except zlib.error:
-                break
-            rest = do.unused_data
-        data = b"".join(out)
-    pos = 0
-    while True:
-        head_end = data.find(_CRLF + _CRLF, pos)
-        if head_end < 0 or not data[pos:].startswith(b"WARC/"):
-            return
+    if data[:2] != b"\x1f\x8b":
+        yield from _parse_records(data)
+        return
+    mv = memoryview(data)
+    pos, carry = 0, b""
+    while pos + 2 <= len(mv) and mv[pos:pos + 2] == b"\x1f\x8b":
+        do = zlib.decompressobj(16 + zlib.MAX_WBITS)
+        out = []
         try:
-            lines = data[pos:head_end].decode("utf-8", "strict").split("\r\n")
-        except UnicodeDecodeError:
-            return
-        hdr = {}
-        for ln in lines[1:]:
-            k, _, v = ln.partition(":")
-            if not _:
-                return
-            hdr[k.strip().lower()] = v.strip()
-        try:
-            n = int(hdr["content-length"])
-        except (KeyError, ValueError):
-            return
-        block = data[head_end + 4:head_end + 4 + n]
-        if len(block) != n or data[head_end + 4 + n:head_end + 4 + n + 4] != _CRLF * 2:
-            return
-        hdr["block"] = block
-        yield hdr
-        pos = head_end + 4 + n + 4
+            while not do.eof and pos < len(mv):
+                chunk = mv[pos:pos + _GZ_CHUNK]
+                out.append(do.decompress(chunk))
+                pos += len(chunk)
+        except zlib.error:
+            return  # torn/corrupt member: stream ends, prior records stand
+        if not do.eof:
+            return  # truncated final member
+        pos -= len(do.unused_data)  # hand back over-read bytes (≤ one chunk)
+        buf = carry + b"".join(out) if carry else b"".join(out)
+        consumed = yield from _parse_records(buf)
+        carry = buf[consumed:]
 
 
 def read_warc(spark: SparkSession, in_dir: str) -> DataFrame:
@@ -542,16 +581,10 @@ def refetch_seeds(diff: DataFrame) -> DataFrame:
     refetch subset (scale-safe ``global_row_number``, never a
     single-partition window).
     """
-    from crawler_spark.operators.ordering import global_row_number
+    from crawler_spark.operators.ordering import seed_contract_table
 
     picks = diff.filter(F.col("status").isin("changed", "added")).select(
         "url",
         F.when(F.col("status") == "changed", F.lit(0)).otherwise(F.lit(1)).alias("_blk"),
     )
-    numbered = global_row_number(picks, ["_blk", "url"], rn_col="_rn")
-    return numbered.select(
-        (F.col("_rn") - 1).cast("string").alias("seed_id"),
-        "url",
-        F.lit(0).alias("story_seq"),
-        F.lit("").alias("cookies"),
-    )
+    return seed_contract_table(picks, ["_blk", "url"])

@@ -330,10 +330,15 @@ def export_image_captions(
     # strings (it hash-partitions on the group key itself — an explicit
     # repartition here would be a redundant second exchange, verified by
     # plan inspection in tests)
+    # _key (string) names tar entries; _kraw keeps the key column's NATIVE
+    # type — the pyarrow `in` filter below must compare against the payload
+    # file's column in its own type (string values vs an int64 key column
+    # would error or match nothing)
     if layout == "hash":
         sdf = shard_assignments(samples, key_col, n_shards)
         rows = sdf.select(
             "shard", "skey", F.col(key_col).cast("string").alias("_key"),
+            F.col(key_col).alias("_kraw"),
             F.col(path_col).alias("_path"), *meta_cols,
         )
         group_col = "shard"
@@ -342,6 +347,7 @@ def export_image_captions(
             F.md5(F.concat(F.lit("wds:"), F.col(key_col).cast("string"))
                   ).alias("skey"),
             F.col(key_col).cast("string").alias("_key"),
+            F.col(key_col).alias("_kraw"),
             F.col(path_col).alias("_path"), *meta_cols,
         )
         group_col = "_path"
@@ -361,17 +367,17 @@ def export_image_captions(
         # gather payload bytes: ONE pyarrow read per distinct file in the
         # group (source layout: exactly this task's one file); the `in`
         # filter prunes row groups when the wanted ids are sparse
-        blob: dict[str, bytes] = {}
+        blob: dict = {}
         for path, grp in pdf.groupby("_path", sort=False):
             local = re.sub("^file:/*", "/", str(path))
-            want = sorted(grp["_key"].unique())
+            want = sorted(grp["_kraw"].unique().tolist())
             tbl = pq.read_table(local, columns=[key_col, "bytes"],
                                 use_threads=False,
                                 filters=[(key_col, "in", want)])
             w_arr = pa.array(want)
             tbl = tbl.filter(pc.is_in(tbl[key_col], value_set=w_arr))
             blob.update(zip(tbl[key_col].to_pylist(), tbl["bytes"].to_pylist()))
-        missing = set(pdf["_key"]) - set(blob)
+        missing = set(pdf["_kraw"].tolist()) - set(blob)
         if missing:
             raise ValueError(f"payload rows missing for ids {sorted(missing)[:3]}")
 
@@ -387,19 +393,19 @@ def export_image_captions(
             return None if v is None or v != v else int(v)
 
         cols = [pdf[c].to_numpy()
-                for c in ("_key", "caption", "w", "h", "fmt", "phash")]
-        for j, (key, caption, iw, ih, fmt, phash) in enumerate(zip(*cols)):
+                for c in ("_key", "_kraw", "caption", "w", "h", "fmt", "phash")]
+        for j, (key, kraw, caption, iw, ih, fmt, phash) in enumerate(zip(*cols)):
             if layout == "source" and j % samples_per_shard == 0:
                 w.start(f"{prefix}-{stem}-{j // samples_per_shard:04d}.tar")
             if resize_px is None:
                 meta = {"fmt": str(fmt), "h": _i(ih), "phash": _i(phash),
                         "w": _i(iw)}
-                payload = (str(fmt), bytes(blob[key]))
+                payload = (str(fmt), bytes(blob[kraw]))
             else:
                 from crawler_spark.functions.imaging import (
                     decode_image, encode_image, resize_area)
 
-                arr = resize_area(decode_image(bytes(blob[key]), str(fmt)),
+                arr = resize_area(decode_image(bytes(blob[kraw]), str(fmt)),
                                   int(resize_px), int(resize_px))
                 payload = (thumb_fmt, encode_image(arr, thumb_fmt))
                 meta = {"fmt": thumb_fmt, "h": int(resize_px),
@@ -423,7 +429,10 @@ def export_image_captions(
         key=lambda s: s["name"],
     )
     if resize_px is None:
-        parts = sorted({r["fmt"] for r in
+        # str() keys the sort even when fmt is NULL (the writer labelled
+        # that entry '<key>.None'); without it the manifest seal would
+        # TypeError AFTER every shard was already written
+        parts = sorted({str(r["fmt"]) for r in
                         samples.select("fmt").distinct().collect()})
     else:
         parts = [thumb_fmt]

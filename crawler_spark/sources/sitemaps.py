@@ -193,7 +193,10 @@ def expand_sitemap_tree(bodies: DataFrame, roots: DataFrame,
     nests one level in practice; depth is a safety valve, not a tuning
     knob.
     """
-    entries = sitemap_entries(bodies, url_col, body_col)
+    # checkpoint once: every expansion level AND the returned leaves union
+    # re-reference this plan — uncached, the full-corpus XML parse would
+    # re-run ~2×max_depth times instead of once
+    entries = sitemap_entries(bodies, url_col, body_col).localCheckpoint()
     visited = roots.select(F.col("url")).distinct().localCheckpoint()
     frontier = visited
     leaves = None
@@ -225,7 +228,7 @@ def seeds_from_sitemaps(leaves: DataFrame) -> DataFrame:
     (priority, lastmod).  Numbering is the distributed total-order operator
     (range shuffle + per-partition offsets).
     """
-    from crawler_spark.operators.ordering import global_row_number
+    from crawler_spark.operators.ordering import seed_contract_table
 
     best = (
         leaves.withColumn("_eff_prio", F.coalesce("priority", F.lit(0.5)))
@@ -235,10 +238,8 @@ def seeds_from_sitemaps(leaves: DataFrame) -> DataFrame:
         .withColumn("_prio_neg", -F.col("_prio"))
         .withColumn("_lm_neg", -F.col("_lm"))
     )
-    numbered = global_row_number(best, ["_prio_neg", "_lm_neg", "url"],
-                                 rn_col="_rn")
-    return numbered.select(
-        (F.col("_rn") - 1).cast("string").alias("seed_id"), "url")
+    return seed_contract_table(best, ["_prio_neg", "_lm_neg", "url"],
+                               minimal=True)
 
 
 def roots_from_robots(robots: DataFrame,
