@@ -4587,6 +4587,128 @@ ORDER BY id_a, id_b
 """
 
 
+# --------------------------------------------------------------------------
+# §2.10 best-of-cluster image keeper — the LAION dedup rule: among near-dup
+# images keep the HIGHEST-RESOLUTION copy, not the lowest id (q34/q51's
+# text-side tie rule).  Composes q49's exact-≤3 ahash LSH tier →
+# connected components → per-cluster argmax on pixel count, where the
+# pixel count is recovered by DECODING the real encoded bytes (q53's
+# codec-under-the-gate discipline; fmt rotates png/ppm/bmp).  Tie rule is
+# deterministic: (pixels DESC, image_id ASC).  Scale: pair volume is
+# linear per band bucket (fixed-size clusters), label propagation iterates
+# only over the near-dup subgraph, dims are a map-only Arrow pass, and the
+# keeper pick is ONE groupBy — no step grows superlinearly in corpus size.
+# --------------------------------------------------------------------------
+
+
+def _image_dims_table(spark, sf_dir):
+    """(image_id, w, h) with dims recovered by DECODING real encoded bytes
+    (same md5 dim/pixel arithmetic as q53, so the twin is already proven) —
+    a codec that mangled size or row padding would fail the value-hash."""
+    from crawler_spark.operators import ensure_scan_parallelism
+
+    d = ensure_scan_parallelism(t(spark, sf_dir, "documents").select("doc_id"))
+
+    def _dim_batches(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        from crawler_spark.functions.imaging import decode_image, encode_image
+
+        fmts = ("png", "ppm", "bmp")
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy()
+            n = len(ids)
+            ws = np.empty(n, dtype=np.int32)
+            hs = np.empty(n, dtype=np.int32)
+            for i, raw_id in enumerate(ids):
+                doc_id = int(raw_id)
+                w = 4 + hashlib.md5(f"dim:{doc_id}:w".encode()).digest()[0] % 13
+                h = 4 + hashlib.md5(f"dim:{doc_id}:h".encode()).digest()[0] % 13
+                fmt = fmts[doc_id % 3]
+                nbytes = w * h * 3
+                base = b"".join(
+                    hashlib.md5(f"px:{doc_id}:{k}".encode()).digest()
+                    for k in range((nbytes + 15) // 16)
+                )[:nbytes]
+                arr = np.frombuffer(base, dtype=np.uint8).reshape(h, w, 3)
+                decoded = decode_image(encode_image(arr, fmt), fmt)
+                hs[i], ws[i] = decoded.shape[0], decoded.shape[1]
+            yield pd.DataFrame({"image_id": ids, "w": ws, "h": hs})
+
+    return d.mapInPandas(_dim_batches, "image_id long, w int, h int")
+
+
+def q77_image_cluster_keeper(spark, sf_dir):
+    from crawler_spark.operators.graph import connected_components
+    from crawler_spark.operators.image_dedup import phash_near_dup_pairs
+
+    images = _image_hash_table(spark, sf_dir)
+    pairs = phash_near_dup_pairs(images, max_hamming=3, bands=4)
+    labels = connected_components(pairs, src="id_a", dst="id_b")
+    scored = _image_dims_table(spark, sf_dir).select(
+        "image_id", (F.col("w").cast("long") * F.col("h")).alias("pixels")
+    )
+    clustered = scored.join(labels, scored["image_id"] == labels["v"], "left").select(
+        "image_id",
+        "pixels",
+        F.coalesce("lbl", "image_id").alias("cluster"),
+    )
+    best = clustered.groupBy("cluster").agg(
+        F.min(
+            F.struct((-F.col("pixels")).alias("np"), F.col("image_id").alias("id"))
+        ).alias("_b"),
+        F.count("*").alias("n_members"),
+        F.sum("pixels").alias("sum_pixels"),
+    )
+    return best.select(
+        "cluster",
+        F.col("_b.id").alias("keeper"),
+        (-F.col("_b.np")).alias("keeper_pixels"),
+        "n_members",
+        "sum_pixels",
+    ).orderBy("cluster")
+
+
+SQL_Q77 = (
+    "WITH RECURSIVE "
+    + _IMG_PAIR_CTES
+    + """,
+und AS (
+  SELECT id_a AS a, id_b AS b FROM img_pairs
+  UNION SELECT id_b, id_a FROM img_pairs),
+reach(a, b) AS (
+  SELECT a, b FROM und
+  UNION
+  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+labels AS (
+  SELECT a AS v, LEAST(a, MIN(b)) AS lbl FROM reach GROUP BY a),
+dims AS (
+  SELECT doc_id,
+         CAST((4 + CAST(('0x' || substr(md5('dim:' || CAST(doc_id AS VARCHAR) || ':w'),
+                                        1, 2)) AS INT) % 13)
+              * (4 + CAST(('0x' || substr(md5('dim:' || CAST(doc_id AS VARCHAR) || ':h'),
+                                          1, 2)) AS INT) % 13) AS BIGINT) AS pixels
+  FROM documents),
+cl AS (
+  SELECT d.doc_id, d.pixels, COALESCE(l.lbl, d.doc_id) AS cluster
+  FROM dims d LEFT JOIN labels l ON d.doc_id = l.v),
+rk AS (
+  SELECT cluster, doc_id, pixels,
+         row_number() OVER (PARTITION BY cluster ORDER BY pixels DESC, doc_id) AS rn
+  FROM cl)
+SELECT c.cluster, k.doc_id AS keeper, k.pixels AS keeper_pixels,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(SUM(c.pixels) AS BIGINT) AS sum_pixels
+FROM cl c JOIN rk k ON c.cluster = k.cluster AND k.rn = 1
+GROUP BY c.cluster, k.doc_id, k.pixels
+ORDER BY c.cluster
+"""
+)
+
+
 AUX_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "q05_semi_join": (q05_semi_join, SQL_Q05),
     "q06_window_topk": (q06_window_topk, SQL_Q06),
@@ -4625,4 +4747,5 @@ AUX_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
     "q18_jaccard_verify": (q18_jaccard_verify, SQL_Q18),
     "q75_aspect_buckets": (q75_aspect_buckets, SQL_Q75),
     "q76_crossmodal_near_dup": (q76_crossmodal_near_dup, SQL_Q76),
+    "q77_image_cluster_keeper": (q77_image_cluster_keeper, SQL_Q77),
 }

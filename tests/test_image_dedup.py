@@ -90,3 +90,30 @@ def test_band_table_slices_and_guard(spark):
     full = phash_near_dup_pairs(many, max_hamming=0, bands=4)
     assert full.count() == 45
     assert full.filter(F.col("hamming") != 0).count() == 0
+
+
+def test_cluster_keeper_invariants(spark):
+    """q77's keep rule against first principles at sf0.001: every image lands
+    in exactly one cluster, the keeper is a member with the cluster's max
+    pixel count (min image_id among ties), and pixel sums reconcile."""
+    from crawler_spark.queries import (
+        _image_dims_table,
+        q77_image_cluster_keeper,
+        t,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = {r.cluster: r for r in q77_image_cluster_keeper(spark, sf).collect()}
+    dims = {
+        r.image_id: r.w * r.h for r in _image_dims_table(spark, sf).collect()
+    }
+    n_docs = t(spark, sf, "documents").count()
+
+    assert sum(r.n_members for r in out.values()) == n_docs
+    assert sum(r.sum_pixels for r in out.values()) == sum(dims.values())
+    for r in out.values():
+        assert r.keeper in dims and dims[r.keeper] == r.keeper_pixels
+        assert r.keeper_pixels <= r.sum_pixels
+        # cluster label is the min member id, so the representative itself
+        # must be a member — its pixels bound the keeper's from below
+        assert dims[r.cluster] <= r.keeper_pixels
