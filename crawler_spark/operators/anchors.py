@@ -41,21 +41,31 @@ def anchor_pairs(
     """One row per distinct ``(page, resolved target, anchor text)``.
 
     Columns: ``src_url, src_host, target_url, anchor_text``.  Whitespace in
-    anchor text collapses to single spaces (display semantics); anchors with
-    no href resolve are dropped; empty text is kept as '' (image/icon links
-    are real in-links even without text).
+    anchor text collapses to single spaces (display semantics); hrefs with a
+    non-http(s) scheme (javascript:, mailto:, data:, tel:) and hrefs whose
+    resolved target does not parse as a URL are dropped — they are not
+    in-links; empty text is kept as '' (image/icon links are real in-links
+    even without text).
     """
     out_schema = (
         "src_url string, src_host string, target_url string, anchor_text string"
     )
 
     def _parse(it):
+        import re
+
         import pandas as pd
 
         from crawler_spark.functions.extract import (
             _descendants, node_text, parse_html,
         )
         from crawler_spark.functions.urlnorm import java_url_parse, prepare_url
+
+        # RFC 3986 scheme ahead of the resolve: javascript:/mailto:/data:/
+        # tel: anchors are UI actions, not in-links — prepare_url (the
+        # reference quirk replica) would otherwise splice them into garbage
+        # targets that the profile table counts as real pages
+        scheme_re = re.compile(r"^[a-zA-Z][a-zA-Z0-9+.-]*:")
 
         for pdf in it:
             src, shost, tgt, txt = [], [], [], []
@@ -75,7 +85,12 @@ def anchor_pairs(
                     href = n.attrs.get("href")
                     if not href:
                         continue
+                    m = scheme_re.match(href)
+                    if m and m.group(0).lower() not in ("http:", "https:"):
+                        continue
                     target = prepare_url(u, href)
+                    if java_url_parse(target) is None:
+                        continue  # resolve produced a non-URL: not an in-link
                     text = " ".join(node_text(n).split())
                     if (target, text) in seen:
                         continue
@@ -105,7 +120,10 @@ def anchor_text_table(
     (array<struct<anchor_text,cnt>>, the ``top_k`` texts by
     ``(cnt DESC, text ASC)`` — a deterministic pure function of the crawl).
     """
-    pairs = anchor_pairs(pages, url_col, payload_col)
+    # checkpoint once: the per-text and per-host aggregations shuffle on
+    # DIFFERENT keys, so Spark cannot share their exchange — uncached, the
+    # expensive full-HTML parse pass would run twice per action
+    pairs = anchor_pairs(pages, url_col, payload_col).localCheckpoint(eager=True)
     per_text = (
         pairs.groupBy("target_url", "anchor_text")
         .agg(F.count("*").alias("cnt"))

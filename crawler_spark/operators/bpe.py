@@ -218,7 +218,11 @@ def bpe_encode(
     from pyspark.sql.functions import pandas_udf
 
     ranks = {pair: i for i, pair in enumerate(merges)}
-    pattern = re.compile(BPE_PATTERN)
+    # re.ASCII: \s in java.util.regex (training, bpe_token_count) and RE2
+    # (the DuckDB twin) is ASCII-only, but Python's default is Unicode —
+    # without the flag U+00A0 in web text matches [^a-z0-9\s] at train time
+    # yet is skipped at encode time, so trained types are never emitted
+    pattern = re.compile(BPE_PATTERN, re.ASCII)
     memo: dict[str, list[str]] = {}
 
     def _enc_text(text: str) -> list[str]:

@@ -3646,6 +3646,30 @@ ORDER BY a.source
 """
 
 
+def _synth_aspect_image(doc_id: int):
+    """(w, h, fmt, raw_bytes) for the shared ``adim:``/``apx:`` synthetic
+    image — ONE home for the generating arithmetic that q23's integrity
+    audit, q75's aspect bucketing, and their SQL twins all rely on; a salt
+    or format-rotation change here is the only way to move it, so the two
+    queries and their oracles cannot silently desynchronize."""
+    import hashlib
+
+    import numpy as np
+
+    from crawler_spark.functions.imaging import encode_image
+
+    w = 4 + hashlib.md5(f"adim:{doc_id}:w".encode()).digest()[0] % 13
+    h = 4 + hashlib.md5(f"adim:{doc_id}:h".encode()).digest()[0] % 13
+    fmt = ("png", "ppm", "bmp")[doc_id % 3]
+    nbytes = w * h * 3
+    base = b"".join(
+        hashlib.md5(f"apx:{doc_id}:{k}".encode()).digest()
+        for k in range((nbytes + 15) // 16)
+    )[:nbytes]
+    raw = encode_image(np.frombuffer(base, dtype=np.uint8).reshape(h, w, 3), fmt)
+    return w, h, fmt, raw
+
+
 def _image_integrity_audit(spark, sf_dir):
     """Per-doc metadata-integrity audit over the north-rule image shape:
     declared (fmt, w, h) vs what a HEADER-ONLY sniff of the real binary
@@ -3666,12 +3690,10 @@ def _image_integrity_audit(spark, sf_dir):
     d = ensure_scan_parallelism(t(spark, sf_dir, "documents").select("doc_id"))
 
     def _audit_batches(batches):
-        import hashlib
-
-        import numpy as np
         import pandas as pd
+        import numpy as np
 
-        from crawler_spark.functions.imaging import encode_image, sniff_image_meta
+        from crawler_spark.functions.imaging import sniff_image_meta
 
         fmts = ("png", "ppm", "bmp")
         for pdf in batches:
@@ -3686,17 +3708,7 @@ def _image_integrity_audit(spark, sf_dir):
             h_act = np.empty(len(ids), dtype=np.int32)
             for i, raw_id in enumerate(ids):
                 doc_id = int(raw_id)
-                w = 4 + hashlib.md5(f"adim:{doc_id}:w".encode()).digest()[0] % 13
-                h = 4 + hashlib.md5(f"adim:{doc_id}:h".encode()).digest()[0] % 13
-                fmt_true = fmts[doc_id % 3]
-                nbytes = w * h * 3
-                base = b"".join(
-                    hashlib.md5(f"apx:{doc_id}:{k}".encode()).digest()
-                    for k in range((nbytes + 15) // 16)
-                )[:nbytes]
-                raw = encode_image(
-                    np.frombuffer(base, dtype=np.uint8).reshape(h, w, 3), fmt_true
-                )
+                w, h, fmt_true, raw = _synth_aspect_image(doc_id)
                 r = doc_id % 13
                 if r == 7:
                     raw = raw[:6]  # torn payload: every magic needs more
@@ -4279,11 +4291,14 @@ def q72_bpe_tokens(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
     wf = word_frequencies(docs, "text", max_types=1 << 16)
     merges = bpe_train(wf, n_merges=24)
+    # checkpoint once: the per-source profile and the exploded token-type
+    # branch below aggregate on different shapes, so Spark cannot share
+    # their exchange — uncached, the merge-loop encode UDF would run twice
     enc = bpe_encode(
         docs.select("doc_id", "source", "text").filter(F.col("text").isNotNull()),
         "text",
         merges,
-    )
+    ).localCheckpoint(eager=True)
     return (
         enc.groupBy("source")
         .agg(
@@ -4403,31 +4418,17 @@ def q75_aspect_buckets(spark, sf_dir):
     d = ensure_scan_parallelism(t(spark, sf_dir, "documents").select("doc_id"))
 
     def _sniff_batches(batches):
-        import hashlib
-
         import numpy as np
         import pandas as pd
 
-        from crawler_spark.functions.imaging import encode_image, sniff_image_meta
+        from crawler_spark.functions.imaging import sniff_image_meta
 
-        fmts = ("png", "ppm", "bmp")
         for pdf in batches:
             ids = pdf["doc_id"].to_numpy()
             ws = np.empty(len(ids), dtype=np.int32)
             hs = np.empty(len(ids), dtype=np.int32)
             for i, raw_id in enumerate(ids):
-                doc_id = int(raw_id)
-                w = 4 + hashlib.md5(f"adim:{doc_id}:w".encode()).digest()[0] % 13
-                h = 4 + hashlib.md5(f"adim:{doc_id}:h".encode()).digest()[0] % 13
-                nbytes = w * h * 3
-                base = b"".join(
-                    hashlib.md5(f"apx:{doc_id}:{k}".encode()).digest()
-                    for k in range((nbytes + 15) // 16)
-                )[:nbytes]
-                raw = encode_image(
-                    np.frombuffer(base, dtype=np.uint8).reshape(h, w, 3),
-                    fmts[doc_id % 3],
-                )
+                _w, _h, _fmt, raw = _synth_aspect_image(int(raw_id))
                 _, sw, sh = sniff_image_meta(raw)
                 ws[i] = -1 if sw is None else sw
                 hs[i] = -1 if sh is None else sh
@@ -4439,6 +4440,10 @@ def q75_aspect_buckets(spark, sf_dir):
     band = F.lit(_ASPECT_BANDS[-1][0])
     for bid, lo, _tw, _th in reversed(_ASPECT_BANDS[1:]):
         band = F.when(permille < F.lit(lo), F.lit(bid - 1)).otherwise(band)
+    # failed sniff → band −1, which the oracle NEVER produces, so any
+    # decoder/sniffer regression fails the value-hash deterministically
+    # (the -1/-1 dims would otherwise alias to permille 1000 = band 2)
+    band = F.when((F.col("w") < 0) | (F.col("h") < 0), F.lit(-1)).otherwise(band)
     banded = dims.withColumn("band", band.cast("int"))
 
     rn = global_row_number(banded, ["band", "doc_id"], "rn")

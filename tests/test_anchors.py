@@ -144,3 +144,22 @@ def test_engine_anchor_report_joins_url_seen(spark, tmp_path_factory):
         assert r["image_id"] in img_ids
         assert r["weak_caption"]
         assert 1 <= r["caption_support"] <= r["n_inlinks"]
+
+
+def test_anchor_pairs_drops_non_web_schemes_and_unresolvable(spark):
+    """javascript:/mailto:/data:/tel: anchors are UI actions, not in-links;
+    a resolved target that does not parse as a URL is dropped too — the
+    profile table must not carry phantom targets."""
+    html = (
+        "<html><body>"
+        "<a href='javascript:void(0)'>js</a>"
+        "<a href='mailto:x@example.com'>mail</a>"
+        "<a href='data:text/plain,hi'>data</a>"
+        "<a href='tel:+15551234'>tel</a>"
+        "<a href='HTTP://other.example/up'>case-scheme kept</a>"
+        "<a href='/ok'>kept</a>"
+        "</body></html>"
+    )
+    df = _pages_df(spark, [("http://h0.example/p", html)])
+    rows = sorted(r["target_url"] for r in anchor_pairs(df).collect())
+    assert rows == ["HTTP://other.example/up", "http://h0.example/ok"]

@@ -34,7 +34,9 @@ CORPUS = [
 
 
 def _pretokens(text: str) -> list[str]:
-    return re.findall(BPE_PATTERN, text.lower())
+    # re.ASCII mirrors the training side (java.util.regex, where \s is
+    # ASCII-only) — see bpe_encode's pattern flag
+    return re.findall(BPE_PATTERN, text.lower(), re.ASCII)
 
 
 def _word_counts(corpus: list[str]) -> list[tuple[str, int]]:
@@ -192,3 +194,18 @@ def test_degenerate_words(word):
     ranks = {}
     toks = encode_word(word, ranks)
     assert "".join(toks) == word + EOW
+
+
+def test_unicode_whitespace_train_encode_agreement(spark):
+    """U+00A0 (&nbsp;) is [^a-z0-9\\s] under JVM/RE2 \\s (ASCII-only) but
+    whitespace under Python's default \\s — training and encode must agree
+    it is a TOKEN, or trained types are never emitted at encode time."""
+    text = "a\u00a0b"
+    df = spark.createDataFrame([(0, text)], ["i", "text"])
+    wf = word_frequencies(df, "text", max_types=100)
+    assert ("\u00a0", 1) in wf  # training sees the nbsp as a word type
+    merges = bpe_train(wf, 5)
+    ranks = {p: i for i, p in enumerate(merges)}
+    toks = bpe_encode(df, "text", merges).collect()[0]["bpe_tokens"]
+    assert toks == [t for w in _pretokens(text) for t in encode_word(w, ranks)]
+    assert "".join(toks) == "a" + EOW + "\u00a0" + EOW + "b" + EOW
