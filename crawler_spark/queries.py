@@ -4093,6 +4093,246 @@ ORDER BY x.event_type, x.pq
 # registry
 # --------------------------------------------------------------------------
 
+# --------------------------------------------------------------------------
+# §2.10 leakage-safe train/eval split — the contamination bug every per-doc
+# hash split ships: near-duplicate documents land on BOTH sides of the
+# split, so eval measures memorization (Lee et al. "Deduplicating Training
+# Data Makes Language Models Better" report exactly this train/test overlap
+# in C4/RealNews).  The fix is structural: split by DUP-CLUSTER key, not by
+# doc key — every member of a near-dup cluster inherits the cluster
+# representative's hash bucket, so no cluster can straddle the boundary by
+# construction.  The query quantifies what that buys: per split, doc/cluster
+# tallies plus ``naive_leaked_docs`` — docs whose cluster WOULD straddle
+# under the per-doc hash (q36's rule) — the measured leakage the
+# cluster-keyed split eliminates.  Scale: one CC pass over the dup subgraph
+# (q41's machinery), ONE window partitioned by cluster (bounded partitions —
+# clusters are near-cliques, never corpus-sized), one groupBy.
+# --------------------------------------------------------------------------
+
+
+def q78_leakage_safe_split(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from crawler_spark.operators.dedup_text import (
+        lsh_candidate_pairs,
+        ngram_jaccard_pairs,
+        shingle_table,
+    )
+    from crawler_spark.operators.graph import connected_components
+
+    d = t(spark, sf_dir, "documents")
+    keyed = d.select("doc_id", F.md5("text").alias("h"))
+    keepers = keyed.groupBy("h").agg(F.min("doc_id").alias("keeper"))
+    exact_pairs = (
+        keyed.join(keepers, "h")
+        .filter(F.col("doc_id") > F.col("keeper"))
+        .select(F.col("keeper").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    )
+    sh = shingle_table(d).localCheckpoint(eager=True)
+    near = ngram_jaccard_pairs(
+        d, lsh_candidate_pairs(d, k=6, bands=3, shingles=sh), threshold=0.5, shingles=sh
+    ).select("doc_a", "doc_b")
+    edges = exact_pairs.unionByName(near).distinct()
+    labels = connected_components(edges)
+    docs = (
+        d.select("doc_id")
+        .join(labels, d["doc_id"] == labels["v"], "left")
+        .select("doc_id", F.coalesce("lbl", "doc_id").alias("cluster"))
+    )
+    per = docs.select(
+        "doc_id",
+        "cluster",
+        # cluster-keyed split: the leakage-safe assignment
+        F.when(
+            F.substring(F.md5(F.col("cluster").cast("string")), 1, 1) < "e", "train"
+        )
+        .otherwise(F.lit("val"))
+        .alias("split"),
+        # per-doc hash split (q36's rule): what naive pipelines do
+        F.when(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "e", "train"
+        )
+        .otherwise(F.lit("val"))
+        .alias("naive"),
+    )
+    wc = Window.partitionBy("cluster")
+    per = per.select(
+        "*",
+        F.count("*").over(wc).alias("csz"),
+        (F.min("naive").over(wc) != F.max("naive").over(wc)).alias("straddle"),
+    )
+    return (
+        per.groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("cluster").alias("n_clusters"),
+            F.sum(F.when(F.col("csz") > 1, 1).otherwise(0)).cast("long").alias("n_dup_docs"),
+            F.sum(F.when(F.col("straddle"), 1).otherwise(0))
+            .cast("long")
+            .alias("naive_leaked_docs"),
+        )
+        .orderBy("split")
+    )
+
+
+SQL_Q78 = (
+    _DUP_LABEL_CTES
+    + """,
+cl AS (
+  SELECT d.doc_id, COALESCE(l.lbl, d.doc_id) AS cluster
+  FROM documents d LEFT JOIN labels l ON d.doc_id = l.v),
+per0 AS (
+  SELECT doc_id, cluster,
+         CASE WHEN substr(md5(CAST(cluster AS VARCHAR)), 1, 1) < 'e'
+              THEN 'train' ELSE 'val' END AS split,
+         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'e'
+              THEN 'train' ELSE 'val' END AS naive
+  FROM cl),
+per AS (
+  SELECT *, COUNT(*) OVER (PARTITION BY cluster) AS csz,
+         MIN(naive) OVER (PARTITION BY cluster) AS mn,
+         MAX(naive) OVER (PARTITION BY cluster) AS mx
+  FROM per0)
+SELECT split, COUNT(*) AS n_docs, COUNT(DISTINCT cluster) AS n_clusters,
+       CAST(SUM(CASE WHEN csz > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+       CAST(SUM(CASE WHEN mn <> mx THEN 1 ELSE 0 END) AS BIGINT) AS naive_leaked_docs
+FROM per GROUP BY split ORDER BY split
+"""
+)
+
+
+# --------------------------------------------------------------------------
+# §2.10 CLIP-style hard-negative mining over the image+caption pair table —
+# the contrastive-training complement of the dedup tiers: a good hard
+# negative has a SIMILAR caption but a DIFFERENT image (near-miss text,
+# disjoint pixels), the pairs that teach an image-text model fine-grained
+# grounding (CLIP/ALIGN train on in-batch negatives; curated hard negatives
+# are the scale-up, e.g. LAION's retrieval-mined sets).  Mining rule here:
+# caption WORD-SET Jaccard in [0.6, 0.9) — shares most vocabulary but is
+# not the same phrase (3-shingle near-dups at ≥ 0.5, q41's dup territory,
+# are excluded) — minus any pair whose images are phash near-dups
+# (hamming ≤ 3: same picture re-encoded is a FALSE negative, excluded), then
+# top-3 negatives per anchor by (jaccard DESC, id).  Word-set similarity is
+# the mining signal because banded MinHash over 3-shingles is precision-
+# tuned: it only surfaces ≥ ~0.8-Jaccard phrase dups, while the unigram tier
+# (same LSH machinery, shingle_n=1) has real recall in the mid-similarity
+# band where hard negatives live.  Scale: both tiers run the SAME banded-LSH
+# bucketed equi-join with the deterministic band cap, the exclusions are
+# key-local anti-joins, and the per-anchor top-k is a bounded window over
+# candidate fan-in, never a corpus cross join.
+# --------------------------------------------------------------------------
+
+
+def q79_clip_hard_negatives(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from crawler_spark.operators.dedup_text import (
+        lsh_candidate_pairs,
+        ngram_jaccard_pairs,
+        shingle_table,
+    )
+    from crawler_spark.operators.image_dedup import phash_near_dup_pairs
+
+    d = t(spark, sf_dir, "documents")
+    # unigram tier: word-set similarity (the mining signal)
+    sh1 = shingle_table(d, n=1).localCheckpoint(eager=True)
+    ucand = lsh_candidate_pairs(d, k=6, bands=3, shingle_n=1, shingles=sh1)
+    ucap = (
+        ngram_jaccard_pairs(d, ucand, threshold=0.0, shingle_n=1, shingles=sh1)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.floor(F.col("jaccard") * 1000).cast("long").alias("jac_permille"),
+        )
+        .filter((F.col("jac_permille") >= 600) & (F.col("jac_permille") < 900))
+    )
+    # exclusion tiers: phrase near-dups (q41's rule) and image near-dups
+    sh3 = shingle_table(d).localCheckpoint(eager=True)
+    near = ngram_jaccard_pairs(
+        d, lsh_candidate_pairs(d, k=6, bands=3, shingles=sh3), threshold=0.5, shingles=sh3
+    ).select("doc_a", "doc_b")
+    img = phash_near_dup_pairs(
+        _image_hash_table(spark, sf_dir), max_hamming=3, bands=4
+    ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+    hard = ucap.join(near, ["doc_a", "doc_b"], "left_anti").join(
+        img, ["doc_a", "doc_b"], "left_anti"
+    )
+    sym = hard.select(
+        F.col("doc_a").alias("anchor"), F.col("doc_b").alias("negative"), "jac_permille"
+    ).unionByName(
+        hard.select(
+            F.col("doc_b").alias("anchor"), F.col("doc_a").alias("negative"), "jac_permille"
+        )
+    )
+    w = Window.partitionBy("anchor").orderBy(F.col("jac_permille").desc(), F.col("negative"))
+    return (
+        sym.select("anchor", "negative", "jac_permille", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 3)
+        .orderBy("anchor", "rk")
+    )
+
+
+SQL_Q79 = (
+    _MINHASH_CTES
+    + """, dsh AS (
+  SELECT doc_id, list_distinct(shingles) AS sh FROM sh
+), near_pairs AS (
+  SELECT p.doc_a, p.doc_b
+  FROM pairs p JOIN dsh x ON p.doc_a = x.doc_id JOIN dsh y ON p.doc_b = y.doc_id
+  WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+        / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) >= 0.5
+), utoks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+  WHERE len(string_split(text, ' ')) >= 1
+), umh AS (
+  SELECT doc_id,
+         list_transform(generate_series(0, 5),
+             j -> list_aggregate(list_transform(w, s -> md5(j::VARCHAR || ':' || s)), 'min')) AS sig
+  FROM utoks
+), ubands AS (
+  SELECT doc_id, b, md5(sig[2*b+1] || '|' || sig[2*b+2]) AS band_key
+  FROM umh, generate_series(0, 2) AS t(b)
+), ucapped AS (
+  SELECT doc_id, b, band_key FROM (
+    SELECT doc_id, b, band_key,
+           ROW_NUMBER() OVER (PARTITION BY b, band_key ORDER BY doc_id) AS rn
+    FROM ubands) WHERE rn <= 64
+), upairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+  FROM ucapped a JOIN ucapped c
+    ON a.band_key = c.band_key AND a.b = c.b AND a.doc_id < c.doc_id
+), udsh AS (
+  SELECT doc_id, list_distinct(w) AS sh FROM utoks
+), ucap AS (
+  SELECT * FROM (
+    SELECT p.doc_a, p.doc_b,
+           CAST(floor(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+             / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) * 1000)
+                AS BIGINT) AS jac_permille
+    FROM upairs p JOIN udsh x ON p.doc_a = x.doc_id JOIN udsh y ON p.doc_b = y.doc_id)
+  WHERE jac_permille >= 600 AND jac_permille < 900
+), """
+    + _IMG_PAIR_CTES
+    + """,
+hard AS (
+  SELECT u.* FROM ucap u
+  LEFT JOIN near_pairs np ON u.doc_a = np.doc_a AND u.doc_b = np.doc_b
+  LEFT JOIN img_pairs i ON u.doc_a = i.id_a AND u.doc_b = i.id_b
+  WHERE np.doc_a IS NULL AND i.id_a IS NULL
+), sym AS (
+  SELECT doc_a AS anchor, doc_b AS negative, jac_permille FROM hard
+  UNION ALL
+  SELECT doc_b, doc_a, jac_permille FROM hard
+), rk AS (
+  SELECT anchor, negative, jac_permille,
+         ROW_NUMBER() OVER (PARTITION BY anchor ORDER BY jac_permille DESC, negative) AS rk
+  FROM sym)
+SELECT anchor, negative, jac_permille, CAST(rk AS INT) AS rk
+FROM rk WHERE rk <= 3 ORDER BY anchor, rk
+"""
+)
+
+
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "q01_pricing_summary": (q01_pricing_summary, SQL_Q01),
     "q02_broadcast_join": (q02_broadcast_join, SQL_Q02),
@@ -4133,14 +4373,21 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q32_json_props": (q32_json_props, SQL_Q32),
     "q33_tfidf_terms": (q33_tfidf_terms, SQL_Q33),
     "q34_dedup_keeplist": (q34_dedup_keeplist, SQL_Q34),
-    "q36_stratified_split": (q36_stratified_split, SQL_Q36),
+    # q78 took q36's slot (window capped at 50): the hash-bucket split rule
+    # is a strict subset of q78's cluster-keyed split (same md5-prefix
+    # assignment, leakage-safe key) and sharding stays driver-witnessed
+    # through q65; q36 remains oracle-validated in AUX.
+    "q78_leakage_safe_split": (q78_leakage_safe_split, SQL_Q78),
     "q37_decontaminate": (q37_decontaminate, SQL_Q37),
     "q38_source_mixing": (q38_source_mixing, SQL_Q38),
     "q39_ngram_familiarity": (q39_ngram_familiarity, SQL_Q39M),
     "q40_ensemble_near_dup": (q40_ensemble_near_dup, SQL_Q40),
     "q41_dup_clusters": (q41_dup_clusters, SQL_Q41),
     "q43_source_quality": (q43_source_quality, SQL_Q43M),
-    "q45_vocab_overlap": (q45_vocab_overlap, SQL_Q45),
+    # q79 took q45's slot (window capped at 50): cross-source vocabulary
+    # overlap stays driver-witnessed through q38's source mixing and q33's
+    # TF-IDF terms; q45 remains oracle-validated in AUX.
+    "q79_clip_hard_negatives": (q79_clip_hard_negatives, SQL_Q79),
     "q46_pagerank": (q46_pagerank, SQL_Q46),
     "q47_pii_scrub": (q47_pii_scrub, SQL_Q47),
     "q48_chunk_dedup": (q48_chunk_dedup, SQL_Q48),
@@ -4722,246 +4969,6 @@ ORDER BY c.cluster
 )
 
 
-# --------------------------------------------------------------------------
-# §2.10 leakage-safe train/eval split — the contamination bug every per-doc
-# hash split ships: near-duplicate documents land on BOTH sides of the
-# split, so eval measures memorization (Lee et al. "Deduplicating Training
-# Data Makes Language Models Better" report exactly this train/test overlap
-# in C4/RealNews).  The fix is structural: split by DUP-CLUSTER key, not by
-# doc key — every member of a near-dup cluster inherits the cluster
-# representative's hash bucket, so no cluster can straddle the boundary by
-# construction.  The query quantifies what that buys: per split, doc/cluster
-# tallies plus ``naive_leaked_docs`` — docs whose cluster WOULD straddle
-# under the per-doc hash (q36's rule) — the measured leakage the
-# cluster-keyed split eliminates.  Scale: one CC pass over the dup subgraph
-# (q41's machinery), ONE window partitioned by cluster (bounded partitions —
-# clusters are near-cliques, never corpus-sized), one groupBy.
-# --------------------------------------------------------------------------
-
-
-def q78_leakage_safe_split(spark, sf_dir):
-    from pyspark.sql import Window
-
-    from crawler_spark.operators.dedup_text import (
-        lsh_candidate_pairs,
-        ngram_jaccard_pairs,
-        shingle_table,
-    )
-    from crawler_spark.operators.graph import connected_components
-
-    d = t(spark, sf_dir, "documents")
-    keyed = d.select("doc_id", F.md5("text").alias("h"))
-    keepers = keyed.groupBy("h").agg(F.min("doc_id").alias("keeper"))
-    exact_pairs = (
-        keyed.join(keepers, "h")
-        .filter(F.col("doc_id") > F.col("keeper"))
-        .select(F.col("keeper").alias("doc_a"), F.col("doc_id").alias("doc_b"))
-    )
-    sh = shingle_table(d).localCheckpoint(eager=True)
-    near = ngram_jaccard_pairs(
-        d, lsh_candidate_pairs(d, k=6, bands=3, shingles=sh), threshold=0.5, shingles=sh
-    ).select("doc_a", "doc_b")
-    edges = exact_pairs.unionByName(near).distinct()
-    labels = connected_components(edges)
-    docs = (
-        d.select("doc_id")
-        .join(labels, d["doc_id"] == labels["v"], "left")
-        .select("doc_id", F.coalesce("lbl", "doc_id").alias("cluster"))
-    )
-    per = docs.select(
-        "doc_id",
-        "cluster",
-        # cluster-keyed split: the leakage-safe assignment
-        F.when(
-            F.substring(F.md5(F.col("cluster").cast("string")), 1, 1) < "e", "train"
-        )
-        .otherwise(F.lit("val"))
-        .alias("split"),
-        # per-doc hash split (q36's rule): what naive pipelines do
-        F.when(
-            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "e", "train"
-        )
-        .otherwise(F.lit("val"))
-        .alias("naive"),
-    )
-    wc = Window.partitionBy("cluster")
-    per = per.select(
-        "*",
-        F.count("*").over(wc).alias("csz"),
-        (F.min("naive").over(wc) != F.max("naive").over(wc)).alias("straddle"),
-    )
-    return (
-        per.groupBy("split")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.countDistinct("cluster").alias("n_clusters"),
-            F.sum(F.when(F.col("csz") > 1, 1).otherwise(0)).cast("long").alias("n_dup_docs"),
-            F.sum(F.when(F.col("straddle"), 1).otherwise(0))
-            .cast("long")
-            .alias("naive_leaked_docs"),
-        )
-        .orderBy("split")
-    )
-
-
-SQL_Q78 = (
-    _DUP_LABEL_CTES
-    + """,
-cl AS (
-  SELECT d.doc_id, COALESCE(l.lbl, d.doc_id) AS cluster
-  FROM documents d LEFT JOIN labels l ON d.doc_id = l.v),
-per0 AS (
-  SELECT doc_id, cluster,
-         CASE WHEN substr(md5(CAST(cluster AS VARCHAR)), 1, 1) < 'e'
-              THEN 'train' ELSE 'val' END AS split,
-         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'e'
-              THEN 'train' ELSE 'val' END AS naive
-  FROM cl),
-per AS (
-  SELECT *, COUNT(*) OVER (PARTITION BY cluster) AS csz,
-         MIN(naive) OVER (PARTITION BY cluster) AS mn,
-         MAX(naive) OVER (PARTITION BY cluster) AS mx
-  FROM per0)
-SELECT split, COUNT(*) AS n_docs, COUNT(DISTINCT cluster) AS n_clusters,
-       CAST(SUM(CASE WHEN csz > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
-       CAST(SUM(CASE WHEN mn <> mx THEN 1 ELSE 0 END) AS BIGINT) AS naive_leaked_docs
-FROM per GROUP BY split ORDER BY split
-"""
-)
-
-
-# --------------------------------------------------------------------------
-# §2.10 CLIP-style hard-negative mining over the image+caption pair table —
-# the contrastive-training complement of the dedup tiers: a good hard
-# negative has a SIMILAR caption but a DIFFERENT image (near-miss text,
-# disjoint pixels), the pairs that teach an image-text model fine-grained
-# grounding (CLIP/ALIGN train on in-batch negatives; curated hard negatives
-# are the scale-up, e.g. LAION's retrieval-mined sets).  Mining rule here:
-# caption WORD-SET Jaccard in [0.6, 0.9) — shares most vocabulary but is
-# not the same phrase (3-shingle near-dups at ≥ 0.5, q41's dup territory,
-# are excluded) — minus any pair whose images are phash near-dups
-# (hamming ≤ 3: same picture re-encoded is a FALSE negative, excluded), then
-# top-3 negatives per anchor by (jaccard DESC, id).  Word-set similarity is
-# the mining signal because banded MinHash over 3-shingles is precision-
-# tuned: it only surfaces ≥ ~0.8-Jaccard phrase dups, while the unigram tier
-# (same LSH machinery, shingle_n=1) has real recall in the mid-similarity
-# band where hard negatives live.  Scale: both tiers run the SAME banded-LSH
-# bucketed equi-join with the deterministic band cap, the exclusions are
-# key-local anti-joins, and the per-anchor top-k is a bounded window over
-# candidate fan-in, never a corpus cross join.
-# --------------------------------------------------------------------------
-
-
-def q79_clip_hard_negatives(spark, sf_dir):
-    from pyspark.sql import Window
-
-    from crawler_spark.operators.dedup_text import (
-        lsh_candidate_pairs,
-        ngram_jaccard_pairs,
-        shingle_table,
-    )
-    from crawler_spark.operators.image_dedup import phash_near_dup_pairs
-
-    d = t(spark, sf_dir, "documents")
-    # unigram tier: word-set similarity (the mining signal)
-    sh1 = shingle_table(d, n=1).localCheckpoint(eager=True)
-    ucand = lsh_candidate_pairs(d, k=6, bands=3, shingle_n=1, shingles=sh1)
-    ucap = (
-        ngram_jaccard_pairs(d, ucand, threshold=0.0, shingle_n=1, shingles=sh1)
-        .select(
-            "doc_a",
-            "doc_b",
-            F.floor(F.col("jaccard") * 1000).cast("long").alias("jac_permille"),
-        )
-        .filter((F.col("jac_permille") >= 600) & (F.col("jac_permille") < 900))
-    )
-    # exclusion tiers: phrase near-dups (q41's rule) and image near-dups
-    sh3 = shingle_table(d).localCheckpoint(eager=True)
-    near = ngram_jaccard_pairs(
-        d, lsh_candidate_pairs(d, k=6, bands=3, shingles=sh3), threshold=0.5, shingles=sh3
-    ).select("doc_a", "doc_b")
-    img = phash_near_dup_pairs(
-        _image_hash_table(spark, sf_dir), max_hamming=3, bands=4
-    ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
-    hard = ucap.join(near, ["doc_a", "doc_b"], "left_anti").join(
-        img, ["doc_a", "doc_b"], "left_anti"
-    )
-    sym = hard.select(
-        F.col("doc_a").alias("anchor"), F.col("doc_b").alias("negative"), "jac_permille"
-    ).unionByName(
-        hard.select(
-            F.col("doc_b").alias("anchor"), F.col("doc_a").alias("negative"), "jac_permille"
-        )
-    )
-    w = Window.partitionBy("anchor").orderBy(F.col("jac_permille").desc(), F.col("negative"))
-    return (
-        sym.select("anchor", "negative", "jac_permille", F.row_number().over(w).alias("rk"))
-        .filter(F.col("rk") <= 3)
-        .orderBy("anchor", "rk")
-    )
-
-
-SQL_Q79 = (
-    _MINHASH_CTES
-    + """, dsh AS (
-  SELECT doc_id, list_distinct(shingles) AS sh FROM sh
-), near_pairs AS (
-  SELECT p.doc_a, p.doc_b
-  FROM pairs p JOIN dsh x ON p.doc_a = x.doc_id JOIN dsh y ON p.doc_b = y.doc_id
-  WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
-        / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) >= 0.5
-), utoks AS (
-  SELECT doc_id, string_split(text, ' ') AS w FROM documents
-  WHERE len(string_split(text, ' ')) >= 1
-), umh AS (
-  SELECT doc_id,
-         list_transform(generate_series(0, 5),
-             j -> list_aggregate(list_transform(w, s -> md5(j::VARCHAR || ':' || s)), 'min')) AS sig
-  FROM utoks
-), ubands AS (
-  SELECT doc_id, b, md5(sig[2*b+1] || '|' || sig[2*b+2]) AS band_key
-  FROM umh, generate_series(0, 2) AS t(b)
-), ucapped AS (
-  SELECT doc_id, b, band_key FROM (
-    SELECT doc_id, b, band_key,
-           ROW_NUMBER() OVER (PARTITION BY b, band_key ORDER BY doc_id) AS rn
-    FROM ubands) WHERE rn <= 64
-), upairs AS (
-  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
-  FROM ucapped a JOIN ucapped c
-    ON a.band_key = c.band_key AND a.b = c.b AND a.doc_id < c.doc_id
-), udsh AS (
-  SELECT doc_id, list_distinct(w) AS sh FROM utoks
-), ucap AS (
-  SELECT * FROM (
-    SELECT p.doc_a, p.doc_b,
-           CAST(floor(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
-             / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) * 1000)
-                AS BIGINT) AS jac_permille
-    FROM upairs p JOIN udsh x ON p.doc_a = x.doc_id JOIN udsh y ON p.doc_b = y.doc_id)
-  WHERE jac_permille >= 600 AND jac_permille < 900
-), """
-    + _IMG_PAIR_CTES
-    + """,
-hard AS (
-  SELECT u.* FROM ucap u
-  LEFT JOIN near_pairs np ON u.doc_a = np.doc_a AND u.doc_b = np.doc_b
-  LEFT JOIN img_pairs i ON u.doc_a = i.id_a AND u.doc_b = i.id_b
-  WHERE np.doc_a IS NULL AND i.id_a IS NULL
-), sym AS (
-  SELECT doc_a AS anchor, doc_b AS negative, jac_permille FROM hard
-  UNION ALL
-  SELECT doc_b, doc_a, jac_permille FROM hard
-), rk AS (
-  SELECT anchor, negative, jac_permille,
-         ROW_NUMBER() OVER (PARTITION BY anchor ORDER BY jac_permille DESC, negative) AS rk
-  FROM sym)
-SELECT anchor, negative, jac_permille, CAST(rk AS INT) AS rk
-FROM rk WHERE rk <= 3 ORDER BY anchor, rk
-"""
-)
-
-
 AUX_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "q05_semi_join": (q05_semi_join, SQL_Q05),
     "q06_window_topk": (q06_window_topk, SQL_Q06),
@@ -5001,6 +5008,6 @@ AUX_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
     "q75_aspect_buckets": (q75_aspect_buckets, SQL_Q75),
     "q76_crossmodal_near_dup": (q76_crossmodal_near_dup, SQL_Q76),
     "q77_image_cluster_keeper": (q77_image_cluster_keeper, SQL_Q77),
-    "q78_leakage_safe_split": (q78_leakage_safe_split, SQL_Q78),
-    "q79_clip_hard_negatives": (q79_clip_hard_negatives, SQL_Q79),
+    "q36_stratified_split": (q36_stratified_split, SQL_Q36),
+    "q45_vocab_overlap": (q45_vocab_overlap, SQL_Q45),
 }
