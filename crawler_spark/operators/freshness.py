@@ -75,6 +75,14 @@ def change_rate(
         F.col(url_col).alias("url"),
         F.expr(f"unix_micros(cast({ts_col} as timestamp))").alias("_us"),
         F.col(digest_col).cast("string").alias("_dg"),
+    # NULL url/ts/digest rows are unobservable captures: a NULL digest would
+    # make BOTH adjacent lag comparisons NULL (dropped from the change sum —
+    # silent undercount), and a NULL capture time cannot be ordered.  Filter
+    # AFTER the timestamp cast so an uncastable ts string degrades the same
+    # way.  Dropping the row means the surviving neighbors compare directly —
+    # the unknown capture is treated as never having happened.
+    ).filter(
+        F.col("url").isNotNull() & F.col("_us").isNotNull() & F.col("_dg").isNotNull()
     )
     w = Window.partitionBy("url").orderBy("_us", "_dg")
     seq = base.select(

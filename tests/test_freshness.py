@@ -67,6 +67,27 @@ def test_change_rate_matches_brute_force(spark):
     assert "d" not in got
 
 
+def test_change_rate_drops_null_captures(spark):
+    """A NULL digest/ts/url row is an unobservable capture: it must be
+    dropped BEFORE the lag, so the surviving neighbors compare directly —
+    not silently undercount via NULL != comparisons."""
+    clean = [
+        ("a", _ts(0), "1"), ("a", _ts(10), "2"), ("a", _ts(25), "3"),
+        ("b", _ts(0), "x"), ("b", _ts(30), "x"),
+    ]
+    dirty = clean + [
+        ("a", _ts(5), None),        # NULL digest mid-history
+        ("b", None, "y"),           # NULL capture time
+        (None, _ts(1), "z"),        # NULL url
+    ]
+    def run(rows):
+        return {
+            r.url: (r.n_caps, r.n_changes, r.chg_scaled, r.revisit_band)
+            for r in change_rate(_caps_df(spark, rows)).collect()
+        }
+    assert run(dirty) == run(clean)
+
+
 def test_change_rate_estimator_is_monotone_in_changes(spark):
     """More detected changes over the same interval count must never yield
     a smaller rate estimate (the estimator's defining property)."""
