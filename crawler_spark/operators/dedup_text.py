@@ -30,6 +30,27 @@ signatures are tiny (k×32 bytes); candidate verification joins back to
 shingle sets by doc_id.  Hot band keys (boilerplate docs) are the skew risk:
 ``max_band_size`` (ON by default) caps candidates per band via a window rank
 before the pair join; the oracle SQL mirrors the same deterministic cap.
+
+Reusing signature tables (the production pattern)
+-------------------------------------------------
+Tokenization dominates the scan cost at corpus scale, so production
+pipelines materialize the intermediate tiers ONCE and thread them through
+every consumer instead of re-deriving the lineage per query:
+
+    tk  = tokenized(docs).localCheckpoint(eager=True)       # split once
+    sh3 = shingle_table(docs, toks=tk).localCheckpoint(eager=True)
+    sh1 = shingle_table(docs, n=1, toks=tk)                  # same tokens
+    cand = lsh_candidate_pairs(docs, shingles=sh3)           # consumer 1
+    near = ngram_jaccard_pairs(docs, cand, shingles=sh3)     # consumer 2
+
+Every stage here accepts its upstream tier as a parameter (``toks=``,
+``shingles=``, ``sig=``-style) precisely so a single checkpoint can feed
+dedup keep-lists, cluster labeling, incremental batch joins (q64's stored
+band table) and hard-negative mining (q79) without re-tokenizing.
+``crawler_spark.queries`` exposes session-scoped shared tiers
+(``shared_shingles`` / ``shared_tokens``) that implement this memoization
+for the registry queries; tests/test_dedup_text.py pins that composed
+reuse is bit-identical to the from-scratch lineage.
 """
 
 from __future__ import annotations
@@ -69,15 +90,29 @@ def tokenized(docs: DataFrame, text_col: str = "text", min_tokens: int = 1) -> D
     ).filter(F.size("toks") >= min_tokens)
 
 
-def shingle_table(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+def shingle_table(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    toks: DataFrame | None = None,
+) -> DataFrame:
     """(doc_id, shingle) — word n-grams, one row per shingle occurrence.
 
     Explodes shingle start positions against the token-array column, so each
     token is read by array index (O(tokens) per doc, not O(tokens²)).
     Duplicate shingles are kept (min-hash and distinct-set stages each apply
     their own semantics downstream).
+
+    Pass ``toks`` (a ``tokenized()`` table, ideally checkpointed) to build
+    several shingle widths from ONE tokenization pass — the n-specific
+    min-token filter is applied here either way, so
+    ``shingle_table(d, n=n, toks=tokenized(d))`` ≡ ``shingle_table(d, n=n)``.
     """
-    toked = tokenized(docs, text_col, min_tokens=n)
+    toked = (
+        toks.filter(F.size("toks") >= n)
+        if toks is not None
+        else tokenized(docs, text_col, min_tokens=n)
+    )
     ex = toked.select(
         "doc_id",
         "toks",

@@ -36,6 +36,63 @@ def _dsum(col: str):
 
 
 # --------------------------------------------------------------------------
+# Session-scoped materialized signature tiers (the production pattern —
+# operators/dedup_text.py module docstring).  Tokenizing the corpus is the
+# dominant scan cost of the whole dedup/mining family; at 100 TB a pipeline
+# materializes (doc_id, toks) ONCE and derives every shingle width, minhash
+# signature and image-hash tier from that checkpoint.  These helpers memoize
+# the checkpointed tiers per (SparkContext, sf_dir[, n]) so the ensemble
+# queries (q40/q41/q78/q79) and the single-tier demos (q17/q18/q34/q64/q76)
+# share one tokenization pass within a session instead of each re-deriving
+# the lineage — exactly how q64's stored band table is meant to be consumed.
+# Keys include the applicationId so a new session never sees another
+# session's (unresolvable) checkpoints, and sf_dir so scales never mix.
+# Correctness is unchanged: shingle_table(d, n=n, toks=tokenized(d)) is
+# bit-identical to shingle_table(d, n=n) (pinned in tests/test_dedup_text).
+# --------------------------------------------------------------------------
+
+_TIER_CACHE: dict = {}
+
+
+def _tier(spark: SparkSession, sf_dir: str, kind: str, *extra):
+    return (spark.sparkContext.applicationId, os.path.abspath(sf_dir), kind, *extra)
+
+
+def shared_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpointed ``tokenized(documents)`` — the corpus is split once per
+    session per scale; every shingle width derives from this table."""
+    from crawler_spark.operators.dedup_text import tokenized
+
+    key = _tier(spark, sf_dir, "toks")
+    if key not in _TIER_CACHE:
+        _TIER_CACHE[key] = tokenized(t(spark, sf_dir, "documents")).localCheckpoint(
+            eager=True
+        )
+    return _TIER_CACHE[key]
+
+
+def shared_shingles(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
+    """Checkpointed word-``n``-gram shingle table built from shared_tokens."""
+    from crawler_spark.operators.dedup_text import shingle_table
+
+    key = _tier(spark, sf_dir, "shingles", n)
+    if key not in _TIER_CACHE:
+        _TIER_CACHE[key] = shingle_table(
+            t(spark, sf_dir, "documents"), n=n, toks=shared_tokens(spark, sf_dir)
+        ).localCheckpoint(eager=True)
+    return _TIER_CACHE[key]
+
+
+def shared_image_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpointed (image_id, phash) tier — the PNG round-trip + ahash runs
+    once per session per scale (consumers: q49, q76, q77, q79)."""
+    key = _tier(spark, sf_dir, "imghash")
+    if key not in _TIER_CACHE:
+        _TIER_CACHE[key] = _image_hash_table(spark, sf_dir).localCheckpoint(eager=True)
+    return _TIER_CACHE[key]
+
+
+# --------------------------------------------------------------------------
 # §2.1/§2.4 scans + aggregation (A1): TPC-H Q1-style pricing summary
 # --------------------------------------------------------------------------
 
@@ -425,37 +482,63 @@ SQL_Q16 = "SELECT doc_id, substr(md5(text), 1, 16) AS fp FROM documents"
 def q17_minhash_lsh(spark, sf_dir):
     from crawler_spark.operators.dedup_text import lsh_candidate_pairs
 
-    return lsh_candidate_pairs(t(spark, sf_dir, "documents"), k=6, bands=3)
+    return lsh_candidate_pairs(
+        t(spark, sf_dir, "documents"),
+        k=6,
+        bands=3,
+        shingles=shared_shingles(spark, sf_dir),
+    )
 
 
-# Shared lineage for the minhash oracle: tokenize → shingles → 6 minhashes →
-# 3 banded keys → deterministic hot-band cap (mirrors DEFAULT_MAX_BAND_SIZE)
-# → candidate pairs.
-_MINHASH_CTES = """
-WITH toks AS (
-  SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE len(string_split(text,' ')) >= 3
-), sh AS (
+# Shared lineage for the minhash oracle: tokenize → shingles → k minhashes →
+# banded keys → deterministic hot-band cap → candidate pairs.  Generated from
+# ONE template so k / bands / rows-per-band / cap live in a single place (the
+# cap mirrors dedup_text.DEFAULT_MAX_BAND_SIZE) and the unigram tier in
+# SQL_Q79 cannot desync from the trigram tier when a constant changes.
+
+
+def _minhash_cte_block(prefix: str = "", shingle_n: int = 3, k: int = 6, bands: int = 3) -> str:
+    """DuckDB CTE chain ``{p}toks → {p}sh → {p}mh → {p}bands → {p}capped →
+    {p}pairs`` — the oracle twin of dedup_text's tokenized → shingle_table →
+    minhash_signature → lsh_band_table(+cap) → lsh_candidate_pairs."""
+    from crawler_spark.operators.dedup_text import DEFAULT_MAX_BAND_SIZE
+
+    rows = k // bands  # rows-per-band, same derivation as lsh_band_table
+    if shingle_n == 1:
+        shingle_expr = "w"
+    else:
+        grams = " || ' ' || ".join(f"w[i+{j}]" if j else "w[i]" for j in range(shingle_n))
+        shingle_expr = (
+            f"list_transform(generate_series(1, len(w)-{shingle_n - 1}), i -> {grams})"
+        )
+    band_key = " || '|' || ".join(f"sig[{rows}*b+{i + 1}]" for i in range(rows))
+    p = prefix
+    return f"""{p}toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE len(string_split(text,' ')) >= {shingle_n}
+), {p}sh AS (
+  SELECT doc_id, {shingle_expr} AS shingles
+  FROM {p}toks
+), {p}mh AS (
   SELECT doc_id,
-         list_transform(generate_series(1, len(w)-2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS shingles
-  FROM toks
-), mh AS (
-  SELECT doc_id,
-         list_transform(generate_series(0, 5),
+         list_transform(generate_series(0, {k - 1}),
              j -> list_aggregate(list_transform(shingles, s -> md5(j::VARCHAR || ':' || s)), 'min')) AS sig
-  FROM sh
-), bands AS (
-  SELECT doc_id, b, md5(sig[2*b+1] || '|' || sig[2*b+2]) AS band_key
-  FROM mh, generate_series(0, 2) AS t(b)
-), capped AS (
+  FROM {p}sh
+), {p}bands AS (
+  SELECT doc_id, b, md5({band_key}) AS band_key
+  FROM {p}mh, generate_series(0, {bands - 1}) AS t(b)
+), {p}capped AS (
   SELECT doc_id, b, band_key FROM (
     SELECT doc_id, b, band_key,
            ROW_NUMBER() OVER (PARTITION BY b, band_key ORDER BY doc_id) AS rn
-    FROM bands) WHERE rn <= 64
-), pairs AS (
+    FROM {p}bands) WHERE rn <= {DEFAULT_MAX_BAND_SIZE}
+), {p}pairs AS (
   SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
-  FROM capped a JOIN capped c ON a.band_key = c.band_key AND a.b = c.b AND a.doc_id < c.doc_id
+  FROM {p}capped a JOIN {p}capped c ON a.band_key = c.band_key AND a.b = c.b AND a.doc_id < c.doc_id
 )
 """
+
+
+_MINHASH_CTES = "\nWITH " + _minhash_cte_block()
 
 SQL_Q17 = _MINHASH_CTES + "SELECT doc_a, doc_b FROM pairs"
 
@@ -469,13 +552,12 @@ def q18_jaccard_verify(spark, sf_dir):
     from crawler_spark.operators.dedup_text import (
         lsh_candidate_pairs,
         ngram_jaccard_pairs,
-        shingle_table,
     )
 
     d = t(spark, sf_dir, "documents")
-    # one persisted shingle table feeds both the candidate generation and the
+    # one shared shingle tier feeds both the candidate generation and the
     # Jaccard verify — round 1 recomputed the whole tokenize→minhash lineage
-    sh = shingle_table(d).localCheckpoint(eager=True)
+    sh = shared_shingles(spark, sf_dir)
     pairs = lsh_candidate_pairs(d, k=6, bands=3, shingles=sh)
     out = ngram_jaccard_pairs(d, pairs, threshold=0.0, shingles=sh)
     return out.select("doc_a", "doc_b", F.round(F.col("jaccard"), 6).alias("jaccard"))
@@ -1100,7 +1182,6 @@ def q34_dedup_keeplist(spark, sf_dir):
     from crawler_spark.operators.dedup_text import (
         lsh_candidate_pairs,
         ngram_jaccard_pairs,
-        shingle_table,
     )
 
     d = t(spark, sf_dir, "documents")
@@ -1109,7 +1190,7 @@ def q34_dedup_keeplist(spark, sf_dir):
     exact_drop = (
         keyed.join(keepers, "h").filter(F.col("doc_id") > F.col("keeper")).select("doc_id")
     )
-    sh = shingle_table(d).localCheckpoint(eager=True)
+    sh = shared_shingles(spark, sf_dir)
     cand = lsh_candidate_pairs(d, k=6, bands=3, shingles=sh)
     near = ngram_jaccard_pairs(d, cand, threshold=0.5, shingles=sh)
     near_drop = near.select(F.col("doc_b").alias("doc_id"))
@@ -1394,13 +1475,12 @@ def q40_ensemble_near_dup(spark, sf_dir):
     from crawler_spark.operators.dedup_text import (
         lsh_candidate_pairs,
         ngram_jaccard_pairs,
-        shingle_table,
     )
     from crawler_spark.operators.similarity import embedding_near_dup_pairs_lsh
 
     d = t(spark, sf_dir, "documents")
     emb = t(spark, sf_dir, "embeddings")
-    sh = shingle_table(d).localCheckpoint(eager=True)
+    sh = shared_shingles(spark, sf_dir)
     cand = lsh_candidate_pairs(d, k=6, bands=3, shingles=sh)
     text_pairs = (
         ngram_jaccard_pairs(d, cand, threshold=0.5, shingles=sh)
@@ -1464,7 +1544,6 @@ def q41_dup_clusters(spark, sf_dir):
     from crawler_spark.operators.dedup_text import (
         lsh_candidate_pairs,
         ngram_jaccard_pairs,
-        shingle_table,
     )
     from crawler_spark.operators.graph import connected_components
 
@@ -1476,7 +1555,7 @@ def q41_dup_clusters(spark, sf_dir):
         .filter(F.col("doc_id") > F.col("keeper"))
         .select(F.col("keeper").alias("doc_a"), F.col("doc_id").alias("doc_b"))
     )
-    sh = shingle_table(d).localCheckpoint(eager=True)
+    sh = shared_shingles(spark, sf_dir)
     near = ngram_jaccard_pairs(
         d, lsh_candidate_pairs(d, k=6, bands=3, shingles=sh), threshold=0.5, shingles=sh
     ).select("doc_a", "doc_b")
@@ -2019,7 +2098,7 @@ def _image_hash_table(spark, sf_dir):
 def q49_image_ahash_pairs(spark, sf_dir):
     from crawler_spark.operators.image_dedup import phash_near_dup_pairs
 
-    images = _image_hash_table(spark, sf_dir)
+    images = shared_image_hashes(spark, sf_dir)
     return phash_near_dup_pairs(images, max_hamming=3, bands=4).orderBy("id_a", "id_b")
 
 
@@ -3230,11 +3309,10 @@ def q64_incremental_dedup(spark, sf_dir):
         lsh_band_table,
         minhash_signature,
         ngram_jaccard_pairs,
-        shingle_table,
     )
 
     d = t(spark, sf_dir, "documents")
-    sh = shingle_table(d).localCheckpoint(eager=True)
+    sh = shared_shingles(spark, sf_dir)
     bands = lsh_band_table(minhash_signature(d, shingles=sh), k=6, bands=3)
     w = Window.partitionBy("b", "band_key").orderBy("doc_id")
     capped = (
@@ -4116,7 +4194,6 @@ def q78_leakage_safe_split(spark, sf_dir):
     from crawler_spark.operators.dedup_text import (
         lsh_candidate_pairs,
         ngram_jaccard_pairs,
-        shingle_table,
     )
     from crawler_spark.operators.graph import connected_components
 
@@ -4128,7 +4205,7 @@ def q78_leakage_safe_split(spark, sf_dir):
         .filter(F.col("doc_id") > F.col("keeper"))
         .select(F.col("keeper").alias("doc_a"), F.col("doc_id").alias("doc_b"))
     )
-    sh = shingle_table(d).localCheckpoint(eager=True)
+    sh = shared_shingles(spark, sf_dir)
     near = ngram_jaccard_pairs(
         d, lsh_candidate_pairs(d, k=6, bands=3, shingles=sh), threshold=0.5, shingles=sh
     ).select("doc_a", "doc_b")
@@ -4229,13 +4306,15 @@ def q79_clip_hard_negatives(spark, sf_dir):
     from crawler_spark.operators.dedup_text import (
         lsh_candidate_pairs,
         ngram_jaccard_pairs,
-        shingle_table,
     )
     from crawler_spark.operators.image_dedup import phash_near_dup_pairs
 
     d = t(spark, sf_dir, "documents")
+    # Both shingle widths derive from ONE shared tokenization checkpoint and
+    # the image tier from the shared hash table (the materialized-tier
+    # pattern) — this query previously re-tokenized the corpus twice.
     # unigram tier: word-set similarity (the mining signal)
-    sh1 = shingle_table(d, n=1).localCheckpoint(eager=True)
+    sh1 = shared_shingles(spark, sf_dir, n=1)
     ucand = lsh_candidate_pairs(d, k=6, bands=3, shingle_n=1, shingles=sh1)
     ucap = (
         ngram_jaccard_pairs(d, ucand, threshold=0.0, shingle_n=1, shingles=sh1)
@@ -4247,12 +4326,12 @@ def q79_clip_hard_negatives(spark, sf_dir):
         .filter((F.col("jac_permille") >= 600) & (F.col("jac_permille") < 900))
     )
     # exclusion tiers: phrase near-dups (q41's rule) and image near-dups
-    sh3 = shingle_table(d).localCheckpoint(eager=True)
+    sh3 = shared_shingles(spark, sf_dir, n=3)
     near = ngram_jaccard_pairs(
         d, lsh_candidate_pairs(d, k=6, bands=3, shingles=sh3), threshold=0.5, shingles=sh3
     ).select("doc_a", "doc_b")
     img = phash_near_dup_pairs(
-        _image_hash_table(spark, sf_dir), max_hamming=3, bands=4
+        shared_image_hashes(spark, sf_dir), max_hamming=3, bands=4
     ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
     hard = ucap.join(near, ["doc_a", "doc_b"], "left_anti").join(
         img, ["doc_a", "doc_b"], "left_anti"
@@ -4281,28 +4360,10 @@ SQL_Q79 = (
   FROM pairs p JOIN dsh x ON p.doc_a = x.doc_id JOIN dsh y ON p.doc_b = y.doc_id
   WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
         / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) >= 0.5
-), utoks AS (
-  SELECT doc_id, string_split(text, ' ') AS w FROM documents
-  WHERE len(string_split(text, ' ')) >= 1
-), umh AS (
-  SELECT doc_id,
-         list_transform(generate_series(0, 5),
-             j -> list_aggregate(list_transform(w, s -> md5(j::VARCHAR || ':' || s)), 'min')) AS sig
-  FROM utoks
-), ubands AS (
-  SELECT doc_id, b, md5(sig[2*b+1] || '|' || sig[2*b+2]) AS band_key
-  FROM umh, generate_series(0, 2) AS t(b)
-), ucapped AS (
-  SELECT doc_id, b, band_key FROM (
-    SELECT doc_id, b, band_key,
-           ROW_NUMBER() OVER (PARTITION BY b, band_key ORDER BY doc_id) AS rn
-    FROM ubands) WHERE rn <= 64
-), upairs AS (
-  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
-  FROM ucapped a JOIN ucapped c
-    ON a.band_key = c.band_key AND a.b = c.b AND a.doc_id < c.doc_id
-), udsh AS (
-  SELECT doc_id, list_distinct(w) AS sh FROM utoks
+), """
+    + _minhash_cte_block(prefix="u", shingle_n=1).strip()
+    + """, udsh AS (
+  SELECT doc_id, list_distinct(shingles) AS sh FROM ush
 ), ucap AS (
   SELECT * FROM (
     SELECT p.doc_a, p.doc_b,
@@ -4788,12 +4849,11 @@ def q76_crossmodal_near_dup(spark, sf_dir):
     from crawler_spark.operators.dedup_text import (
         lsh_candidate_pairs,
         ngram_jaccard_pairs,
-        shingle_table,
     )
     from crawler_spark.operators.image_dedup import phash_near_dup_pairs
 
     d = t(spark, sf_dir, "documents")
-    sh = shingle_table(d).localCheckpoint(eager=True)
+    sh = shared_shingles(spark, sf_dir)
     cand = lsh_candidate_pairs(d, k=6, bands=3, shingles=sh)
     captions = (
         ngram_jaccard_pairs(d, cand, threshold=0.0, shingles=sh)
@@ -4805,7 +4865,7 @@ def q76_crossmodal_near_dup(spark, sf_dir):
         )
     )
     images = phash_near_dup_pairs(
-        _image_hash_table(spark, sf_dir), max_hamming=3, bands=4
+        shared_image_hashes(spark, sf_dir), max_hamming=3, bands=4
     ).select("id_a", "id_b", "hamming")
     return (
         captions.join(images, ["id_a", "id_b"], "full_outer")
@@ -4905,7 +4965,7 @@ def q77_image_cluster_keeper(spark, sf_dir):
     from crawler_spark.operators.graph import connected_components
     from crawler_spark.operators.image_dedup import phash_near_dup_pairs
 
-    images = _image_hash_table(spark, sf_dir)
+    images = shared_image_hashes(spark, sf_dir)
     pairs = phash_near_dup_pairs(images, max_hamming=3, bands=4)
     labels = connected_components(pairs, src="id_a", dst="id_b")
     scored = _image_dims_table(spark, sf_dir).select(

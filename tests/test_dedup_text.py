@@ -113,3 +113,70 @@ def test_band_keys_match_duckdb_shift_semantics(spark):
         )
     }
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# Materialized-tier reuse (the production pattern, dedup_text module
+# docstring): one tokenization checkpoint feeds every shingle width, and a
+# stored band table (q64's store) composes with a downstream miner (q79's
+# verification stage) bit-identically to the from-scratch lineage.
+# --------------------------------------------------------------------------
+
+
+def _docs_df(spark):
+    rows = [
+        ("a", "the cat sat on the mat"),
+        ("b", "the cat sat on the mat today"),
+        ("c", "a dog ran in the park"),
+        ("d", "the cat sat on the mat"),
+        ("e", "one two"),          # shorter than a trigram
+        ("f", "single"),           # unigram only
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_shingle_table_toks_reuse_bit_identical(spark):
+    """shingle_table(d, n, toks=tokenized(d)) ≡ shingle_table(d, n) for every
+    width — the equivalence the session-scoped shared tiers rely on."""
+    from crawler_spark.operators.dedup_text import shingle_table, tokenized
+
+    d = _docs_df(spark)
+    tk = tokenized(d).localCheckpoint(eager=True)
+    for n in (1, 2, 3):
+        fresh = sorted(map(tuple, shingle_table(d, n=n).collect()))
+        shared = sorted(map(tuple, shingle_table(d, n=n, toks=tk).collect()))
+        assert fresh == shared, f"n={n}: toks= reuse changed the shingle table"
+
+
+def test_stored_band_table_composes_with_miner(spark):
+    """Compose q64's store with q79's miner: build the signature/band tiers
+    ONCE from a shared tokenization checkpoint, then run both the incremental
+    band join (store consumer) and the Jaccard verification (miner consumer)
+    — results must equal each consumer's own from-scratch lineage."""
+    from crawler_spark.operators.dedup_text import (
+        lsh_band_table,
+        lsh_candidate_pairs,
+        minhash_signature,
+        ngram_jaccard_pairs,
+        shingle_table,
+        tokenized,
+    )
+
+    d = _docs_df(spark)
+    tk = tokenized(d).localCheckpoint(eager=True)
+    sh3 = shingle_table(d, toks=tk).localCheckpoint(eager=True)
+
+    # store consumer (q64's shape): signatures -> banded keys
+    store = lsh_band_table(minhash_signature(d, shingles=sh3), k=6, bands=3)
+    fresh_store = lsh_band_table(minhash_signature(d), k=6, bands=3)
+    assert sorted(map(tuple, store.collect())) == sorted(map(tuple, fresh_store.collect()))
+
+    # miner consumer (q79's verification stage) over the SAME shared tier
+    cand = lsh_candidate_pairs(d, k=6, bands=3, shingles=sh3)
+    mined = ngram_jaccard_pairs(d, cand, threshold=0.5, shingles=sh3)
+    fresh = ngram_jaccard_pairs(
+        d, lsh_candidate_pairs(d, k=6, bands=3), threshold=0.5
+    )
+    assert sorted(map(tuple, mined.collect())) == sorted(map(tuple, fresh.collect()))
+    # the exact-dup pair (a, d) must survive verification in both lineages
+    assert any(r.doc_a == "a" and r.doc_b == "d" for r in mined.collect())
