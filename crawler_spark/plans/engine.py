@@ -949,6 +949,22 @@ class CrawlEngine:
             summary["dead"] = dead_all.count() if dead_all is not None else 0
             seen = snap.read_deltas(spark, self.ckpt_dir, "url_seen", last)
             summary["url_seen"] = seen.count()
+            # order-independent SET digests (xor of 64-bit hashes): two runs
+            # with equal counts but different members get different digests,
+            # so backend-equivalence checks (scripts/ab_backend_bench.py)
+            # compare actual membership, not just cardinality
+            summary["url_seen_digest"] = (
+                seen.agg(F.expr("bit_xor(xxhash64(url))")).first()[0] or 0
+            )
+            summary["fetch_log_digest"] = (
+                log.agg(
+                    F.expr(
+                        "bit_xor(xxhash64(concat_ws('|', cast(round as string),"
+                        " url, status, cast(attempt as string))))"
+                    )
+                ).first()[0]
+                or 0
+            )
             if self.ingest_payloads:
                 plog = snap.read_deltas(spark, self.ckpt_dir, "payload_log", last)
                 if plog is not None:

@@ -80,11 +80,22 @@ def main() -> None:
                 pre = cpu_probe()
                 res = sb.run_level(cpus, fixtures, leg_args, zpath)
                 post = cpu_probe()
+                # explicit None check: a falsy-but-present steady rate (0.0)
+                # must not silently fall back to the all-in metric; record
+                # which metric the ratio actually uses either way
+                steady = res.get("steady_urls_per_sec")
                 leg = {
                     "backend": backend, "alt": alt,
-                    "steady": res.get("steady_urls_per_sec") or res["value"],
+                    "steady": steady if steady is not None else res["value"],
+                    "steady_metric": "steady" if steady is not None else "all_in",
                     "all_in": res["value"],
                     "selected": res["selected"], "url_seen": res["url_seen"],
+                    # order-independent set digests (crawl_job summary): equal
+                    # digests prove equal MEMBERSHIP of the url_seen set and
+                    # the (round, url, status, attempt) fetch log, not just
+                    # equal cardinality
+                    "url_seen_digest": res.get("url_seen_digest"),
+                    "fetch_log_digest": res.get("fetch_log_digest"),
                     "payload_ok": bool(res["payload_ok"]),
                     "pre": pre, "post": post,
                 }
@@ -98,14 +109,29 @@ def main() -> None:
             b = next(l for l in legs if l["alt"] == alt and l["backend"] == "bloom")
             c = next(l for l in legs if l["alt"] == alt and l["backend"] == "cuckoo")
             ratios.append(round(c["steady"] / b["steady"], 4))
-        same = len({(l["selected"], l["url_seen"]) for l in legs}) == 1 and all(
-            l["payload_ok"] for l in legs
+        same = (
+            len(
+                {
+                    (
+                        l["selected"],
+                        l["url_seen"],
+                        l["url_seen_digest"],
+                        l["fetch_log_digest"],
+                    )
+                    for l in legs
+                }
+            )
+            == 1
+            and all(l["payload_ok"] for l in legs)
         )
         levels[str(cpus)] = {
             "legs": legs,
             "ratios_cuckoo_over_bloom": ratios,
             "median_ratio": round(statistics.median(ratios), 4),
+            "ratio_min": round(min(ratios), 4),
+            "ratio_max": round(max(ratios), 4),
             "identical_results": same,
+            "identity_check": "counts + payload + url_seen/fetch_log set digests",
         }
         print(f"local[{cpus}]: cuckoo/bloom ratios {ratios} "
               f"(median {levels[str(cpus)]['median_ratio']}), "
@@ -125,6 +151,12 @@ def main() -> None:
         lo, hi = (str(c) for c in args.cpus)
         rr = levels[hi]["median_ratio"] / levels[lo]["median_ratio"]
         out["ratio_of_ratios_hi_over_lo"] = round(rr, 4)
+        # honest uncertainty: the extreme pairing of per-alternation ratios
+        # across the two levels bounds how far the point estimate could move
+        out["ratio_of_ratios_range"] = [
+            round(levels[hi]["ratio_min"] / levels[lo]["ratio_max"], 4),
+            round(levels[hi]["ratio_max"] / levels[lo]["ratio_min"], 4),
+        ]
         out["note"] = (
             "cuckoo scaling efficiency = bloom headline efficiency x "
             "ratio_of_ratios (constant premium across levels => identical "

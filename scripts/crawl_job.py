@@ -185,6 +185,8 @@ def run(args) -> dict:
         "selected": summary["selected"],
         "fetched": summary["fetched"],
         "url_seen": summary.get("url_seen"),
+        "url_seen_digest": summary.get("url_seen_digest"),
+        "fetch_log_digest": summary.get("fetch_log_digest"),
         "dead": summary["dead"],
         "payload_checked": n_payload,
         "payload_ok": payload_ok,
