@@ -10,10 +10,11 @@ The Spark-side contract for 100 TB multimodal pipelines:
   codec
 * decode is REAL for every input_hint image format — PNG/PPM/BMP and
   baseline JPEG (functions/imaging, written from ITU-T T.81) — plus PCM WAV
-  audio (functions/audio) and YUV4MPEG2-mono video (functions/video).  Only
-  perceptually-compressed audio/video codecs (mp3/aac, h264/vp9) remain
-  STUBBED behind NotImplementedError, with the full plumbing (schema, batch
-  shape, partition discipline) in place and tested.
+  and G.711 μ-law audio (functions/audio) and YUV4MPEG2-mono and MJPEG video
+  (functions/video).  Only codecs that genuinely need a codec library —
+  perceptual audio (mp3/aac) and inter-frame-predicted video (h264/vp9) —
+  remain STUBBED behind NotImplementedError, with the full plumbing (schema,
+  batch shape, partition discipline) in place and tested.
 
 Feature extraction here is deliberately cheap + deterministic (mean
 channel values, resize by block-mean, frame sampling by stride) — the
@@ -102,7 +103,9 @@ def image_features_map_in_pandas(batches: Iterator["pd.DataFrame"]) -> Iterator[
 
 def audio_decode_stub(data: bytes, fmt: str) -> np.ndarray:
     """Audio decode: REAL for PCM WAV (functions/audio.py — RIFF needs no
-    codec library); perceptually-compressed formats remain honestly stubbed.
+    codec library) and G.711 μ-law (one-table telephony companding, written
+    from the public ITU-T spec); perceptual codecs (mp3/aac) remain honestly
+    stubbed.
 
     Contract: bytes → float32 (n_samples, channels) in [-1, 1].
     """
@@ -111,6 +114,10 @@ def audio_decode_stub(data: bytes, fmt: str) -> np.ndarray:
 
         samples, _sr = decode_wav(data)
         return samples.astype(np.float32) / 32768.0
+    if fmt in ("ulaw", "mulaw"):
+        from crawler_spark.functions.audio import decode_mulaw
+
+        return decode_mulaw(data)[:, None].astype(np.float32) / 32768.0
     raise NotImplementedError(
         f"audio decode ({fmt}) requires a codec library not present here; "
         "plumbing contract: binary column + (sample_rate, channels) metadata "
@@ -119,14 +126,20 @@ def audio_decode_stub(data: bytes, fmt: str) -> np.ndarray:
 
 
 def video_frame_sample_stub(data: bytes, fmt: str, stride: int = 30) -> list[np.ndarray]:
-    """Video frame sampling: REAL for YUV4MPEG2 mono (functions/video.py —
-    raw planar frames need no codec library); compressed video remains
+    """Video frame sampling: REAL for YUV4MPEG2 mono (raw planar frames) and
+    MJPEG (concatenated baseline JPEGs riding the from-spec T.81 codec —
+    functions/video.split_mjpeg walks the marker structure so only sampled
+    frames pay a decode); inter-frame-predicted codecs (h264/vp9) remain
     honestly stubbed.  One output row per sampled frame, keyed
     (video_id, frame_idx)."""
     if fmt == "y4m":
         from crawler_spark.functions.video import sample_frames
 
         return [frame for _idx, frame in sample_frames(data, stride)]
+    if fmt == "mjpeg":
+        from crawler_spark.functions.video import sample_frames_mjpeg
+
+        return [frame for _idx, frame in sample_frames_mjpeg(data, stride)]
     raise NotImplementedError(
         f"video decode ({fmt}) requires a codec library not present here; "
         "enabled implementations must keep the one-row-per-frame contract"

@@ -75,3 +75,92 @@ def sample_frames(data: bytes, stride: int = 30) -> list[tuple[int, np.ndarray]]
     one-row-per-sampled-frame contract the video stub documented."""
     frames, _fps = decode_y4m(data)
     return [(i, frames[i]) for i in range(0, len(frames), stride)]
+
+
+# --------------------------------------------------------------------------
+# MJPEG (bare JPEG-stream container): concatenated baseline JFIF frames.
+# The oldest video-over-HTTP format (IP cameras, multipart/x-mixed-replace
+# streams) and the simplest compressed container — each frame is a complete
+# T.81 baseline JPEG, so the existing from-spec codec (functions/imaging)
+# does all pixel work and this layer only needs a spec-correct frame
+# splitter.  Splitting walks the marker structure (ISO/IEC 10918-1 §B):
+# length-delimited segments are skipped by their length field (so an APPn/
+# COM payload containing FF D9 can never truncate a frame), entropy-coded
+# data after SOS is scanned honoring byte stuffing (FF 00) and restart
+# markers (FF D0-D7), and the first structural marker ending the scan must
+# be EOI for baseline single-scan frames.
+# --------------------------------------------------------------------------
+
+_SOI, _EOI, _SOS = 0xD8, 0xD9, 0xDA
+
+
+def encode_mjpeg(frames: "list[np.ndarray] | np.ndarray", quality: int = 90) -> bytes:
+    """[(h, w, 3) uint8 RGB, ...] → concatenated baseline-JPEG stream."""
+    from crawler_spark.functions.imaging import encode_jpeg
+
+    return b"".join(encode_jpeg(np.asarray(f), quality=quality) for f in frames)
+
+
+def _jpeg_frame_end(data: bytes, pos: int) -> int:
+    """Index one past the EOI of the JPEG frame starting at ``pos`` (SOI)."""
+    if data[pos : pos + 2] != b"\xff\xd8":
+        raise ValueError("frame does not start with SOI")
+    p = pos + 2
+    n = len(data)
+    while p + 1 < n:
+        if data[p] != 0xFF:
+            raise ValueError(f"expected marker at {p}")
+        m = data[p + 1]
+        if m == _EOI:
+            return p + 2
+        if m == _SOI:
+            raise ValueError("nested SOI before EOI")
+        if 0xD0 <= m <= 0xD7 or m in (0x01, 0xFF):  # RSTn / TEM / fill
+            p += 2
+            continue
+        seg_len = int.from_bytes(data[p + 2 : p + 4], "big")
+        p += 2 + seg_len
+        if m == _SOS:
+            # entropy-coded data: skip stuffed FF00 + restart markers until
+            # the next structural marker (EOI for baseline single-scan)
+            while True:
+                q = data.find(b"\xff", p)
+                if q < 0 or q + 1 >= n:
+                    raise ValueError("unterminated entropy-coded segment")
+                nxt = data[q + 1]
+                if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+                    p = q + 2
+                    continue
+                p = q
+                break
+    raise ValueError("unterminated JPEG frame (no EOI)")
+
+
+def split_mjpeg(data: bytes) -> list[bytes]:
+    """MJPEG stream → per-frame JPEG byte strings (no pixel work)."""
+    out = []
+    pos = 0
+    while pos < len(data):
+        end = _jpeg_frame_end(data, pos)
+        out.append(data[pos:end])
+        pos = end
+    return out
+
+
+@_loud
+def decode_mjpeg(data: bytes) -> "list[np.ndarray]":
+    """MJPEG bytes → [(h, w, 3) uint8 RGB per frame] via the from-spec
+    baseline JPEG decoder."""
+    from crawler_spark.functions.imaging import decode_jpeg
+
+    return [decode_jpeg(f) for f in split_mjpeg(data)]
+
+
+@_loud
+def sample_frames_mjpeg(data: bytes, stride: int = 30) -> "list[tuple[int, np.ndarray]]":
+    """Frame splitting is container-level, so only every ``stride``-th frame
+    pays a JPEG decode — the point of frame-sampling a 100 TB video corpus."""
+    from crawler_spark.functions.imaging import decode_jpeg
+
+    parts = split_mjpeg(data)
+    return [(i, decode_jpeg(parts[i])) for i in range(0, len(parts), stride)]

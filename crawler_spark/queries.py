@@ -4394,6 +4394,197 @@ FROM rk WHERE rk <= 3 ORDER BY anchor, rk
 )
 
 
+
+# --------------------------------------------------------------------------
+# §2.10 MJPEG frame-sampling gate through the REAL compressed-video path:
+# per doc a 4-frame 16×16 MJPEG clip (2×2 grid of md5-colored CONSTANT 8×8
+# blocks per frame) is encoded as concatenated baseline JPEGs
+# (functions/video.encode_mjpeg riding the from-spec T.81 codec), then
+# stride-sampled via the container-level frame splitter (only sampled frames
+# pay a decode — the scale contract for 100 TB video).  Constant blocks make
+# the lossy roundtrip analytically boundable: all AC coefficients are zero,
+# so decoded blocks are exactly constant and the only error is DC
+# quantization (measured ≤ 1 per channel at quality 90 over the full id
+# space; pinned here as err ≤ 3 and PSNR ≥ 40 — the north-rule lossy gate).
+# The oracle twin asserts the exact frame grid + all gates green; frame
+# miscounts, dimension bugs, non-constant decode or excess loss all flip a
+# value under the hash.  Pixel-exact codec parity is pinned in
+# tests/test_fuzz_codecs.py (split/decode vs per-frame decode_jpeg).
+# --------------------------------------------------------------------------
+
+
+def q80_mjpeg_frame_gate(spark, sf_dir):
+    from crawler_spark.operators import ensure_scan_parallelism
+
+    d = ensure_scan_parallelism(t(spark, sf_dir, "documents").select("doc_id"))
+
+    def _mjpeg_batches(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        from crawler_spark.functions.imaging import psnr
+        from crawler_spark.functions.video import (
+            encode_mjpeg,
+            sample_frames_mjpeg,
+            split_mjpeg,
+        )
+
+        for pdf in batches:
+            rows = []
+            for raw_id in pdf["doc_id"].to_numpy():
+                doc_id = int(raw_id)
+                frames = []
+                for f in range(4):
+                    a = np.zeros((16, 16, 3), np.uint8)
+                    for b in range(4):
+                        col = hashlib.md5(f"mj:{doc_id}:{f}:{b}".encode()).digest()[:3]
+                        by, bx = divmod(b, 2)
+                        a[by * 8 : (by + 1) * 8, bx * 8 : (bx + 1) * 8] = np.frombuffer(
+                            col, np.uint8
+                        )
+                    frames.append(a)
+                stream = encode_mjpeg(frames, quality=90)
+                n_frames = len(split_mjpeg(stream))
+                for idx, dec in sample_frames_mjpeg(stream, stride=2):
+                    orig = frames[idx]
+                    err = int(np.abs(orig.astype(int) - dec.astype(int)).max())
+                    const = all(
+                        (dec[by * 8 : (by + 1) * 8, bx * 8 : (bx + 1) * 8] ==
+                         dec[by * 8, bx * 8]).all()
+                        for by in range(2)
+                        for bx in range(2)
+                    )
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "frame_idx": idx,
+                            "w": dec.shape[1],
+                            "h": dec.shape[0],
+                            "n_frames": n_frames,
+                            "const_blocks": int(const),
+                            "err_le3": int(err <= 3),
+                            "psnr_ge_40": int(psnr(orig, dec) >= 40.0),
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    out = d.mapInPandas(
+        _mjpeg_batches,
+        "doc_id long, frame_idx int, w int, h int, n_frames int, "
+        "const_blocks int, err_le3 int, psnr_ge_40 int",
+    )
+    return out.orderBy("doc_id", "frame_idx")
+
+
+SQL_Q80 = """
+SELECT d.doc_id, CAST(f.f AS INT) AS frame_idx,
+       CAST(16 AS INT) AS w, CAST(16 AS INT) AS h, CAST(4 AS INT) AS n_frames,
+       CAST(1 AS INT) AS const_blocks, CAST(1 AS INT) AS err_le3,
+       CAST(1 AS INT) AS psnr_ge_40
+FROM documents d, (SELECT unnest([0, 2]) AS f) f
+ORDER BY d.doc_id, frame_idx
+"""
+
+
+# --------------------------------------------------------------------------
+# §2.10 G.711 μ-law roundtrip through the REAL telephony codec
+# (functions/audio.encode_mulaw/decode_mulaw): per doc 64 int16 samples are
+# synthesized from md5, companded to μ-law bytes and expanded back — BOTH
+# directions pure ITU-T integer arithmetic, so unlike every other lossy
+# codec here the full roundtrip has an EXACT ANSI-SQL twin: the oracle
+# recomputes sign/segment/mantissa companding with CASE+bit ops and must
+# match the engine's decoded sums/extrema/quantization-error value-for-value.
+# Scale: map-only Arrow batches, linear in N, no shuffle but the final sort.
+# --------------------------------------------------------------------------
+
+
+def q81_mulaw_roundtrip(spark, sf_dir):
+    from crawler_spark.operators import ensure_scan_parallelism
+
+    d = ensure_scan_parallelism(t(spark, sf_dir, "documents").select("doc_id"))
+
+    def _mulaw_batches(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        from crawler_spark.functions.audio import decode_mulaw, encode_mulaw
+
+        for pdf in batches:
+            rows = []
+            for raw_id in pdf["doc_id"].to_numpy():
+                doc_id = int(raw_id)
+                raw = b"".join(
+                    hashlib.md5(f"mu:{doc_id}:{k}".encode()).digest() for k in range(8)
+                )
+                pcm = np.frombuffer(raw, dtype="<i2").astype(np.int64)  # 64 samples
+                rt = decode_mulaw(encode_mulaw(pcm)).astype(np.int64)
+                qerr = np.abs(rt - np.clip(pcm, -32635, 32635))
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "n_samples": len(pcm),
+                        "rt_sum": int(rt.sum()),
+                        "rt_min": int(rt.min()),
+                        "rt_max": int(rt.max()),
+                        "max_qerr": int(qerr.max()),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    out = d.mapInPandas(
+        _mulaw_batches,
+        "doc_id long, n_samples int, rt_sum long, rt_min long, rt_max long, "
+        "max_qerr long",
+    )
+    return out.orderBy("doc_id")
+
+
+SQL_Q81 = """
+WITH raw AS (
+  SELECT d.doc_id, g.p,
+         CAST(('0x' || substr(md5('mu:' || CAST(d.doc_id AS VARCHAR) || ':' ||
+                                  CAST(g.p // 8 AS VARCHAR)),
+                              (g.p % 8) * 4 + 3, 2)
+                    || substr(md5('mu:' || CAST(d.doc_id AS VARCHAR) || ':' ||
+                                  CAST(g.p // 8 AS VARCHAR)),
+                              (g.p % 8) * 4 + 1, 2)) AS BIGINT) AS u16
+  FROM documents d, (SELECT unnest(range(64)) AS p) g),
+pcm AS (
+  SELECT doc_id, p, CASE WHEN u16 >= 32768 THEN u16 - 65536 ELSE u16 END AS x
+  FROM raw),
+enc AS (
+  SELECT doc_id, p, x,
+         CASE WHEN x < 0 THEN 1 ELSE 0 END AS neg,
+         LEAST(ABS(x), 32635) + 132 AS mag0
+  FROM pcm),
+seg AS (
+  SELECT doc_id, p, x, neg, mag0,
+         CASE WHEN mag0 < 256 THEN 0 WHEN mag0 < 512 THEN 1
+              WHEN mag0 < 1024 THEN 2 WHEN mag0 < 2048 THEN 3
+              WHEN mag0 < 4096 THEN 4 WHEN mag0 < 8192 THEN 5
+              WHEN mag0 < 16384 THEN 6 ELSE 7 END AS s
+  FROM enc),
+dec AS (
+  SELECT doc_id, p, x, neg,
+         ((((mag0 >> (s + 3)) & 15) * 8 + 132) << s) - 132 AS m
+  FROM seg),
+rt AS (
+  SELECT doc_id, p, x, CASE WHEN neg = 1 THEN -m ELSE m END AS r FROM dec)
+SELECT doc_id, CAST(64 AS INT) AS n_samples,
+       CAST(SUM(r) AS BIGINT) AS rt_sum,
+       CAST(MIN(r) AS BIGINT) AS rt_min,
+       CAST(MAX(r) AS BIGINT) AS rt_max,
+       CAST(MAX(ABS(r - (CASE WHEN x > 32635 THEN 32635
+                              WHEN x < -32635 THEN -32635 ELSE x END)))
+            AS BIGINT) AS max_qerr
+FROM rt GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "q01_pricing_summary": (q01_pricing_summary, SQL_Q01),
     "q02_broadcast_join": (q02_broadcast_join, SQL_Q02),
@@ -5070,4 +5261,6 @@ AUX_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
     "q77_image_cluster_keeper": (q77_image_cluster_keeper, SQL_Q77),
     "q36_stratified_split": (q36_stratified_split, SQL_Q36),
     "q45_vocab_overlap": (q45_vocab_overlap, SQL_Q45),
+    "q80_mjpeg_frame_gate": (q80_mjpeg_frame_gate, SQL_Q80),
+    "q81_mulaw_roundtrip": (q81_mulaw_roundtrip, SQL_Q81),
 }

@@ -131,3 +131,121 @@ def test_y4m_roundtrip_any_shape(nf, h, w, seed):
     out, fps = decode_y4m(encode_y4m(frames, fps=25))
     assert fps == 25
     assert np.array_equal(out, frames)
+
+
+# ---------------------------------------------------------------- MJPEG
+
+
+@settings(max_examples=200, deadline=None)
+@given(data=garbage)
+def test_mjpeg_decoders_raise_valueerror_only(data):
+    from crawler_spark.functions.video import decode_mjpeg, sample_frames_mjpeg
+
+    for payload in (data, b"\xff\xd8" + data):
+        try:
+            decode_mjpeg(payload)
+            sample_frames_mjpeg(payload)
+        except ValueError:
+            pass
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    nf=st.integers(1, 4),
+    h=st.integers(4, 20),
+    w=st.integers(4, 20),
+    seed=st.integers(0, 10_000),
+)
+def test_mjpeg_parity_with_per_frame_jpeg(nf, h, w, seed):
+    """decode_mjpeg(encode_mjpeg(frames)) must be pixel-identical to decoding
+    each frame's own encode_jpeg — the container adds zero pixel semantics."""
+    from crawler_spark.functions.video import decode_mjpeg, encode_mjpeg, split_mjpeg
+
+    frames = [_rgb(seed + i, h, w) for i in range(nf)]
+    stream = encode_mjpeg(frames, quality=90)
+    parts = split_mjpeg(stream)
+    assert len(parts) == nf
+    assert parts == [encode_jpeg(f, quality=90) for f in frames]
+    got = decode_mjpeg(stream)
+    want = [decode_jpeg(encode_jpeg(f, quality=90)) for f in frames]
+    assert all((g == w_).all() for g, w_ in zip(got, want))
+
+
+def test_mjpeg_split_survives_comment_payload_with_eoi_bytes():
+    """A COM segment whose payload contains FF D9 must not truncate the
+    frame: the splitter walks segment lengths, it does not string-search."""
+    from crawler_spark.functions.video import decode_mjpeg, split_mjpeg
+
+    f0, f1 = _rgb(1, 8, 8), _rgb(2, 8, 8)
+    j0, j1 = encode_jpeg(f0), encode_jpeg(f1)
+    payload = b"trap\xff\xd9trap"
+    com = b"\xff\xfe" + (len(payload) + 2).to_bytes(2, "big") + payload
+    spliced = j0[:2] + com + j0[2:]  # COM right after SOI
+    parts = split_mjpeg(spliced + j1)
+    assert len(parts) == 2 and parts[0] == spliced and parts[1] == j1
+    dec = decode_mjpeg(spliced + j1)
+    assert (dec[0] == decode_jpeg(j0)).all() and (dec[1] == decode_jpeg(j1)).all()
+
+
+def test_mjpeg_split_handles_restart_markers():
+    from crawler_spark.functions.video import decode_mjpeg, split_mjpeg
+
+    f = _rgb(3, 24, 24)
+    j = encode_jpeg(f, quality=85, restart_interval=2)
+    assert b"\xff\xd0" in j or b"\xff\xd1" in j  # RSTn actually present
+    assert split_mjpeg(j + j) == [j, j]
+    dec = decode_mjpeg(j + j)
+    assert (dec[0] == dec[1]).all() and (dec[0] == decode_jpeg(j)).all()
+
+
+# ---------------------------------------------------------------- G.711 μ-law
+
+
+def _ulaw_ref_encode(x: int) -> int:
+    """Scalar CCITT reference arithmetic (BIAS 0x84, CLIP 32635)."""
+    sign = 0x80 if x < 0 else 0
+    m = min(abs(x), 32635) + 0x84
+    seg = 7
+    for s in range(8):
+        if m >> (s + 8) == 0:
+            seg = s
+            break
+    return ~(sign | (seg << 4) | ((m >> (seg + 3)) & 0x0F)) & 0xFF
+
+
+def _ulaw_ref_decode(u: int) -> int:
+    u = ~u & 0xFF
+    mag = ((((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 0x07)) - 0x84
+    return -mag if u & 0x80 else mag
+
+
+def test_mulaw_encode_matches_reference_full_space():
+    from crawler_spark.functions.audio import encode_mulaw
+
+    xs = np.arange(-32768, 32768, dtype=np.int64)
+    got = np.frombuffer(encode_mulaw(xs), dtype=np.uint8)
+    want = np.array([_ulaw_ref_encode(int(x)) for x in xs], dtype=np.uint8)
+    assert (got == want).all()
+    assert got[32768] == 0xFF  # spec: zero companded to 0xFF
+
+
+def test_mulaw_decode_matches_reference_all_codes():
+    from crawler_spark.functions.audio import decode_mulaw
+
+    got = decode_mulaw(bytes(range(256)))
+    want = np.array([_ulaw_ref_decode(b) for b in range(256)], dtype=np.int16)
+    assert (got == want).all()
+
+
+def test_mulaw_companding_idempotent_and_bounded():
+    """decode∘encode is a fixed point on VALUES (decoding a re-encoded
+    decoded value changes nothing — codes can differ only at μ-law's two
+    zero representations, 0x7F/0xFF) and quantization error is bounded by
+    half the top-segment step (≤ 512)."""
+    from crawler_spark.functions.audio import decode_mulaw, encode_mulaw
+
+    xs = np.arange(-32768, 32768, 7, dtype=np.int64)
+    rt = decode_mulaw(encode_mulaw(xs))
+    assert (decode_mulaw(encode_mulaw(rt)) == rt).all()
+    err = np.abs(rt.astype(np.int64) - np.clip(xs, -32635, 32635))
+    assert int(err.max()) <= 512

@@ -156,3 +156,54 @@ def test_roundtrip_all_codecs_exact():
         for shape in ((8, 8, 3), (17, 5, 3), (33, 48, 3)):
             arr = rng.integers(0, 256, shape, dtype=np.uint8)
             assert np.array_equal(decode_image(encode_image(arr, fmt), fmt), arr)
+
+
+def test_audio_stub_mulaw_branch_real():
+    import numpy as np
+
+    from crawler_spark.functions.audio import encode_mulaw
+    from crawler_spark.functions.multimodal import audio_decode_stub
+
+    pcm = np.array([0, 1000, -1000, 32000, -32000], dtype=np.int64)
+    out = audio_decode_stub(encode_mulaw(pcm), "ulaw")
+    assert out.shape == (5, 1) and out.dtype == np.float32
+    assert float(np.abs(out).max()) <= 1.0
+    # companded roundtrip stays within the μ-law quantization bound
+    assert np.abs(out[:, 0] * 32768.0 - np.clip(pcm, -32635, 32635)).max() <= 512
+
+
+def test_video_stub_mjpeg_branch_real():
+    import numpy as np
+
+    from crawler_spark.functions.imaging import psnr
+    from crawler_spark.functions.multimodal import video_frame_sample_stub
+    from crawler_spark.functions.video import encode_mjpeg
+
+    rng = np.random.RandomState(7)
+    frames = []
+    for _ in range(5):
+        a = np.zeros((16, 16, 3), np.uint8)
+        for by in range(2):
+            for bx in range(2):
+                a[by * 8 : (by + 1) * 8, bx * 8 : (bx + 1) * 8] = rng.randint(0, 256, 3)
+        frames.append(a)
+    got = video_frame_sample_stub(encode_mjpeg(frames, quality=90), "mjpeg", stride=2)
+    assert len(got) == 3  # frames 0, 2, 4
+    for orig, dec in zip(frames[::2], got):
+        assert dec.shape == (16, 16, 3)
+        assert psnr(orig, dec) >= 40.0
+
+
+def test_remaining_stubs_still_raise():
+    import numpy as np
+    import pytest as _pytest
+
+    from crawler_spark.functions.multimodal import (
+        audio_decode_stub,
+        video_frame_sample_stub,
+    )
+
+    with _pytest.raises(NotImplementedError):
+        audio_decode_stub(b"\x00" * 16, "mp3")
+    with _pytest.raises(NotImplementedError):
+        video_frame_sample_stub(b"\x00" * 16, "h264")
