@@ -4585,6 +4585,109 @@ FROM rt GROUP BY doc_id ORDER BY doc_id
 """
 
 
+
+# --------------------------------------------------------------------------
+# §2.10 anchor-text / weak-caption mining under the oracle gate (the last
+# first-class operator family that was pytest-only): per doc a deterministic
+# HTML page is synthesized (5 absolute links whose target number and anchor
+# text derive from md5 — plus a javascript: link and an exact duplicate that
+# the per-page dedup must drop), then the REAL crawl lineage runs: the
+# forgiving DOM parse + prepare_url normalization of operators/anchors
+# .anchor_pairs, the one-shuffle-per-key profile aggregation of
+# anchor_text_table (top-k by sort_array slice — never a global window), and
+# a posexplode of the top-anchor structs into flat comparable rows.  The
+# oracle recomputes the generating formula in SQL; a parser regression, a
+# prepare_url quirk change, a dedup miss or a cap/ordering bug all flip rows
+# under the value hash.  top_k=3 with 4 possible texts per target exercises
+# the cap.  Scale: parse is map-only Arrow, profile is two aggs sharing one
+# shuffled key (operators/anchors docstring).
+# --------------------------------------------------------------------------
+
+
+def q82_anchor_profile(spark, sf_dir):
+    from crawler_spark.operators import ensure_scan_parallelism
+    from crawler_spark.operators.anchors import anchor_text_table
+
+    d = ensure_scan_parallelism(t(spark, sf_dir, "documents").select("doc_id"))
+    n_docs = d.count()  # bounded scalar: parameterizes the synthetic web
+
+    def _page_batches(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            urls, bodies = [], []
+            for raw_id in pdf["doc_id"].to_numpy():
+                doc_id = int(raw_id)
+                links = []
+                for j in range(5):
+                    tgt = (doc_id * 7 + 13 * j) % n_docs
+                    tid = int(hashlib.md5(f"at:{doc_id}:{j}".encode()).hexdigest()[0], 16) % 4
+                    links.append(
+                        f'<a href="http://h{tgt % 32}.example.com/p/{tgt}">t{tid}</a>'
+                    )
+                body = (
+                    "<html><body>" + "".join(links)
+                    + '<a href="javascript:void(0)">ui</a>'
+                    + links[0]  # exact duplicate: per-page dedup must drop it
+                    + "</body></html>"
+                )
+                urls.append(f"http://h{doc_id % 32}.example.com/p/{doc_id}")
+                bodies.append(body)
+            yield pd.DataFrame({"url": urls, "content": bodies})
+
+    pages = d.mapInPandas(_page_batches, "url string, content string")
+    tbl = anchor_text_table(pages, top_k=3)
+    return (
+        tbl.select(
+            "target_url",
+            "n_inlinks",
+            "n_src_hosts",
+            F.posexplode("top_anchors").alias("pos", "s"),
+        )
+        .select(
+            "target_url",
+            "n_inlinks",
+            "n_src_hosts",
+            (F.col("pos") + 1).cast("int").alias("rk"),
+            F.col("s.anchor_text").alias("anchor_text"),
+            F.col("s.cnt").alias("cnt"),
+        )
+        .orderBy("target_url", "rk")
+    )
+
+
+SQL_Q82 = """
+WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+links AS (
+  SELECT DISTINCT d.doc_id AS src,
+         (d.doc_id * 7 + 13 * j.j) % (SELECT n FROM nn) AS tgt,
+         CAST(('0x' || substr(md5('at:' || CAST(d.doc_id AS VARCHAR) || ':' ||
+                                  CAST(j.j AS VARCHAR)), 1, 1)) AS INT) % 4 AS tid
+  FROM documents d, (SELECT unnest(range(5)) AS j) j),
+per_text AS (
+  SELECT tgt, tid, COUNT(*) AS c FROM links GROUP BY tgt, tid),
+tots AS (
+  SELECT tgt, COUNT(*) AS n_inlinks, COUNT(DISTINCT src % 32) AS n_src_hosts
+  FROM links GROUP BY tgt),
+ranked AS (
+  SELECT tgt, tid, c,
+         ROW_NUMBER() OVER (PARTITION BY tgt ORDER BY c DESC, tid ASC) AS rk
+  FROM per_text)
+SELECT 'http://h' || CAST(r.tgt % 32 AS VARCHAR) || '.example.com/p/' ||
+         CAST(r.tgt AS VARCHAR) AS target_url,
+       CAST(t.n_inlinks AS BIGINT) AS n_inlinks,
+       CAST(t.n_src_hosts AS BIGINT) AS n_src_hosts,
+       CAST(r.rk AS INT) AS rk,
+       't' || CAST(r.tid AS VARCHAR) AS anchor_text,
+       CAST(r.c AS BIGINT) AS cnt
+FROM ranked r JOIN tots t ON r.tgt = t.tgt
+WHERE r.rk <= 3
+ORDER BY target_url, rk
+"""
+
+
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "q01_pricing_summary": (q01_pricing_summary, SQL_Q01),
     "q02_broadcast_join": (q02_broadcast_join, SQL_Q02),
@@ -5263,4 +5366,5 @@ AUX_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
     "q45_vocab_overlap": (q45_vocab_overlap, SQL_Q45),
     "q80_mjpeg_frame_gate": (q80_mjpeg_frame_gate, SQL_Q80),
     "q81_mulaw_roundtrip": (q81_mulaw_roundtrip, SQL_Q81),
+    "q82_anchor_profile": (q82_anchor_profile, SQL_Q82),
 }
