@@ -95,6 +95,18 @@ DEFAULT_RULES = [
         "anti_marker": "Robot check",
         "landing": "pipeline",
     },
+    # second emulator script family (infinite-scroll feed): same rule shape,
+    # its own renderer in the script registry (functions/emulator
+    # .EMULATOR_SCRIPTS) — proves the Task.emulator map dispatch generalizes
+    {
+        "extractor": "feed",
+        "list_sel": "ul.links li a",
+        "field_sels": ["self@href", "self:text"],
+        "content_sels": None,
+        "next_sel": "div.pager a",
+        "anti_marker": "Robot check",
+        "landing": "pipeline",
+    },
 ]
 
 # The e2e cycle uses the four file-sink variants.  With m = i // max_links,
@@ -241,6 +253,7 @@ def generate(
     max_links: int = 4,
     fmts: list[str] | None = None,
     n_search_seeds: int = 2,
+    n_feed_seeds: int = 2,
     n_cookie_pages: int = 0,
 ) -> dict:
     """Write images/pages/seeds/robots parquet under out_dir; return paths.
@@ -370,6 +383,10 @@ def generate(
         # tools sub-step seed (SeleniumFetcher.java:193-212): same keyword,
         # time-range filter clicked — narrows results, rides the pagination
         seed_urls.append(f"http://{host_of(2 % n_hosts)}/search?_kw_=fox&page=0&_tools_=1m")
+    # second emulator script family: infinite-scroll feed seeds (registry
+    # dispatch + cursor-chained continuation through the same frontier)
+    for k, word in enumerate(("tree", "rock")[: max(0, n_feed_seeds)]):
+        seed_urls.append(f"http://{host_of((3 + k) % n_hosts)}/feed?_kw_={word}&cursor=0")
     # per-task cookies (Task.cookies analog): seeds of cookie-marked pages
     # carry the sid cookie their pages echo; everyone else crawls cookie-less
     seed_cookies = [

@@ -28,23 +28,48 @@ from crawler_spark.functions.urlnorm import java_url_parse, parse_params, url_pa
 
 __all__ = [
     "SEARCH_PATH_PREFIX",
+    "FEED_PATH_PREFIX",
+    "EMULATOR_SCRIPTS",
+    "emulator_script",
     "is_emulator_url",
     "search_keyword",
     "search_tools",
     "next_page_attempts",
     "emulate_search_html",
+    "emulate_feed_html",
 ]
 
 SEARCH_PATH_PREFIX = "/search"
+FEED_PATH_PREFIX = "/feed"
 N_RESULTS = 5
 TARGET_SPACE = 1024  # result links land in /p/0../p/1023; unknown pages → NO_CONTENT
 TASK_MAX_RETRY = 3  # fetcher.emulator.taskmaxretrycount=3 (application.properties:22)
 
 
-def is_emulator_url(url: str) -> bool:
-    """Routing predicate: search-flow URLs take the emulator fetch path."""
+def emulator_script(url: str):
+    """Script-registry dispatch: ``(extractor_name, render_fn)`` for the
+    first registered path prefix matching the URL, else None.
+
+    The reference's emulator is an extensible registry — ``Task.emulator``
+    maps script names to WebDriver scripts and ``SearchScript`` is just one
+    member (SeleniumFetcher.java:120-300, SearchScript.java:76-85).  This
+    table is that registry's Spark twin: adding a script family is one entry
+    (prefix → deterministic renderer + extractor name); routing in the fused
+    fetch UDF (functions/extract.fetch_parse_udf) and the golden simulator
+    both consult it, so every family inherits the engine==simulator gate.
+    """
     p = url_path(url)
-    return p is not None and p.startswith(SEARCH_PATH_PREFIX)
+    if p is None:
+        return None
+    for prefix, entry in EMULATOR_SCRIPTS.items():
+        if p.startswith(prefix):
+            return entry
+    return None
+
+
+def is_emulator_url(url: str) -> bool:
+    """Routing predicate: script-registry URLs take the emulator fetch path."""
+    return emulator_script(url) is not None
 
 
 def search_keyword(url: str) -> Optional[str]:
@@ -158,6 +183,63 @@ def emulate_search_html(url: str, scrolled: bool = True) -> Optional[str]:
     )
 
 
-# NOTE: emulate_search_html enters Spark plans through the fused fetch-parse
-# UDF (functions/extract.fetch_parse_udf) — one Python hop per round, no
+FEED_CHUNK_MIN = 2  # feed chunks render 2-4 items per scroll stop
+
+
+def emulate_feed_html(url: str, scrolled: bool = True) -> Optional[str]:
+    """Second script family: an infinite-scroll FEED (``/feed?_kw_=w&
+    cursor=c``) — the other canonical browser-script shape (timeline/listing
+    pages that append chunks as the user scrolls, with no page numbers).
+
+    Proves the registry generalizes beyond SearchScript: same ``_kw_``
+    keyword contract (F9), same lazy-DOM semantics (unscrolled fetches see
+    only the eager half of the chunk and no load-more control), but its own
+    dataflow shape — variable chunk sizes (2-4 items, md5 of (kw, cursor)),
+    cursor-chained continuation instead of numbered pages, and a
+    deterministic end-of-feed (md5 nibble of the NEXT cursor ≥ 13, ≈ 3/16)
+    rather than a retry cap.  Items link ``/p/<md5(fd:w:c:j) % TARGET_SPACE>``;
+    the load-more anchor reuses the pager markup so the generic extraction
+    rule drives the continuation through the same frontier feedback (K6).
+    """
+    kw = search_keyword(url)
+    if kw is None:
+        return None
+    params = parse_params(url)
+    try:
+        cursor = int(params.get("cursor", "0"))
+    except ValueError:
+        cursor = 0
+    n = FEED_CHUNK_MIN + int(hashlib.md5(f"fdn:{kw}:{cursor}".encode()).hexdigest()[0], 16) % 3
+    items = []
+    for j in range(n):
+        t = int(hashlib.md5(f"fd:{kw}:{cursor}:{j}".encode()).hexdigest()[:8], 16) % TARGET_SPACE
+        items.append(f'<li><a href="/p/{t}">item {j}</a></li>')
+    if not scrolled:
+        # lazy DOM: only the eager half of the chunk, no load-more control
+        items = items[: (len(items) + 1) // 2]
+    ended = int(hashlib.md5(f"fdend:{kw}:{cursor + 1}".encode()).hexdigest()[0], 16) >= 13
+    u = java_url_parse(url)
+    pager = ""
+    if scrolled and not ended:
+        nxt = f"{u.protocol}://{u.host}{FEED_PATH_PREFIX}?_kw_={kw}&cursor={cursor + 1}"
+        pager = f'<div class="pager"><a rel="next" href="{nxt}">more</a></div>'
+    return (
+        "<html><body>"
+        f'<div class="caption">feed: {kw} cursor {cursor}</div>'
+        f'<ul class="links">{"".join(items)}</ul>'
+        f"{pager}"
+        "</body></html>"
+    )
+
+
+# The registry itself (defined after the renderers): prefix → (extractor,
+# render).  Order matters only for overlapping prefixes; these are disjoint.
+EMULATOR_SCRIPTS = {
+    SEARCH_PATH_PREFIX: ("search", emulate_search_html),
+    FEED_PATH_PREFIX: ("feed", emulate_feed_html),
+}
+
+
+# NOTE: the renderers enter Spark plans through the fused fetch-parse UDF
+# (functions/extract.fetch_parse_udf) — one Python hop per round, no
 # standalone wrapper.

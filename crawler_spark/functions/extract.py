@@ -260,7 +260,7 @@ def fetch_parse_udf(rules: dict):
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    from crawler_spark.functions.emulator import emulate_search_html, is_emulator_url
+    from crawler_spark.functions.emulator import emulator_script
     from crawler_spark.functions.urlnorm import detect_302, repair_302
 
     def _f(urls, redirects, contents, extractors, cookies):
@@ -269,8 +269,9 @@ def fetch_parse_udf(rules: dict):
             "redirected", "repaired_url",
         )}
         for u, rd, html, ex, ck in zip(urls, redirects, contents, extractors, cookies):
-            if isinstance(u, str) and is_emulator_url(u):
-                html, ex, rd = emulate_search_html(u), "search", None
+            scr = emulator_script(u) if isinstance(u, str) else None
+            if scr is not None:  # registry dispatch: (extractor, renderer)
+                html, ex, rd = scr[1](u), scr[0], None
             known = isinstance(html, str)
             if known:
                 html = render_cookie_markers(html, ck if isinstance(ck, str) else None)

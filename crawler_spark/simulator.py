@@ -17,7 +17,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 from crawler_spark.fixtures import load_tables
-from crawler_spark.functions.emulator import emulate_search_html, is_emulator_url
+from crawler_spark.functions.emulator import emulator_script
 from crawler_spark.functions.extract import extract_all, render_cookie_markers
 from crawler_spark.functions.urlnorm import (
     detect_302,
@@ -174,9 +174,10 @@ def simulate(
             e = pending[url]
             # fetch: emulator path (S4, scripted browser) or page-table join
             page = pages.get(url)
-            if is_emulator_url(url):
-                content = emulate_search_html(url)
-                extractor = "search"
+            scr = emulator_script(url)
+            if scr is not None:  # registry dispatch: (extractor, renderer)
+                content = scr[1](url)
+                extractor = scr[0]
                 known = content is not None
                 fail_count, redirect = 0, None
             elif page is not None:

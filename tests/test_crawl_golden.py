@@ -481,3 +481,23 @@ def test_plan_status_readback_across_interrupt_and_resume(
     final = eng2.story_status()
     assert final.filter(F.col("story_state") != "done").count() == 0
     assert final.agg(F.sum("n_pending")).first()[0] == 0
+
+
+def test_emulator_feed_flow_golden(engine_run, golden):
+    """Second script family (infinite-scroll feed): registry dispatch,
+    cursor-chained continuation and end-of-feed must reproduce the simulator
+    exactly through the full engine dataflow."""
+    eng, _ = engine_run
+    eng_feed = {
+        (r["url"], tuple(tuple(x) for x in r["records"]))
+        for r in eng.story_results().filter("extractor = 'feed'").collect()
+    }
+    sim_feed = {
+        (r["url"], tuple(tuple(x) for x in r["records"]))
+        for r in golden.story_results
+        if r["extractor"] == "feed"
+    }
+    assert eng_feed == sim_feed
+    assert len(sim_feed) > 0
+    # the flow actually followed load-more cursors past the seed chunk
+    assert any("cursor=1" in u for u, _ in sim_feed)

@@ -99,3 +99,89 @@ def test_next_page_retry_loop_and_exhaustion():
     assert "pager" not in h0 and extract_all(h0, "search", RULES)[1] is None
     # attempts are a pure function of (kw, page)
     assert next_page_attempts("fox", 1) == a
+
+
+# ---------------------------------------------------------------- feed script
+
+
+def test_script_registry_dispatch():
+    from crawler_spark.functions.emulator import (
+        emulate_feed_html,
+        emulate_search_html,
+        emulator_script,
+        is_emulator_url,
+    )
+
+    assert emulator_script("http://h/search?_kw_=fox")[0] == "search"
+    assert emulator_script("http://h/search?_kw_=fox")[1] is emulate_search_html
+    assert emulator_script("http://h/feed?_kw_=tree&cursor=0")[0] == "feed"
+    assert emulator_script("http://h/feed?_kw_=tree&cursor=0")[1] is emulate_feed_html
+    assert emulator_script("http://h/p/17") is None
+    assert is_emulator_url("http://h/feed?_kw_=tree") is True
+
+
+def test_feed_deterministic_and_chunked():
+    from crawler_spark.functions.emulator import FEED_CHUNK_MIN, emulate_feed_html
+
+    u = "http://h3.example.com/feed?_kw_=tree&cursor=1"
+    h1, h2 = emulate_feed_html(u), emulate_feed_html(u)
+    assert h1 == h2
+    n_items = h1.count("<li>")
+    assert FEED_CHUNK_MIN <= n_items <= FEED_CHUNK_MIN + 2
+    assert "feed: tree cursor 1" in h1
+
+
+def test_feed_keywordless_aborts():
+    from crawler_spark.functions.emulator import emulate_feed_html
+
+    assert emulate_feed_html("http://h/feed?cursor=0") is None
+
+
+def test_feed_lazy_dom_halves_chunk_and_hides_loadmore():
+    from crawler_spark.functions.emulator import emulate_feed_html
+
+    u = "http://h/feed?_kw_=tree&cursor=0"
+    full = emulate_feed_html(u, scrolled=True)
+    lazy = emulate_feed_html(u, scrolled=False)
+    n_full, n_lazy = full.count("<li>"), lazy.count("<li>")
+    assert n_lazy == (n_full + 1) // 2
+    assert 'class="pager"' not in lazy
+
+
+def test_feed_terminates_deterministically():
+    """Following load-more links must hit the md5 end-of-feed within a
+    bounded number of cursors for every fixture keyword."""
+    import hashlib
+
+    from crawler_spark.functions.emulator import emulate_feed_html
+
+    for kw in ("tree", "rock", "fox"):
+        cursor, hops = 0, 0
+        while True:
+            html = emulate_feed_html(f"http://h/feed?_kw_={kw}&cursor={cursor}")
+            if 'class="pager"' not in html:
+                break
+            cursor += 1
+            hops += 1
+            assert hops < 200, "feed never terminated"
+        # the end matches the documented md5 rule for the NEXT cursor
+        assert int(hashlib.md5(f"fdend:{kw}:{cursor + 1}".encode()).hexdigest()[0], 16) >= 13
+
+
+def test_feed_extraction_compatible_with_generic_rule():
+    from crawler_spark.functions.emulator import emulate_feed_html
+    from crawler_spark.functions.extract import extract_all
+
+    rules = {
+        "feed": {
+            "list_sel": "ul.links li a",
+            "field_sels": ["self@href", "self:text"],
+            "next_sel": "div.pager a",
+            "anti_marker": "Robot check",
+        }
+    }
+    html = emulate_feed_html("http://h/feed?_kw_=tree&cursor=0")
+    links, nxt, anti, recs = extract_all(html, "feed", rules)
+    assert links and all(l.startswith("/p/") for l in links)
+    assert nxt == "http://h/feed?_kw_=tree&cursor=1" or nxt is None
+    assert not anti
